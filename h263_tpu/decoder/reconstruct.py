@@ -1,0 +1,118 @@
+"""The per-frame TPU reconstruction program.
+
+This is the batch phase of decoding (SURVEY.md §3.3): given the dense
+tensors produced by the host entropy front-end plus the HBM-resident
+reference planes, reconstruct all three planes of the frame in one jitted
+XLA program:
+
+    out = clamp(gather_halfpel(ref, mv) + clipped_idct(levels), 0, 255)
+
+per plane, with the chroma MV derived on device.  Everything is batched over
+all macroblocks (and, in the batched variant, over concurrent streams — the
+framework's primary parallel axis).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..ops.idct import idct_residual_jnp
+from ..ops.mocomp import chroma_mv_jnp, gather_plane_jnp
+from ..ops.idct import BASIS_F32  # noqa: F401  (re-export convenience)
+
+
+def _blocks_to_plane(res, h, w):
+    """[..., nby, nbx, 8, 8] -> [..., nby*8, nbx*8] cropped to [h, w]."""
+    import jax.numpy as jnp
+
+    nby, nbx = res.shape[-4], res.shape[-3]
+    lead = res.shape[:-4]
+    plane = jnp.swapaxes(res, -3, -2).reshape(*lead, nby * 8, nbx * 8)
+    return plane[..., :h, :w]
+
+
+def _expand_luma_mvs(mvs):
+    """[..., mbh, mbw, 4, 2] -> per-8x8-block [..., 2*mbh, 2*mbw, 2].
+
+    Block k order within a macroblock: 0 top-left, 1 top-right,
+    2 bottom-left, 3 bottom-right (gather.rs:153-180).
+    """
+    import jax.numpy as jnp
+
+    lead = mvs.shape[:-4]
+    mbh, mbw = mvs.shape[-4], mvs.shape[-3]
+    # [..., mbh, mbw, 2, 2, 2] with block row/col split out.
+    g = mvs.reshape(*lead, mbh, mbw, 2, 2, 2)
+    g = jnp.moveaxis(g, -3, -4)  # [..., mbh, 2(row), mbw, 2(col), 2]
+    return g.reshape(*lead, mbh * 2, mbw * 2, 2)
+
+
+def _expand_luma_mask(inter):
+    import jax.numpy as jnp
+
+    lead = inter.shape[:-2]
+    mbh, mbw = inter.shape[-2], inter.shape[-1]
+    m = jnp.broadcast_to(inter[..., :, None, :, None], (*lead, mbh, 2, mbw, 2))
+    return m.reshape(*lead, mbh * 2, mbw * 2)
+
+
+def reconstruct_frame_single(coeffs_y, class_y, coeffs_cb, class_cb,
+                             coeffs_cr, class_cr, mvs, inter,
+                             ref_y, ref_cb, ref_cr):
+    """Reconstruct one frame's Y/Cb/Cr planes (uint8).
+
+    Shapes: coeffs_y [2mbh, 2mbw, 8, 8]; coeffs_cb/cr [mbh, mbw, 8, 8];
+    mvs int16 [mbh, mbw, 4, 2]; inter bool [mbh, mbw];
+    ref_y uint8 [h, w]; ref_cb/cr uint8 [ch, cw].  Plane sizes are static.
+    """
+    import jax.numpy as jnp
+
+    h, w = ref_y.shape
+    ch, cw = ref_cb.shape
+
+    luma_mvs = _expand_luma_mvs(mvs)
+    luma_mask = _expand_luma_mask(inter)
+    pred_y = gather_plane_jnp(ref_y, luma_mvs, luma_mask)
+
+    cmv = chroma_mv_jnp(mvs)
+    pred_cb = gather_plane_jnp(ref_cb, cmv, inter)
+    pred_cr = gather_plane_jnp(ref_cr, cmv, inter)
+
+    res_y = _blocks_to_plane(idct_residual_jnp(coeffs_y, class_y), h, w)
+    res_cb = _blocks_to_plane(idct_residual_jnp(coeffs_cb, class_cb), ch, cw)
+    res_cr = _blocks_to_plane(idct_residual_jnp(coeffs_cr, class_cr), ch, cw)
+
+    clamp = lambda p, r: jnp.clip(p + r, 0, 255).astype(jnp.uint8)
+    return clamp(pred_y, res_y), clamp(pred_cb, res_cb), clamp(pred_cr, res_cr)
+
+
+@functools.lru_cache(maxsize=64)
+def get_reconstruct_fn(h: int, w: int):
+    """A jitted single-stream reconstruction program for an h x w picture."""
+    import jax
+
+    return jax.jit(reconstruct_frame_single)
+
+
+def reconstruct_frame_batched(coeffs_y, class_y, coeffs_cb, class_cb,
+                              coeffs_cr, class_cr, mvs, inter,
+                              ref_y, ref_cb, ref_cr):
+    """Batched variant: every input carries a leading stream axis [S, ...].
+
+    This is the framework's throughput path: N concurrent streams of the
+    same resolution bucket decode as a single XLA program (SURVEY.md §2.4).
+    """
+    import jax
+
+    return jax.vmap(reconstruct_frame_single)(
+        coeffs_y, class_y, coeffs_cb, class_cb, coeffs_cr, class_cr,
+        mvs, inter, ref_y, ref_cb, ref_cr)
+
+
+@functools.lru_cache(maxsize=16)
+def get_batched_reconstruct_fn(h: int, w: int):
+    import jax
+
+    return jax.jit(reconstruct_frame_batched)
