@@ -1,0 +1,43 @@
+"""Device-mesh sharding for batched multi-stream decode.
+
+Streams are independent, so the only sharded axis is `stream`; every tensor
+in the reconstruction program carries it as the leading dimension.  With
+NamedSharding over a 1-D mesh, XLA compiles one SPMD program per chip with
+zero inter-chip communication — scaling is linear over ICI and DCN alike.
+"""
+
+from __future__ import annotations
+
+import functools
+
+
+def make_stream_mesh(devices=None):
+    """A 1-D mesh over all (or the given) devices, axis name 'stream'."""
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), ("stream",))
+
+
+def shard_reconstruct_fn(mesh, h: int, w: int):
+    """A jitted, stream-sharded batched reconstruction program.
+
+    All inputs/outputs are sharded on their leading stream axis; the batch
+    size must be divisible by the mesh size.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..decoder.reconstruct import reconstruct_frame_batched
+
+    stream_sharding = NamedSharding(mesh, P("stream"))
+    n_in = 11
+    return jax.jit(
+        reconstruct_frame_batched,
+        in_shardings=(stream_sharding,) * n_in,
+        out_shardings=(stream_sharding,) * 3,
+    )

@@ -8,9 +8,9 @@ quantizer recurrences fully resolved so every downstream TPU kernel is
 trivially parallel over macroblocks.
 
 Output layout (FrameData):
-  coeffs_y : float32 [2*mbh, 2*mbw, 8, 8]   dequantized levels, [by,bx,row,col]
+  coeffs_y : int16   [2*mbh, 2*mbw, 8, 8]   dequantized levels, [by,bx,row,col]
   class_y  : int8    [2*mbh, 2*mbw]          BLOCK_CLASS_* (drives exact IDCT path)
-  coeffs_cb/cr : float32 [mbh, mbw, 8, 8]
+  coeffs_cb/cr : int16   [mbh, mbw, 8, 8]
   class_cb/cr  : int8    [mbh, mbw]
   mvs      : int16   [mbh, mbw, 4, 2]        decoded luma block MVs, (x, y) half-pel
   inter    : bool    [mbh, mbw]              True = INTER (incl. uncoded/tail-fill)
@@ -76,7 +76,7 @@ class FrameData:
 
 
 def inverse_rle(block: Block, quant: int, coeffs_out: np.ndarray) -> int:
-    """Dezigzag + dequantize one block into `coeffs_out` (8x8 f32, pre-zeroed).
+    """Dezigzag + dequantize one block into `coeffs_out` (8x8 int16, pre-zeroed).
 
     Returns the block's sparsity class.  Parity with cpu/rle.rs:82-172,
     including the quirk that a zigzag-index overflow discards the *entire*
@@ -84,7 +84,7 @@ def inverse_rle(block: Block, quant: int, coeffs_out: np.ndarray) -> int:
     """
     if not block.tcoef:
         if block.intradc is not None and block.intradc != 0:
-            coeffs_out[0, 0] = float(block.intradc)
+            coeffs_out[0, 0] = block.intradc
             return BLOCK_CLASS_DC
         return BLOCK_CLASS_ZERO
 
@@ -92,7 +92,7 @@ def inverse_rle(block: Block, quant: int, coeffs_out: np.ndarray) -> int:
     is_vert = True
     zz = 0
     if block.intradc is not None:
-        coeffs_out[0, 0] = float(block.intradc)
+        coeffs_out[0, 0] = block.intradc
         zz = 1
 
     parity = 0 if quant % 2 == 1 else -1
@@ -108,7 +108,7 @@ def inverse_rle(block: Block, quant: int, coeffs_out: np.ndarray) -> int:
         sign = 1 if tc.level > 0 else -1
         value = sign * (dequantized + parity)
         value = max(-2048, min(2047, value))
-        coeffs_out[y, x] = float(value)
+        coeffs_out[y, x] = value
         zz += 1
         if value != 0:
             if y > 0:
@@ -117,7 +117,7 @@ def inverse_rle(block: Block, quant: int, coeffs_out: np.ndarray) -> int:
                 is_vert = False
 
     if is_horiz and is_vert:
-        if coeffs_out[0, 0] == 0.0:
+        if coeffs_out[0, 0] == 0:
             return BLOCK_CLASS_ZERO
         return BLOCK_CLASS_DC
     if is_vert:
@@ -142,11 +142,11 @@ def parse_frame(r: BitReader, picture: Picture, decoder_options: DecoderOption,
     mb_h = -(-height // 16)
     nmb = mb_w * mb_h
 
-    coeffs_y = np.zeros((2 * mb_h, 2 * mb_w, 8, 8), dtype=np.float32)
+    coeffs_y = np.zeros((2 * mb_h, 2 * mb_w, 8, 8), dtype=np.int16)
     class_y = np.zeros((2 * mb_h, 2 * mb_w), dtype=np.int8)
-    coeffs_cb = np.zeros((mb_h, mb_w, 8, 8), dtype=np.float32)
+    coeffs_cb = np.zeros((mb_h, mb_w, 8, 8), dtype=np.int16)
     class_cb = np.zeros((mb_h, mb_w), dtype=np.int8)
-    coeffs_cr = np.zeros((mb_h, mb_w, 8, 8), dtype=np.float32)
+    coeffs_cr = np.zeros((mb_h, mb_w, 8, 8), dtype=np.int16)
     class_cr = np.zeros((mb_h, mb_w), dtype=np.int8)
     mvs_arr = np.zeros((mb_h, mb_w, 4, 2), dtype=np.int16)
     # Tail-filled MBs default to INTER with zero MV (state.rs:419-427).

@@ -1,0 +1,94 @@
+"""Multi-stream batching and device-mesh sharding tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+from h263_tpu import DecoderOption, H263Decoder, PictureTypeCode
+from h263_tpu.parallel import BatchedStreamDecoder, make_stream_mesh, shard_reconstruct_fn
+from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
+
+SORENSON = DecoderOption.SORENSON_SPARK_BITSTREAM
+
+
+def _stream_frames(seed: int, width=32, height=32, n_p=3):
+    """One I-frame + n_p P-frames, content varying per seed."""
+    rng = np.random.default_rng(seed)
+    mbw, mbh = width // 16, height // 16
+    mbs = []
+    for _ in range(mbw * mbh):
+        dc = int(rng.integers(1, 128)) * 8
+        mbs.append(MBSpec(kind="intra", intradc=[dc] * 6,
+                          blocks=[[(0, int(rng.integers(1, 12)))], [], [], [], [], []]))
+    frames = [encode_sorenson_picture(width, height, PictureTypeCode.I_FRAME,
+                                      mbs, temporal_reference=0)]
+    for tr in range(1, n_p + 1):
+        pmbs = []
+        for _ in range(mbw * mbh):
+            mvd = (int(rng.integers(-3, 4)) * 2, int(rng.integers(-3, 4)) * 2)
+            pmbs.append(MBSpec(kind="inter", mvd=[mvd],
+                               blocks=[[(0, int(rng.integers(1, 5)))], [], [], [], [], []]))
+        frames.append(encode_sorenson_picture(
+            width, height, PictureTypeCode.P_FRAME, pmbs, temporal_reference=tr))
+    return frames
+
+
+class TestBatchedDecoder:
+    def test_matches_single_stream_decoders(self):
+        n = 4
+        per_stream = [_stream_frames(seed) for seed in range(n)]
+        batched = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        singles = [H263Decoder(SORENSON, backend="numpy") for _ in range(n)]
+
+        for t in range(len(per_stream[0])):
+            y, cb, cr = batched.decode_step([per_stream[i][t] for i in range(n)])
+            y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
+            for i in range(n):
+                pic = singles[i].decode_next_picture(per_stream[i][t])
+                np.testing.assert_array_equal(y[i], pic.as_luma(),
+                                              err_msg=f"stream {i} frame {t}")
+                np.testing.assert_array_equal(cb[i], pic.as_chroma_b())
+                np.testing.assert_array_equal(cr[i], pic.as_chroma_r())
+
+
+class TestSharding:
+    def test_mesh_sharded_reconstruction(self):
+        import jax
+
+        n_dev = len(jax.devices())
+        assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+        mesh = make_stream_mesh()
+        fn = shard_reconstruct_fn(mesh, 32, 32)
+
+        n = 8
+        per_stream = [_stream_frames(seed, n_p=2) for seed in range(n)]
+        batched = BatchedStreamDecoder(n, 32, 32, SORENSON, reconstruct_fn=fn)
+        singles = [H263Decoder(SORENSON, backend="numpy") for _ in range(n)]
+        for t in range(3):
+            y, cb, cr = batched.decode_step([per_stream[i][t] for i in range(n)])
+            assert len(y.sharding.device_set) == 8
+            y = np.asarray(y)
+            for i in range(n):
+                pic = singles[i].decode_next_picture(per_stream[i][t])
+                np.testing.assert_array_equal(y[i], pic.as_luma())
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import importlib
+
+        ge = importlib.import_module("__graft_entry__")
+        import jax
+
+        fn, args = ge.entry()
+        y, cb, cr = jax.jit(fn)(*args)
+        assert y.shape == (4, 288, 352)
+
+    def test_dryrun_multichip(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import importlib
+
+        ge = importlib.import_module("__graft_entry__")
+        ge.dryrun_multichip(8)
