@@ -24,7 +24,7 @@ from ..ops.deblock import QUANT_TO_STRENGTH, deblock_jnp, golden_deblock
 from ..ops.idct import golden_idct_channel
 from ..ops.mocomp import golden_gather_plane
 from ..ops.yuv import golden_yuv420_to_rgba, yuv420_to_rgba_jnp
-from ..parser.frame import FrameData, parse_frame
+from ..parser.frame import FrameData, parse_frame_auto
 from ..parser.picture import decode_picture
 from ..types import (
     DecoderOption,
@@ -139,7 +139,7 @@ class H263Decoder:
 
         reference = self.get_reference_picture()
 
-        frame = parse_frame(reader, next_picture, self.decoder_options,
+        frame = parse_frame_auto(reader, next_picture, self.decoder_options,
                             running, w, h)
 
         # INTER anywhere (incl. synthesized tail MBs) requires a reference

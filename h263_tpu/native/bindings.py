@@ -1,0 +1,215 @@
+"""ctypes bindings + lazy build for the C++ entropy front-end.
+
+The library is built on first use (g++ -O3) into native/build/; the VLC
+table header is generated from vlc_tables.py so both front-ends share one
+source of truth.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..types import (
+    BitstreamExhausted,
+    H263Error,
+    InternalDecoderError,
+    InvalidBitstream,
+    InvalidIntraDc,
+    InvalidLongCoefficient,
+    InvalidMacroblockCodedBits,
+    InvalidMacroblockHeader,
+    InvalidMvd,
+    InvalidShortCoefficient,
+    MotionVectorRange,
+    Picture,
+    PictureOption,
+    PictureTypeCode,
+    UncodedIFrameBlocks,
+    UnimplementedDecoding,
+)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_BUILD_DIR = os.path.join(_DIR, "build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libh263entropy.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+NATIVE_AVAILABLE: Optional[bool] = None  # resolved on first ensure_built()
+
+_ERROR_MAP = {
+    -100: BitstreamExhausted,
+    -1: InternalDecoderError,
+    -2: InvalidMacroblockHeader,
+    -3: InvalidMacroblockCodedBits,
+    -4: InvalidIntraDc,
+    -5: InvalidShortCoefficient,
+    -6: InvalidLongCoefficient,
+    -7: InvalidMvd,
+    -8: UncodedIFrameBlocks,
+    -9: UnimplementedDecoding,
+    -10: InvalidBitstream,
+}
+
+_PICTURE_TYPE_CODE = {
+    PictureTypeCode.I_FRAME: 0,
+    PictureTypeCode.P_FRAME: 1,
+    PictureTypeCode.DISPOSABLE_P_FRAME: 2,
+}
+
+F_SORENSON = 1
+F_HAS_PLUSPTYPE = 2
+F_UMV_OPTION = 4
+F_MV_RANGE_EXTENDED = 8
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    tables_h = os.path.join(_DIR, "tables.h")
+    src = os.path.join(_DIR, "entropy.cpp")
+    try:
+        if not os.path.exists(tables_h) or (
+            os.path.getmtime(tables_h) < os.path.getmtime(
+                os.path.join(os.path.dirname(_DIR), "vlc_tables.py"))):
+            from . import gen_tables
+
+            gen_tables.main(tables_h)
+        need = (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(tables_h))
+        if need:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 src, "-o", _LIB_PATH],
+                check=True, capture_output=True, cwd=_DIR)
+        return True
+    except Exception:
+        return False
+
+
+def ensure_built() -> bool:
+    """Build/load the native library; returns availability."""
+    global _lib, NATIVE_AVAILABLE
+    with _lock:
+        if NATIVE_AVAILABLE is not None:
+            return NATIVE_AVAILABLE
+        if not _build():
+            NATIVE_AVAILABLE = False
+            return False
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.h263_parse_frame.restype = ctypes.c_int
+            lib.h263_abi_version.restype = ctypes.c_int
+            assert lib.h263_abi_version() == 1
+            _lib = lib
+            NATIVE_AVAILABLE = True
+        except Exception:
+            NATIVE_AVAILABLE = False
+        return NATIVE_AVAILABLE
+
+
+def _mv_ranges(picture: Picture, width: int, height: int) -> tuple[int, int]:
+    """Extended-UMV half-pel ranges keyed to picture dims
+    (mvd_pred.rs:94-109, incl. the band-gap fallthrough)."""
+    def rx(dim):
+        if 0 <= dim <= 352:
+            return 64
+        if 356 <= dim <= 704:
+            return 128
+        if 708 <= dim <= 1408:
+            return 256
+        if dim >= 1412:
+            return 512
+        return 64
+
+    def ry(dim):
+        if 0 <= dim <= 288:
+            return 64
+        if 292 <= dim <= 576:
+            return 128
+        if dim >= 580:
+            return 256
+        return 64
+
+    return rx(width), ry(height)
+
+
+def parse_frame_native(data: bytes, start_bit: int, picture: Picture,
+                       decoder_options, running_options: PictureOption,
+                       width: int, height: int):
+    """Native equivalent of parser.frame.parse_frame.
+
+    Takes the raw buffer + the bit position where macroblock data begins.
+    Returns a FrameData (same layout/dtypes as the Python front-end) plus
+    the final bit position.
+    """
+    from ..parser.frame import FrameData
+    from ..types import DecoderOption
+
+    assert _lib is not None, "call ensure_built() first"
+
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    nmb = mb_w * mb_h
+
+    coeffs_y = np.zeros((2 * mb_h, 2 * mb_w, 8, 8), dtype=np.int16)
+    class_y = np.zeros((2 * mb_h, 2 * mb_w), dtype=np.int8)
+    coeffs_cb = np.zeros((mb_h, mb_w, 8, 8), dtype=np.int16)
+    class_cb = np.zeros((mb_h, mb_w), dtype=np.int8)
+    coeffs_cr = np.zeros((mb_h, mb_w, 8, 8), dtype=np.int16)
+    class_cr = np.zeros((mb_h, mb_w), dtype=np.int8)
+    mvs = np.zeros((mb_h, mb_w, 4, 2), dtype=np.int16)
+    inter = np.ones((mb_h, mb_w), dtype=np.uint8)
+    pred_scratch = np.zeros((nmb, 4, 2), dtype=np.int16)
+
+    flags = 0
+    if decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM:
+        flags |= F_SORENSON
+    if picture.has_plusptype:
+        flags |= F_HAS_PLUSPTYPE
+    if running_options & PictureOption.UNRESTRICTED_MOTION_VECTORS:
+        flags |= F_UMV_OPTION
+    if picture.motion_vector_range is MotionVectorRange.EXTENDED:
+        flags |= F_MV_RANGE_EXTENDED
+
+    ptype = _PICTURE_TYPE_CODE.get(picture.picture_type, 3)
+    rx, ry = _mv_ranges(picture, width, height)
+
+    end_bit = ctypes.c_uint64(0)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    rc = _lib.h263_parse_frame(
+        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint64(len(data)),
+        ctypes.c_uint64(start_bit),
+        ctypes.c_int32(width), ctypes.c_int32(height),
+        ctypes.c_int32(ptype), ctypes.c_int32(flags),
+        ctypes.c_int32(picture.version if picture.version is not None else -1),
+        ctypes.c_int32(picture.quantizer),
+        ctypes.c_int32(rx), ctypes.c_int32(ry),
+        coeffs_y.ctypes.data_as(ctypes.c_void_p),
+        class_y.ctypes.data_as(ctypes.c_void_p),
+        coeffs_cb.ctypes.data_as(ctypes.c_void_p),
+        class_cb.ctypes.data_as(ctypes.c_void_p),
+        coeffs_cr.ctypes.data_as(ctypes.c_void_p),
+        class_cr.ctypes.data_as(ctypes.c_void_p),
+        mvs.ctypes.data_as(ctypes.c_void_p),
+        inter.ctypes.data_as(ctypes.c_void_p),
+        pred_scratch.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(end_bit),
+    )
+    if rc != 0:
+        exc = _ERROR_MAP.get(rc, InternalDecoderError)
+        raise exc(f"native parse error {rc}")
+
+    frame = FrameData(
+        picture=picture, width=width, height=height, mb_w=mb_w, mb_h=mb_h,
+        coeffs_y=coeffs_y, class_y=class_y,
+        coeffs_cb=coeffs_cb, class_cb=class_cb,
+        coeffs_cr=coeffs_cr, class_cr=class_cr,
+        mvs=mvs, inter=inter.astype(np.bool_),
+    )
+    return frame, int(end_bit.value)

@@ -1,0 +1,592 @@
+// TPU-native H.263 host entropy front-end (C++).
+//
+// The serial stage of the decode pipeline: VLC entropy decode, MV
+// prediction, quantizer scan, inverse RLE / dezigzag / dequantization —
+// everything that cannot batch — emitting the dense per-frame tensors the
+// TPU reconstruction program consumes.  Symbol-for-symbol identical to the
+// Python front-end (h263_tpu/parser/frame.py), which is itself
+// behavior-parity with the reference decoder's macroblock loop
+// (h263-rs: decoder/state.rs:193-417, parser/macroblock.rs, parser/block.rs,
+// decoder/cpu/{rle,mvd_pred}.rs).
+//
+// The picture header is parsed in Python (cheap, once per frame); this
+// library takes over at the first macroblock.
+//
+// Build: g++ -O3 -shared -fPIC entropy.cpp -o libh263entropy.so
+
+#include <cstdint>
+#include <cstring>
+
+#include "tables.h"
+
+namespace {
+
+// ---- error codes (mirrored in native/bindings.py) ----
+enum {
+  OK = 0,
+  E_EOF = -100,  // bitstream exhausted inside block data
+  E_INTERNAL = -1,
+  E_MB_HEADER = -2,
+  E_MB_CODED_BITS = -3,
+  E_INTRADC = -4,
+  E_SHORT_COEF = -5,
+  E_LONG_COEF = -6,
+  E_MVD = -7,
+  E_UNCODED_IFRAME = -8,
+  E_UNIMPLEMENTED = -9,
+  E_INVALID_BITSTREAM = -10,
+};
+
+// ---- flags ----
+enum {
+  F_SORENSON = 1,
+  F_HAS_PLUSPTYPE = 2,
+  F_UMV_OPTION = 4,
+  F_MV_RANGE_EXTENDED = 8,
+};
+
+// ---- block classes (types.py BLOCK_CLASS_*) ----
+enum { CLS_ZERO = 0, CLS_DC = 1, CLS_VERT = 2, CLS_FULL = 3 };
+
+struct BitReader {
+  const uint8_t* data;
+  uint64_t nbits;
+  uint64_t nbytes;
+  uint64_t pos;
+
+  inline uint64_t window() const {
+    // 64-bit big-endian window starting at the byte containing `pos`.
+    uint64_t b0 = pos >> 3;
+    if (b0 + 8 <= nbytes) {
+      uint64_t w;
+      std::memcpy(&w, data + b0, 8);
+      return __builtin_bswap64(w);
+    }
+    uint64_t w = 0;
+    for (int i = 0; i < 8; i++) {
+      uint8_t b = (b0 + (uint64_t)i < nbytes) ? data[b0 + i] : 0;
+      w = (w << 8) | b;
+    }
+    return w;
+  }
+
+  // Peek up to 32 bits, zero-padded past EOF; *avail = bits actually present.
+  inline uint32_t peek_padded(int n, int* avail) const {
+    uint64_t w = window() << (pos & 7);
+    int64_t rem = (int64_t)(nbits - pos);
+    *avail = rem >= n ? n : (rem < 0 ? 0 : (int)rem);
+    uint32_t v = (uint32_t)(w >> (64 - n));
+    if (*avail < n) {
+      // zero out bits beyond EOF (window may contain trailing buffer bytes
+      // beyond nbits — nbits is always a multiple of 8 here, so none).
+      ;
+    }
+    return v;
+  }
+
+  inline bool can(int n) const { return pos + (uint64_t)n <= nbits; }
+
+  // Read n (<=32) bits; returns false on EOF (pos unchanged).
+  inline bool read(int n, uint32_t* out) {
+    if (!can(n)) return false;
+    uint64_t w = window() << (pos & 7);
+    *out = n ? (uint32_t)(w >> (64 - n)) : 0;
+    pos += n;
+    return true;
+  }
+
+  inline bool read_signed(int n, int32_t* out) {
+    uint32_t v;
+    if (!read(n, &v)) return false;
+    if (v & (1u << (n - 1))) {
+      *out = (int32_t)v - (1 << n);
+    } else {
+      *out = (int32_t)v;
+    }
+    return true;
+  }
+};
+
+// Decode one VLC; returns payload or -1 on EOF.
+static inline int32_t read_vlc(BitReader& r, const uint32_t* lut, int bits) {
+  int avail;
+  uint32_t w = r.peek_padded(bits, &avail);
+  uint32_t e = lut[w];
+  int len = (int)(e & 0xFF);
+  if (len > avail) return -1;
+  r.pos += len;
+  return (int32_t)(e >> 8);
+}
+
+// ---- half-pel MV math (types.rs:691-823 semantics) ----
+
+static inline int16_t median3(int16_t a, int16_t b, int16_t c) {
+  if (a > b) { int16_t t = a; a = b; b = t; }
+  if (b > c) { b = c; }
+  return a > b ? a : b;
+}
+
+static inline int16_t halfpel_invert(int16_t v) {
+  if (v > 0) return (int16_t)(v - 64);
+  if (v < 0) return (int16_t)(v + 64);
+  return 0;
+}
+
+static inline bool mv_within(int32_t v, int32_t range) {
+  return -range <= v && v < range;
+}
+
+struct MvContext {
+  bool umv_no_plusptype;   // UMV option set, picture lacks PLUSPTYPE
+  bool umv_extended;       // UMV option set + extended MV range signalled
+  int32_t range_x, range_y;
+};
+
+static inline int16_t halfpel_decode(const MvContext& ctx, int16_t pred,
+                                     int16_t mvd, bool is_x) {
+  int32_t range = 32;
+  int32_t out = (int32_t)mvd + pred;
+  if (ctx.umv_no_plusptype) {
+    if (mv_within(pred, 32)) return (int16_t)out;
+    range = 64;
+  } else if (ctx.umv_extended) {
+    range = is_x ? ctx.range_x : ctx.range_y;
+  }
+  if (!mv_within(out, range)) out = (int32_t)halfpel_invert(mvd) + pred;
+  return (int16_t)out;
+}
+
+// UMV fixed code, table D.3 (reader.rs:298-324).  Returns false on EOF;
+// *err set on invalid magnitude.
+static inline bool read_umv(BitReader& r, int16_t* out, int* err) {
+  uint32_t b;
+  if (!r.read(1, &b)) return false;
+  if (b == 1) { *out = 0; return true; }
+  int32_t mantissa = 0;
+  int32_t bulk = 1;
+  while (bulk < 4096) {
+    if (!r.read(2, &b)) return false;
+    switch (b) {
+      case 0: *out = (int16_t)(mantissa + bulk); return true;
+      case 2: *out = (int16_t)(-(mantissa + bulk)); return true;
+      case 1: mantissa <<= 1; break;
+      case 3: mantissa = (mantissa << 1) | 1; break;
+    }
+    bulk <<= 1;
+  }
+  *err = E_MVD;
+  return true;
+}
+
+// ---- block decode fused with inverse RLE (block.rs:670-755 + rle.rs) ----
+//
+// Returns OK / error.  `out` is a zeroed int16[64] destination; *cls gets
+// the sparsity class.  `write` disables stores for out-of-frame blocks
+// while still consuming the exact bit count.
+
+static int decode_block(BitReader& r, bool intra, bool present, int quant,
+                        bool sorenson_v1, int16_t* out, int8_t* cls,
+                        bool write) {
+  int32_t intradc = -1;
+  if (intra) {
+    uint32_t b;
+    if (!r.read(8, &b)) return E_EOF;
+    if (b == 0 || b == 128) return E_INTRADC;
+    intradc = (b == 0xFF) ? 1024 : (int32_t)(b << 3);
+  }
+
+  bool is_horiz = true, is_vert = true;
+  bool discard = false;
+  bool any_tcoef = present;
+  int zz = 0;
+  if (intra) {
+    if (write) out[0] = (int16_t)intradc;
+    zz = 1;
+  }
+  int parity = (quant % 2 == 1) ? 0 : -1;
+
+  while (present) {
+    int32_t sym = read_vlc(r, TCOEF_LUT, TCOEF_LUT_BITS);
+    if (sym < 0) return E_EOF;
+    int kind = sym >> 12;
+    if (kind == 2) return E_SHORT_COEF;
+    int last, run;
+    int32_t level;
+    if (kind == 1) {  // ESCAPE
+      int width = 8;
+      uint32_t b;
+      if (sorenson_v1) {
+        if (!r.read(1, &b)) return E_EOF;
+        width = b ? 11 : 7;
+      }
+      if (!r.read(1, &b)) return E_EOF;
+      last = (int)b;
+      if (!r.read(6, &b)) return E_EOF;
+      run = (int)b;
+      if (!r.read_signed(width, &level)) return E_EOF;
+      if (level == 0) return E_LONG_COEF;
+    } else {
+      last = (sym >> 11) & 1;
+      run = (sym >> 5) & 0x3F;
+      level = sym & 0x1F;
+      uint32_t sign;
+      if (!r.read(1, &sign)) return E_EOF;
+      if (sign) level = -level;
+    }
+
+    zz += run;
+    if (zz >= 64) {
+      // rle.rs:125-127: the whole block is discarded, but the remaining
+      // TCOEF events still occupy bits — keep consuming until LAST.
+      discard = true;
+    }
+    if (!discard) {
+      int mag = level >= 0 ? level : -level;
+      int32_t deq = quant * (2 * mag + 1);
+      int32_t value = (level > 0 ? 1 : -1) * (deq + parity);
+      if (value < -2048) value = -2048;
+      if (value > 2047) value = 2047;
+      int rm = ZIGZAG_RM[zz];
+      if (write) out[rm] = (int16_t)value;
+      if (value != 0) {
+        if (rm >= 8) is_horiz = false;   // y > 0
+        if (rm % 8 != 0) is_vert = false; // x > 0
+      }
+      zz += 1;
+    }
+    present = last == 0;
+  }
+
+  if (!write) { *cls = CLS_ZERO; return OK; }
+
+  if (discard) {
+    std::memset(out, 0, 64 * sizeof(int16_t));
+    *cls = CLS_ZERO;
+    return OK;
+  }
+  if (!any_tcoef) {
+    *cls = (intra && intradc != 0) ? CLS_DC : CLS_ZERO;
+    return OK;
+  }
+  if (is_horiz && is_vert) {
+    *cls = out[0] == 0 ? CLS_ZERO : CLS_DC;
+  } else if (is_vert) {
+    *cls = CLS_VERT;
+  } else {
+    *cls = CLS_FULL;
+  }
+  return OK;
+}
+
+// ---- MV spatial prediction (mvd_pred.rs:27-67) ----
+//
+// preds: int16[nmb][4][2], count = MBs pushed since picture start,
+// after_gob = index where the current GOB's prediction context begins.
+
+struct PredCtx {
+  int16_t (*preds)[4][2];
+  int count;       // total pushed
+  int after_gob;   // slice base
+  int mb_w;
+};
+
+static inline void predict(const PredCtx& p, const int16_t cur[4][2],
+                           int index, int16_t out[2]) {
+  int current_mb = p.count - p.after_gob;  // slice-relative
+  int col = current_mb % p.mb_w;
+  int line = current_mb / p.mb_w;
+  int last_line_mb = (line > 0 ? line - 1 : 0) * p.mb_w + col;
+  int slice_len = current_mb;
+
+  int16_t mv1[2], mv2[2], mv3[2];
+
+  if (index == 0 || index == 2) {
+    if (col == 0) { mv1[0] = 0; mv1[1] = 0; }
+    else {
+      const int16_t* s = p.preds[p.after_gob + current_mb - 1][index + 1];
+      mv1[0] = s[0]; mv1[1] = s[1];
+    }
+  } else {
+    mv1[0] = cur[index - 1][0]; mv1[1] = cur[index - 1][1];
+  }
+
+  if (index == 0 || index == 1) {
+    if (line == 0 || last_line_mb >= slice_len) { mv2[0] = mv1[0]; mv2[1] = mv1[1]; }
+    else {
+      const int16_t* s = p.preds[p.after_gob + last_line_mb][index + 2];
+      mv2[0] = s[0]; mv2[1] = s[1];
+    }
+  } else {
+    mv2[0] = cur[0][0]; mv2[1] = cur[0][1];
+  }
+
+  bool end_of_line = col == (p.mb_w > 0 ? p.mb_w - 1 : 0);
+  if (index == 0 || index == 1) {
+    if (end_of_line) { mv3[0] = 0; mv3[1] = 0; }
+    else if (line == 0 || last_line_mb + 1 >= slice_len) { mv3[0] = mv1[0]; mv3[1] = mv1[1]; }
+    else {
+      const int16_t* s = p.preds[p.after_gob + last_line_mb + 1][2];
+      mv3[0] = s[0]; mv3[1] = s[1];
+    }
+  } else {
+    mv3[0] = cur[1][0]; mv3[1] = cur[1][1];
+  }
+
+  out[0] = median3(mv1[0], mv2[0], mv3[0]);
+  out[1] = median3(mv1[1], mv2[1], mv3[1]);
+}
+
+// ---- GOB resync (gob.rs:21-42 + reader.rs:240-258) ----
+// Returns: 1 = resynced to end of picture (break), 0 = EOF/no-code (break),
+// E_UNIMPLEMENTED = real GOB header (fail picture).
+static int gob_resync(BitReader& r) {
+  // recognize_start_code(false): scan within realignment distance.
+  int max_skip = (int)((8 - (r.pos % 8)) % 8);
+  uint64_t base = r.pos;
+  int skip = 0;
+  for (;;) {
+    if (!r.can(17)) return 0;  // EOF => end of picture
+    uint64_t save = r.pos;
+    uint32_t code;
+    r.read(17, &code);
+    r.pos = save;
+    if (code == 1) break;
+    if (skip >= max_skip) return 0;  // InvalidGobHeader => gob error => break
+    r.pos += 1;
+    skip += 1;
+  }
+  r.pos = base + skip + 17;
+  uint32_t gn;
+  if (!r.read(5, &gn)) return 0;  // EOF => break
+  if (gn == 0 || gn == 15) return 1;
+  return E_UNIMPLEMENTED;  // real GOB headers unimplemented (parity)
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns OK or a negative error code.  On OK, *end_bit_out is the reader
+// position after the frame's macroblock data.
+int h263_parse_frame(
+    const uint8_t* data, uint64_t nbytes, uint64_t start_bit,
+    int32_t width, int32_t height, int32_t picture_type, int32_t flags,
+    int32_t sorenson_version, int32_t pquant,
+    int32_t range_x, int32_t range_y,
+    int16_t* coeffs_y, int8_t* class_y,
+    int16_t* coeffs_cb, int8_t* class_cb,
+    int16_t* coeffs_cr, int8_t* class_cr,
+    int16_t* mvs, uint8_t* inter,
+    int16_t* pred_scratch,  // int16[nmb][4][2] workspace (callee-owned ok)
+    uint64_t* end_bit_out) {
+  BitReader r{data, nbytes * 8, nbytes, start_bit};
+
+  const bool sorenson = flags & F_SORENSON;
+  const bool is_iframe = picture_type == 0;
+  const bool umv = flags & F_UMV_OPTION;
+  const bool has_plusptype = flags & F_HAS_PLUSPTYPE;
+  const bool sorenson_v1 = sorenson && sorenson_version == 1;
+
+  MvContext mvctx;
+  mvctx.umv_no_plusptype = umv && !has_plusptype;
+  mvctx.umv_extended = umv && (flags & F_MV_RANGE_EXTENDED);
+  mvctx.range_x = range_x;
+  mvctx.range_y = range_y;
+
+  const int mb_w = (width + 15) / 16;
+  const int mb_h = (height + 15) / 16;
+  const int nmb = mb_w * mb_h;
+
+  PredCtx pctx;
+  pctx.preds = reinterpret_cast<int16_t (*)[4][2]>(pred_scratch);
+  pctx.count = 0;
+  pctx.after_gob = 0;
+  pctx.mb_w = mb_w;
+
+  int quant = pquant;
+
+  const uint32_t* mcbpc_lut = is_iframe ? MCBPC_I_LUT : MCBPC_P_LUT;
+  const int mcbpc_bits = is_iframe ? MCBPC_I_LUT_BITS : MCBPC_P_LUT_BITS;
+
+  for (;;) {
+    // ---- decode_macroblock (transactional: roll back on error) ----
+    uint64_t mb_start = r.pos;
+    int mb_err = 0;        // error from macroblock header decode
+    bool got_mb = false;
+    bool is_stuffing = false, is_uncoded = false;
+    int mb_type = 0;       // MacroblockType enum value
+    bool cbp[6] = {false, false, false, false, false, false};
+    int dquant = 0;
+    int16_t mvds[4][2] = {{0, 0}, {0, 0}, {0, 0}, {0, 0}};
+    int n_mvs = 0;
+
+    do {
+      uint32_t cod = 0;
+      if (!is_iframe) {
+        if (!r.read(1, &cod)) { mb_err = E_EOF; break; }
+      }
+      if (cod) { is_uncoded = true; got_mb = true; break; }
+
+      if (picture_type != 0 && picture_type != 1) {
+        // Only IFrame/PFrame macroblocks decode (macroblock.rs:461-464).
+        mb_err = E_UNIMPLEMENTED;
+        break;
+      }
+      int32_t mc = read_vlc(r, mcbpc_lut, mcbpc_bits);
+      if (mc < 0) { mb_err = E_EOF; break; }
+      int kind = (mc >> 5) & 3;
+      if (kind == 1) { is_stuffing = true; got_mb = true; break; }
+      if (kind == 2) { mb_err = E_MB_HEADER; break; }
+      mb_type = (mc >> 2) & 7;
+      cbp[4] = (mc >> 1) & 1;
+      cbp[5] = mc & 1;
+
+      int32_t cy = read_vlc(r, CBPY_LUT, CBPY_LUT_BITS);
+      if (cy < 0) { mb_err = E_EOF; break; }
+      if (cy & 0x10) { mb_err = E_MB_CODED_BITS; break; }
+      bool intra = mb_type == 3 || mb_type == 4;  // INTRA, INTRA_Q
+      int pattern = intra ? cy : (~cy & 0xF);
+      cbp[0] = (pattern >> 3) & 1;
+      cbp[1] = (pattern >> 2) & 1;
+      cbp[2] = (pattern >> 1) & 1;
+      cbp[3] = pattern & 1;
+
+      bool has_q = mb_type == 1 || mb_type == 4 || mb_type == 5;
+      if (has_q) {
+        uint32_t dq;
+        if (!r.read(2, &dq)) { mb_err = E_EOF; break; }
+        static const int dq_map[4] = {-1, -2, 1, 2};
+        dquant = dq_map[dq];
+      }
+
+      bool is_inter = mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5;
+      bool fourv = mb_type == 2 || mb_type == 5;
+      if (is_inter) {
+        n_mvs = fourv ? 4 : 1;
+        for (int k = 0; k < n_mvs; k++) {
+          if (umv && has_plusptype) {
+            int err = 0;
+            if (!read_umv(r, &mvds[k][0], &err)) { mb_err = E_EOF; break; }
+            if (err) { mb_err = err; break; }
+            if (!read_umv(r, &mvds[k][1], &err)) { mb_err = E_EOF; break; }
+            if (err) { mb_err = err; break; }
+          } else {
+            int32_t x = read_vlc(r, MVD_LUT, MVD_LUT_BITS);
+            if (x < 0) { mb_err = E_EOF; break; }
+            if (x & 0x80) { mb_err = E_MVD; break; }
+            int32_t y = read_vlc(r, MVD_LUT, MVD_LUT_BITS);
+            if (y < 0) { mb_err = E_EOF; break; }
+            if (y & 0x80) { mb_err = E_MVD; break; }
+            mvds[k][0] = (int16_t)(x - 64);
+            mvds[k][1] = (int16_t)(y - 64);
+          }
+        }
+        if (mb_err) break;
+      }
+      got_mb = true;
+    } while (false);
+
+    if (!got_mb) {
+      r.pos = mb_start;  // transaction rollback
+      bool is_mb_error = mb_err == E_MB_HEADER || mb_err == E_MB_CODED_BITS;
+      if (is_mb_error && !sorenson) {
+        int res = gob_resync(r);
+        if (res == 1 || res == 0) break;  // end of picture
+        return res;                        // real GOB: unimplemented
+      }
+      if (mb_err == E_EOF) break;  // EOF ends the picture
+      return mb_err;
+    }
+
+    if (is_stuffing) continue;
+
+    const int index = pctx.count;
+    const int mby = index / mb_w;
+    const int mbx = index % mb_w;
+    const bool in_range = index < nmb;
+
+    int16_t cur_mvs[4][2] = {{0, 0}, {0, 0}, {0, 0}, {0, 0}};
+
+    if (is_uncoded) {
+      if (is_iframe) return E_UNCODED_IFRAME;
+      // INTER, zero MV, no blocks.
+      mb_type = 0;
+    } else {
+      int q2 = quant + dquant;
+      quant = q2 < 1 ? 1 : (q2 > 31 ? 31 : q2);
+
+      bool is_inter = mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5;
+      bool intra = !is_inter;
+      bool fourv = mb_type == 2 || mb_type == 5;
+
+      if (is_inter) {
+        int16_t pred[2];
+        predict(pctx, cur_mvs, 0, pred);
+        cur_mvs[0][0] = halfpel_decode(mvctx, pred[0], mvds[0][0], true);
+        cur_mvs[0][1] = halfpel_decode(mvctx, pred[1], mvds[0][1], false);
+        if (fourv) {
+          for (int k = 1; k < 4; k++) {
+            predict(pctx, cur_mvs, k, pred);
+            cur_mvs[k][0] = halfpel_decode(mvctx, pred[0], mvds[k][0], true);
+            cur_mvs[k][1] = halfpel_decode(mvctx, pred[1], mvds[k][1], false);
+          }
+        } else {
+          for (int k = 1; k < 4; k++) {
+            cur_mvs[k][0] = cur_mvs[0][0];
+            cur_mvs[k][1] = cur_mvs[0][1];
+          }
+        }
+      }
+
+      if (!in_range && (intra || cbp[0] || cbp[1] || cbp[2] || cbp[3] ||
+                        cbp[4] || cbp[5])) {
+        // The reference would index past its buffers here; reject instead.
+        return E_INVALID_BITSTREAM;
+      }
+
+      // 4 luma + Cb + Cr blocks.
+      for (int k = 0; k < 6; k++) {
+        int16_t* out;
+        int8_t* cls;
+        if (k < 4) {
+          int by = 2 * mby + (k >> 1);
+          int bx = 2 * mbx + (k & 1);
+          out = coeffs_y + ((size_t)(by * 2 * mb_w + bx) * 64);
+          cls = class_y + (by * 2 * mb_w + bx);
+        } else {
+          size_t ci = (size_t)(mby * mb_w + mbx);
+          out = (k == 4 ? coeffs_cb : coeffs_cr) + ci * 64;
+          cls = (k == 4 ? class_cb : class_cr) + ci;
+        }
+        int err = decode_block(r, intra, cbp[k], quant, sorenson_v1, out,
+                               cls, in_range);
+        if (err != OK) return err;
+      }
+    }
+
+    // push predictors (cap at nmb; excess MBs influence nothing in-range)
+    if (pctx.count < nmb) {
+      for (int k = 0; k < 4; k++) {
+        pctx.preds[pctx.count][k][0] = cur_mvs[k][0];
+        pctx.preds[pctx.count][k][1] = cur_mvs[k][1];
+      }
+    }
+    pctx.count += 1;
+
+    if (in_range) {
+      inter[mby * mb_w + mbx] =
+          (mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5) ? 1 : 0;
+      for (int k = 0; k < 4; k++) {
+        mvs[((size_t)(mby * mb_w + mbx) * 4 + k) * 2 + 0] = cur_mvs[k][0];
+        mvs[((size_t)(mby * mb_w + mbx) * 4 + k) * 2 + 1] = cur_mvs[k][1];
+      }
+    }
+  }
+
+  *end_bit_out = r.pos;
+  return OK;
+}
+
+int h263_abi_version() { return 1; }
+
+}  // extern "C"

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..bitio import BitReader
 from ..decoder.reconstruct import get_batched_reconstruct_fn
-from ..parser.frame import FrameData, parse_frame
+from ..parser.frame import FrameData, parse_frame_auto
 from ..parser.picture import decode_picture
 from ..types import (
     DecoderOption,
@@ -97,11 +97,19 @@ class BatchedStreamDecoder:
             raise PictureFormatInvalid(
                 f"stream {stream_idx}: expected {(self.w, self.h)}, got {wh}")
 
-        frame = parse_frame(r, pic, self.decoder_options, running, self.w, self.h)
+        frame = parse_frame_auto(r, pic, self.decoder_options, running, self.w, self.h)
         if frame.inter.any() and not st.has_reference:
             raise UncodedIFrameBlocks()
-        frame.picture = pic
-        frame._running = running  # stashed for commit
+
+        # Commit host-side header state now (state.rs:464-483 semantics);
+        # parse order defines stream order.  Reference planes are committed
+        # by step().
+        if pic.picture_type is PictureTypeCode.I_FRAME:
+            st.has_reference = False
+        st.last_header = pic
+        if not pic.picture_type.is_disposable():
+            st.has_reference = True
+        st.running_options = running
         return frame
 
     # -- device stage -----------------------------------------------------------
@@ -128,16 +136,6 @@ class BatchedStreamDecoder:
                              coeffs_cr, class_cr, mvs, inter,
                              self.ref_y, self.ref_cb, self.ref_cr)
 
-        # Commit per-stream state (state.rs:464-483 semantics).
-        for i, f in enumerate(frames):
-            st = self.states[i]
-            pic = f.picture
-            if pic.picture_type is PictureTypeCode.I_FRAME:
-                st.has_reference = False
-            st.last_header = pic
-            if not pic.picture_type.is_disposable():
-                st.has_reference = True
-            st.running_options = f._running
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         return y, cb, cr
 

@@ -127,6 +127,27 @@ def inverse_rle(block: Block, quant: int, coeffs_out: np.ndarray) -> int:
     return BLOCK_CLASS_FULL
 
 
+def parse_frame_auto(r: BitReader, picture: Picture, decoder_options: DecoderOption,
+                     running_options: PictureOption, width: int, height: int) -> FrameData:
+    """parse_frame, preferring the native C++ front-end when available.
+
+    Both front-ends are symbol-for-symbol identical (tested); set
+    H263_TPU_NO_NATIVE=1 to force the Python path.
+    """
+    import os
+
+    if not os.environ.get("H263_TPU_NO_NATIVE"):
+        from ..native import ensure_built, parse_frame_native
+
+        if ensure_built():
+            frame, end_bit = parse_frame_native(
+                r.data, r.pos, picture, decoder_options, running_options,
+                width, height)
+            r.pos = end_bit
+            return frame
+    return parse_frame(r, picture, decoder_options, running_options, width, height)
+
+
 def parse_frame(r: BitReader, picture: Picture, decoder_options: DecoderOption,
                 running_options: PictureOption, width: int, height: int) -> FrameData:
     """Drain one picture's macroblocks into dense tensors.

@@ -1,0 +1,151 @@
+"""Native C++ front-end parity: symbol-for-symbol identical tensors vs the
+Python parser across randomized streams (fuzz-style)."""
+
+import numpy as np
+import pytest
+
+from h263_tpu.bitio import BitReader
+from h263_tpu.native import ensure_built, parse_frame_native
+from h263_tpu.parser.frame import parse_frame
+from h263_tpu.parser.picture import decode_picture
+from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
+from h263_tpu.types import DecoderOption, PictureOption, PictureTypeCode
+
+SORENSON = DecoderOption.SORENSON_SPARK_BITSTREAM
+
+pytestmark = pytest.mark.skipif(not ensure_built(),
+                                reason="native toolchain unavailable")
+
+
+def _parse_both(buf: bytes, decoder_options=SORENSON, prev=None):
+    r1 = BitReader(buf)
+    pic1 = decode_picture(r1, decoder_options, prev)
+    w, h = pic1.format.width_and_height()
+    running = pic1.options
+    f_py = parse_frame(r1, pic1, decoder_options, running, w, h)
+
+    r2 = BitReader(buf)
+    pic2 = decode_picture(r2, decoder_options, prev)
+    f_c, end_bit = parse_frame_native(buf, r2.pos, pic2, decoder_options,
+                                      running, w, h)
+
+    for field in ("coeffs_y", "class_y", "coeffs_cb", "class_cb",
+                  "coeffs_cr", "class_cr", "mvs", "inter"):
+        np.testing.assert_array_equal(
+            getattr(f_c, field), getattr(f_py, field), err_msg=field)
+    assert end_bit == r1.pos, "bit positions diverge"
+    return f_py
+
+
+def _random_mb(rng, kind_probs=(0.5, 0.4, 0.1), iframe=False):
+    roll = rng.random()
+    if iframe or roll < kind_probs[0]:
+        blocks = []
+        for _ in range(6):
+            n = int(rng.integers(0, 6))
+            evs, total = [], 0
+            for _ in range(n):
+                run = int(rng.integers(0, 8))
+                if total + run + 1 > 64:
+                    break
+                lvl = int(rng.integers(1, 25)) * (1 if rng.random() < 0.5 else -1)
+                evs.append((run, lvl))
+                total += run + 1
+            blocks.append(evs)
+        return MBSpec(kind="intra",
+                      intradc=[int(rng.integers(1, 128)) * 8 for _ in range(6)],
+                      blocks=blocks,
+                      dquant=int(rng.choice([0, 0, 0, -1, -2, 1, 2])))
+    if roll < kind_probs[0] + kind_probs[1]:
+        fourv = rng.random() < 0.3
+        n_mv = 4 if fourv else 1
+        mvd = [(int(rng.integers(-16, 16)), int(rng.integers(-16, 16)))
+               for _ in range(n_mv)]
+        blocks = []
+        for _ in range(6):
+            n = int(rng.integers(0, 4))
+            evs, total = [], 0
+            for _ in range(n):
+                run = int(rng.integers(0, 12))
+                if total + run + 1 > 64:
+                    break
+                lvl = int(rng.integers(1, 120)) * (1 if rng.random() < 0.5 else -1)
+                evs.append((run, lvl))
+                total += run + 1
+            blocks.append(evs)
+        return MBSpec(kind="inter", mvd=mvd, blocks=blocks,
+                      dquant=int(rng.choice([0, 0, -1, 1])))
+    return MBSpec(kind="uncoded")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_iframe(seed):
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.choice([16, 32, 48, 100])), int(rng.choice([16, 32, 62]))
+    nmb = (-(-w // 16)) * (-(-h // 16))
+    mbs = [_random_mb(rng, iframe=True) for _ in range(nmb)]
+    buf = encode_sorenson_picture(w, h, PictureTypeCode.I_FRAME, mbs,
+                                  quantizer=int(rng.integers(1, 32)),
+                                  version=int(rng.choice([0, 1])))
+    _parse_both(buf)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_pframe(seed):
+    rng = np.random.default_rng(100 + seed)
+    w, h = int(rng.choice([32, 64, 176])), int(rng.choice([32, 48, 144]))
+    nmb = (-(-w // 16)) * (-(-h // 16))
+    mbs = [_random_mb(rng) for _ in range(nmb)]
+    buf = encode_sorenson_picture(w, h, PictureTypeCode.P_FRAME, mbs,
+                                  quantizer=int(rng.integers(1, 32)),
+                                  version=1)
+    _parse_both(buf)
+
+
+def test_truncated_frame_tail_fill():
+    """A frame cut short must tail-fill identically in both front-ends."""
+    mbs = [MBSpec(kind="intra", intradc=[800] * 6) for _ in range(4)]
+    buf = encode_sorenson_picture(64, 16, PictureTypeCode.I_FRAME, mbs)
+    # chop mid-macroblock
+    for cut in (len(buf) - 1, len(buf) - 2, len(buf) // 2 + 4):
+        truncated = buf[:cut]
+        try:
+            _parse_both(truncated)
+        except Exception as e1:
+            # both must fail the same way
+            r = BitReader(truncated)
+            pic = decode_picture(r, SORENSON, None)
+            with pytest.raises(type(e1)):
+                parse_frame_native(truncated, r.pos, pic, SORENSON,
+                                   pic.options, 64, 16)
+
+
+def test_stuffing_macroblocks():
+    mbs = [MBSpec(kind="stuffing"),
+           MBSpec(kind="intra", intradc=[512] * 6),
+           MBSpec(kind="stuffing")]
+    buf = encode_sorenson_picture(16, 16, PictureTypeCode.I_FRAME, mbs)
+    f = _parse_both(buf)
+    assert f.class_y[0, 0] == 1  # DC
+
+
+def test_escape_widths_both_versions():
+    for version in (0, 1):
+        lvl = 100 if version == 0 else 900
+        mbs = [MBSpec(kind="intra", intradc=[512] * 6,
+                      blocks=[[(0, lvl)], [], [], [], [], []])]
+        buf = encode_sorenson_picture(16, 16, PictureTypeCode.I_FRAME, mbs,
+                                      version=version)
+        _parse_both(buf)
+
+
+def test_umv_wraparound_mvs():
+    """MVs near the ±16px range boundary exercise halfpel_invert."""
+    rng = np.random.default_rng(42)
+    f0 = [MBSpec(kind="intra", intradc=[800] * 6) for _ in range(8)]
+    # large positive MVDs that push out of range and wrap
+    mbs = [MBSpec(kind="inter", mvd=[(int(rng.integers(20, 32)),
+                                      int(rng.integers(-32, -20)))])
+           for _ in range(8)]
+    buf = encode_sorenson_picture(64, 32, PictureTypeCode.P_FRAME, mbs)
+    _parse_both(buf)
