@@ -141,12 +141,17 @@ def _mv_ranges(picture: Picture, width: int, height: int) -> tuple[int, int]:
 
 def parse_frame_native(data: bytes, start_bit: int, picture: Picture,
                        decoder_options, running_options: PictureOption,
-                       width: int, height: int):
+                       width: int, height: int, out=None):
     """Native equivalent of parser.frame.parse_frame.
 
     Takes the raw buffer + the bit position where macroblock data begins.
     Returns a FrameData (same layout/dtypes as the Python front-end) plus
     the final bit position.
+
+    `out` may be a tuple of preallocated C-contiguous arrays
+    (coeffs_y, class_y, coeffs_cb, class_cb, coeffs_cr, class_cr, mvs,
+    inter-as-uint8) — e.g. one stream's slice of a batch buffer — which the
+    parser fills in place (they are reset here), avoiding a copy.
     """
     from ..parser.frame import FrameData
     from ..types import DecoderOption
@@ -157,14 +162,28 @@ def parse_frame_native(data: bytes, start_bit: int, picture: Picture,
     mb_h = -(-height // 16)
     nmb = mb_w * mb_h
 
-    coeffs_y = np.zeros((2 * mb_h, 2 * mb_w, 8, 8), dtype=np.int16)
-    class_y = np.zeros((2 * mb_h, 2 * mb_w), dtype=np.int8)
-    coeffs_cb = np.zeros((mb_h, mb_w, 8, 8), dtype=np.int16)
-    class_cb = np.zeros((mb_h, mb_w), dtype=np.int8)
-    coeffs_cr = np.zeros((mb_h, mb_w, 8, 8), dtype=np.int16)
-    class_cr = np.zeros((mb_h, mb_w), dtype=np.int8)
-    mvs = np.zeros((mb_h, mb_w, 4, 2), dtype=np.int16)
-    inter = np.ones((mb_h, mb_w), dtype=np.uint8)
+    if out is not None:
+        (coeffs_y, class_y, coeffs_cb, class_cb, coeffs_cr, class_cr,
+         mvs, inter) = out
+        for a in out:
+            assert a.flags["C_CONTIGUOUS"], "out buffers must be C-contiguous"
+        coeffs_y[:] = 0
+        class_y[:] = 0
+        coeffs_cb[:] = 0
+        class_cb[:] = 0
+        coeffs_cr[:] = 0
+        class_cr[:] = 0
+        mvs[:] = 0
+        inter[:] = 1
+    else:
+        coeffs_y = np.zeros((2 * mb_h, 2 * mb_w, 8, 8), dtype=np.int16)
+        class_y = np.zeros((2 * mb_h, 2 * mb_w), dtype=np.int8)
+        coeffs_cb = np.zeros((mb_h, mb_w, 8, 8), dtype=np.int16)
+        class_cb = np.zeros((mb_h, mb_w), dtype=np.int8)
+        coeffs_cr = np.zeros((mb_h, mb_w, 8, 8), dtype=np.int16)
+        class_cr = np.zeros((mb_h, mb_w), dtype=np.int8)
+        mvs = np.zeros((mb_h, mb_w, 4, 2), dtype=np.int16)
+        inter = np.ones((mb_h, mb_w), dtype=np.uint8)
     pred_scratch = np.zeros((nmb, 4, 2), dtype=np.int16)
 
     flags = 0
@@ -199,6 +218,7 @@ def parse_frame_native(data: bytes, start_bit: int, picture: Picture,
         mvs.ctypes.data_as(ctypes.c_void_p),
         inter.ctypes.data_as(ctypes.c_void_p),
         pred_scratch.ctypes.data_as(ctypes.c_void_p),
+        None, None, ctypes.c_int32(0), None,
         ctypes.byref(end_bit),
     )
     if rc != 0:
@@ -213,3 +233,83 @@ def parse_frame_native(data: bytes, start_bit: int, picture: Picture,
         mvs=mvs, inter=inter.astype(np.bool_),
     )
     return frame, int(end_bit.value)
+
+
+class PackOverflow(H263Error):
+    """Packed-coefficient capacity exceeded; caller should fall back to the
+    dense transport for this frame."""
+
+
+_ERROR_MAP[-11] = PackOverflow
+
+
+def parse_frame_packed_native(data: bytes, start_bit: int, picture: Picture,
+                              decoder_options, running_options: PictureOption,
+                              width: int, height: int,
+                              pack_pos: np.ndarray, pack_val: np.ndarray,
+                              mvs: np.ndarray, inter: np.ndarray):
+    """Packed-transport parse: coefficients as (position, value) pairs.
+
+    pack_pos int32[K] / pack_val int16[K] receive up to K pairs, where
+    position = global_block_index*64 + rowmajor index (luma blocks first,
+    then Cb, then Cr).  Unused tail entries of pack_pos are set to an
+    out-of-range sentinel so the device scatter drops them.  mvs int16
+    [mbh,mbw,4,2] and inter uint8 [mbh,mbw] are filled as in dense mode.
+    Returns (n_coeffs, end_bit).  Raises PackOverflow when K is too small.
+    """
+    from ..types import DecoderOption
+
+    assert _lib is not None, "call ensure_built() first"
+    assert pack_pos.dtype == np.int32 and pack_val.dtype == np.int16
+    assert pack_pos.flags["C_CONTIGUOUS"] and pack_val.flags["C_CONTIGUOUS"]
+    assert mvs.flags["C_CONTIGUOUS"] and inter.flags["C_CONTIGUOUS"]
+
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    nmb = mb_w * mb_h
+    mvs[:] = 0
+    inter[:] = 1
+    pred_scratch = np.zeros((nmb, 4, 2), dtype=np.int16)
+
+    flags = 0
+    if decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM:
+        flags |= F_SORENSON
+    if picture.has_plusptype:
+        flags |= F_HAS_PLUSPTYPE
+    if running_options & PictureOption.UNRESTRICTED_MOTION_VECTORS:
+        flags |= F_UMV_OPTION
+    if picture.motion_vector_range is MotionVectorRange.EXTENDED:
+        flags |= F_MV_RANGE_EXTENDED
+
+    ptype = _PICTURE_TYPE_CODE.get(picture.picture_type, 3)
+    rx, ry = _mv_ranges(picture, width, height)
+
+    end_bit = ctypes.c_uint64(0)
+    count = ctypes.c_int32(0)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    rc = _lib.h263_parse_frame(
+        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint64(len(data)),
+        ctypes.c_uint64(start_bit),
+        ctypes.c_int32(width), ctypes.c_int32(height),
+        ctypes.c_int32(ptype), ctypes.c_int32(flags),
+        ctypes.c_int32(picture.version if picture.version is not None else -1),
+        ctypes.c_int32(picture.quantizer),
+        ctypes.c_int32(rx), ctypes.c_int32(ry),
+        None, None, None, None, None, None,
+        mvs.ctypes.data_as(ctypes.c_void_p),
+        inter.ctypes.data_as(ctypes.c_void_p),
+        pred_scratch.ctypes.data_as(ctypes.c_void_p),
+        pack_pos.ctypes.data_as(ctypes.c_void_p),
+        pack_val.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(pack_pos.shape[0]),
+        ctypes.byref(count),
+        ctypes.byref(end_bit),
+    )
+    if rc != 0:
+        exc = _ERROR_MAP.get(rc, InternalDecoderError)
+        raise exc(f"native parse error {rc}")
+    n = int(count.value)
+    # Sentinel: one past the end of the coefficient space => dropped by the
+    # device scatter (mode='drop').
+    pack_pos[n:] = 6 * nmb * 64
+    return n, int(end_bit.value)

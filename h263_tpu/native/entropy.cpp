@@ -35,6 +35,7 @@ enum {
   E_UNCODED_IFRAME = -8,
   E_UNIMPLEMENTED = -9,
   E_INVALID_BITSTREAM = -10,
+  E_PACK_OVERFLOW = -11,  // packed-coefficient capacity exceeded
 };
 
 // ---- flags ----
@@ -178,15 +179,31 @@ static inline bool read_umv(BitReader& r, int16_t* out, int* err) {
   return true;
 }
 
+// Coefficient sink: either a dense int16[64] block, or a packed
+// (position, value) stream shared by the whole frame.  Packed mode is the
+// low-transfer-byte transport; the device scatters it back to dense and
+// derives sparsity classes itself (ops/idct.py::derive_classes_jnp).
+struct Sink {
+  int16_t* dense;      // dense mode destination (or nullptr)
+  int8_t* cls;         // dense mode class out (or nullptr)
+  int32_t* ppos;       // packed positions (block_base + rowmajor)
+  int16_t* pval;       // packed values
+  int32_t cap;
+  int32_t* count;
+  int32_t base;        // global_block_index * 64
+};
+
 // ---- block decode fused with inverse RLE (block.rs:670-755 + rle.rs) ----
 //
-// Returns OK / error.  `out` is a zeroed int16[64] destination; *cls gets
-// the sparsity class.  `write` disables stores for out-of-frame blocks
+// Returns OK / error.  `write` disables stores for out-of-frame blocks
 // while still consuming the exact bit count.
 
 static int decode_block(BitReader& r, bool intra, bool present, int quant,
-                        bool sorenson_v1, int16_t* out, int8_t* cls,
-                        bool write) {
+                        bool sorenson_v1, const Sink& sink, bool write) {
+  int16_t* out = sink.dense;
+  int8_t* cls = sink.cls;
+  const bool packed = sink.ppos != nullptr;
+  const int32_t pack_start = packed ? *sink.count : 0;
   int32_t intradc = -1;
   if (intra) {
     uint32_t b;
@@ -198,9 +215,22 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   bool is_horiz = true, is_vert = true;
   bool discard = false;
   bool any_tcoef = present;
+  bool overflow = false;
   int zz = 0;
+
+  auto emit = [&](int rm, int32_t value) {
+    if (packed) {
+      if (*sink.count >= sink.cap) { overflow = true; return; }
+      sink.ppos[*sink.count] = sink.base + rm;
+      sink.pval[*sink.count] = (int16_t)value;
+      (*sink.count)++;
+    } else {
+      out[rm] = (int16_t)value;
+    }
+  };
+
   if (intra) {
-    if (write) out[0] = (int16_t)intradc;
+    if (write) emit(0, intradc);
     zz = 1;
   }
   int parity = (quant % 2 == 1) ? 0 : -1;
@@ -247,7 +277,7 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
       if (value < -2048) value = -2048;
       if (value > 2047) value = 2047;
       int rm = ZIGZAG_RM[zz];
-      if (write) out[rm] = (int16_t)value;
+      if (write) emit(rm, value);
       if (value != 0) {
         if (rm >= 8) is_horiz = false;   // y > 0
         if (rm % 8 != 0) is_vert = false; // x > 0
@@ -257,13 +287,21 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
     present = last == 0;
   }
 
-  if (!write) { *cls = CLS_ZERO; return OK; }
+  if (overflow) return E_PACK_OVERFLOW;
 
   if (discard) {
-    std::memset(out, 0, 64 * sizeof(int16_t));
-    *cls = CLS_ZERO;
+    // Whole block discarded: rewind packed emission / clear dense.
+    if (packed) {
+      *sink.count = pack_start;
+    } else if (write) {
+      std::memset(out, 0, 64 * sizeof(int16_t));
+      *cls = CLS_ZERO;
+    }
     return OK;
   }
+
+  if (packed || !write) return OK;
+
   if (!any_tcoef) {
     *cls = (intra && intradc != 0) ? CLS_DC : CLS_ZERO;
     return OK;
@@ -368,6 +406,10 @@ extern "C" {
 
 // Returns OK or a negative error code.  On OK, *end_bit_out is the reader
 // position after the frame's macroblock data.
+// Dense mode: coeffs_*/class_* non-null, pack_* null.
+// Packed mode: coeffs_*/class_* may be null; pack_pos/pack_val receive
+// (global_block_index*64 + rowmajor_position, dequantized value) pairs and
+// *pack_count the total emitted; classes are derived on device.
 int h263_parse_frame(
     const uint8_t* data, uint64_t nbytes, uint64_t start_bit,
     int32_t width, int32_t height, int32_t picture_type, int32_t flags,
@@ -378,6 +420,8 @@ int h263_parse_frame(
     int16_t* coeffs_cr, int8_t* class_cr,
     int16_t* mvs, uint8_t* inter,
     int16_t* pred_scratch,  // int16[nmb][4][2] workspace (callee-owned ok)
+    int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
+    int32_t* pack_count,
     uint64_t* end_bit_out) {
   BitReader r{data, nbytes * 8, nbytes, start_bit};
 
@@ -544,22 +588,34 @@ int h263_parse_frame(
         return E_INVALID_BITSTREAM;
       }
 
-      // 4 luma + Cb + Cr blocks.
+      // 4 luma + Cb + Cr blocks.  Global packed block index space:
+      // [0, 4*nmb) luma, [4*nmb, 5*nmb) Cb, [5*nmb, 6*nmb) Cr.
       for (int k = 0; k < 6; k++) {
-        int16_t* out;
-        int8_t* cls;
-        if (k < 4) {
-          int by = 2 * mby + (k >> 1);
-          int bx = 2 * mbx + (k & 1);
-          out = coeffs_y + ((size_t)(by * 2 * mb_w + bx) * 64);
-          cls = class_y + (by * 2 * mb_w + bx);
-        } else {
-          size_t ci = (size_t)(mby * mb_w + mbx);
-          out = (k == 4 ? coeffs_cb : coeffs_cr) + ci * 64;
-          cls = (k == 4 ? class_cb : class_cr) + ci;
+        Sink sink{nullptr, nullptr, pack_pos, pack_val, pack_cap,
+                  pack_count, 0};
+        if (in_range) {
+          if (k < 4) {
+            int by = 2 * mby + (k >> 1);
+            int bx = 2 * mbx + (k & 1);
+            size_t bi = (size_t)(by * 2 * mb_w + bx);
+            sink.dense = coeffs_y ? coeffs_y + bi * 64 : nullptr;
+            sink.cls = class_y ? class_y + bi : nullptr;
+            sink.base = (int32_t)(bi * 64);
+          } else {
+            size_t ci = (size_t)(mby * mb_w + mbx);
+            sink.dense = (coeffs_y == nullptr) ? nullptr
+                : ((k == 4 ? coeffs_cb : coeffs_cr) + ci * 64);
+            sink.cls = (class_y == nullptr) ? nullptr
+                : ((k == 4 ? class_cb : class_cr) + ci);
+            sink.base = (int32_t)(((size_t)(4 + (k - 4)) * nmb + ci) * 64);
+          }
         }
-        int err = decode_block(r, intra, cbp[k], quant, sorenson_v1, out,
-                               cls, in_range);
+        if (pack_pos == nullptr) {
+          sink.ppos = nullptr;
+          sink.pval = nullptr;
+        }
+        int err = decode_block(r, intra, cbp[k], quant, sorenson_v1, sink,
+                               in_range);
         if (err != OK) return err;
       }
     }

@@ -193,3 +193,29 @@ def idct_residual_jnp(coeffs, classes):
           jnp.where(cls == BLOCK_CLASS_VERT, vert,
           jnp.where(cls == BLOCK_CLASS_DC, dcfull, 0)))
     return res
+
+
+def derive_classes_jnp(dense_blocks):
+    """Derive sparsity classes from dense coefficients: int8 [..., nb].
+
+    `dense_blocks` is int16 [..., nb, 64] (row-major within each block).
+    Equivalent to the host-side classification in inverse_rle (rle.rs
+    semantics): coefficients are never zero when coded, so the dense
+    nonzero pattern carries the same information as the per-event flags.
+    """
+    import jax.numpy as jnp
+
+    nz = dense_blocks != 0
+    any_nz = nz.any(axis=-1)
+    # y > 0: row-major positions 8..63
+    off_row0 = nz[..., 8:].any(axis=-1)
+    # x > 0: positions whose column is nonzero
+    col_mask = (jnp.arange(64) % 8) != 0
+    off_col0 = (nz & col_mask).any(axis=-1)
+    is_horiz = ~off_row0
+    is_vert = ~off_col0
+    cls = jnp.where(
+        ~any_nz, BLOCK_CLASS_ZERO,
+        jnp.where(is_horiz & is_vert, BLOCK_CLASS_DC,
+                  jnp.where(is_vert, BLOCK_CLASS_VERT, BLOCK_CLASS_FULL)))
+    return cls.astype(jnp.int8)

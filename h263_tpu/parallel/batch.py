@@ -17,7 +17,10 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..bitio import BitReader
-from ..decoder.reconstruct import get_batched_reconstruct_fn
+from ..decoder.reconstruct import (
+    get_batched_reconstruct_fn,
+    get_packed_reconstruct_fn,
+)
 from ..parser.frame import FrameData, parse_frame_auto
 from ..parser.picture import decode_picture
 from ..types import (
@@ -44,6 +47,48 @@ class _StreamState:
         self.has_reference = False
 
 
+class _HostBatch:
+    """Preallocated pinned host buffers for one batched frame step.
+
+    The native front-end writes each stream's tensors straight into its
+    slice (no per-stream allocation, no np.stack), and the whole set ships
+    to the device in one transfer.
+    """
+
+    def __init__(self, n, mb_w, mb_h):
+        self.coeffs_y = np.zeros((n, 2 * mb_h, 2 * mb_w, 8, 8), dtype=np.int16)
+        self.class_y = np.zeros((n, 2 * mb_h, 2 * mb_w), dtype=np.int8)
+        self.coeffs_cb = np.zeros((n, mb_h, mb_w, 8, 8), dtype=np.int16)
+        self.class_cb = np.zeros((n, mb_h, mb_w), dtype=np.int8)
+        self.coeffs_cr = np.zeros((n, mb_h, mb_w, 8, 8), dtype=np.int16)
+        self.class_cr = np.zeros((n, mb_h, mb_w), dtype=np.int8)
+        self.mvs = np.zeros((n, mb_h, mb_w, 4, 2), dtype=np.int16)
+        self.inter = np.ones((n, mb_h, mb_w), dtype=np.uint8)
+
+    def slice_of(self, i):
+        return (self.coeffs_y[i], self.class_y[i], self.coeffs_cb[i],
+                self.class_cb[i], self.coeffs_cr[i], self.class_cr[i],
+                self.mvs[i], self.inter[i])
+
+    def tensors(self):
+        return (self.coeffs_y, self.class_y, self.coeffs_cb, self.class_cb,
+                self.coeffs_cr, self.class_cr, self.mvs, self.inter)
+
+
+class _PackedBatch:
+    """Host buffers for the packed coefficient transport: ~100x fewer
+    host->device bytes than dense on typical streams."""
+
+    def __init__(self, n, mb_w, mb_h, cap):
+        self.pos = np.zeros((n, cap), dtype=np.int32)
+        self.val = np.zeros((n, cap), dtype=np.int16)
+        self.mvs = np.zeros((n, mb_h, mb_w, 4, 2), dtype=np.int16)
+        self.inter = np.ones((n, mb_h, mb_w), dtype=np.uint8)
+
+    def tensors(self):
+        return (self.pos, self.val, self.mvs, self.inter)
+
+
 class BatchedStreamDecoder:
     """Decode S same-resolution streams in lockstep, one frame per step.
 
@@ -53,7 +98,8 @@ class BatchedStreamDecoder:
 
     def __init__(self, n_streams: int, width: int, height: int,
                  decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
-                 reconstruct_fn=None):
+                 reconstruct_fn=None, packed_reconstruct_fn=None,
+                 pack_cap: Optional[int] = None):
         import jax.numpy as jnp
 
         self.n = n_streams
@@ -67,13 +113,35 @@ class BatchedStreamDecoder:
         self.ref_cb = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
         self.ref_cr = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
         self._fn = reconstruct_fn or get_batched_reconstruct_fn(self.h, self.w)
+        mb_w, mb_h = -(-width // 16), -(-height // 16)
+        self.mb_w, self.mb_h = mb_w, mb_h
+        # Ping-pong host batches so a transfer can be in flight while the
+        # next frame parses.
+        self._batches = [_HostBatch(n_streams, mb_w, mb_h) for _ in range(2)]
+        self._batch_idx = 0
+        # Packed transport: (position, value) coefficient pairs.  Capacity
+        # defaults to 16 coefficients per macroblock (typical streams use
+        # 2-8); PackOverflow falls back to the dense transport per step.
+        self.pack_cap = pack_cap or max(1024, 16 * mb_w * mb_h)
+        self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap)
+                        for _ in range(2)]
+        self._packed_idx = 0
+        self._packed_fn = packed_reconstruct_fn or get_packed_reconstruct_fn(
+            self.h, self.w)
+
+    def next_host_batch(self) -> _HostBatch:
+        self._batch_idx ^= 1
+        return self._batches[self._batch_idx]
+
+    def next_packed_batch(self) -> "_PackedBatch":
+        self._packed_idx ^= 1
+        return self._packed[self._packed_idx]
 
     # -- host stage -----------------------------------------------------------
 
-    def parse_one(self, stream_idx: int, buf: bytes) -> FrameData:
-        """Entropy-decode one stream's next frame to dense tensors."""
+    def _parse_header(self, stream_idx: int, r: BitReader):
+        """Shared picture-header handling; returns (picture, running_options)."""
         st = self.states[stream_idx]
-        r = BitReader(bytes(buf))
         pic = decode_picture(r, self.decoder_options, st.last_header)
         if pic is None:
             raise MiddleOfBitstream()
@@ -96,50 +164,161 @@ class BatchedStreamDecoder:
         if wh is None or wh != (self.w, self.h):
             raise PictureFormatInvalid(
                 f"stream {stream_idx}: expected {(self.w, self.h)}, got {wh}")
+        return pic, running
 
-        frame = parse_frame_auto(r, pic, self.decoder_options, running, self.w, self.h)
-        if frame.inter.any() and not st.has_reference:
-            raise UncodedIFrameBlocks()
-
-        # Commit host-side header state now (state.rs:464-483 semantics);
-        # parse order defines stream order.  Reference planes are committed
-        # by step().
+    def _commit_header(self, stream_idx: int, pic: Picture,
+                       running: PictureOption) -> None:
+        """state.rs:464-483 header-state semantics."""
+        st = self.states[stream_idx]
         if pic.picture_type is PictureTypeCode.I_FRAME:
             st.has_reference = False
         st.last_header = pic
         if not pic.picture_type.is_disposable():
             st.has_reference = True
         st.running_options = running
+
+    def parse_one(self, stream_idx: int, buf: bytes,
+                  batch: Optional[_HostBatch] = None) -> FrameData:
+        """Entropy-decode one stream's next frame to dense tensors.
+
+        With `batch` given (and the native front-end available), tensors are
+        written directly into the stream's slice of the batch buffers.
+        """
+        st = self.states[stream_idx]
+        r = BitReader(bytes(buf))
+        pic, running = self._parse_header(stream_idx, r)
+
+        frame = None
+        if batch is not None:
+            import os
+
+            if not os.environ.get("H263_TPU_NO_NATIVE"):
+                from ..native import ensure_built, parse_frame_native
+
+                if ensure_built():
+                    frame, end_bit = parse_frame_native(
+                        r.data, r.pos, pic, self.decoder_options, running,
+                        self.w, self.h, out=batch.slice_of(stream_idx))
+                    r.pos = end_bit
+        if frame is None:
+            frame = parse_frame_auto(r, pic, self.decoder_options, running,
+                                     self.w, self.h)
+            if batch is not None:
+                dst = batch.slice_of(stream_idx)
+                src = (frame.coeffs_y, frame.class_y, frame.coeffs_cb,
+                       frame.class_cb, frame.coeffs_cr, frame.class_cr,
+                       frame.mvs, frame.inter)
+                for d, s in zip(dst, src):
+                    d[:] = s
+        if frame.inter.any() and not st.has_reference:
+            raise UncodedIFrameBlocks()
+
+        self._commit_header(stream_idx, pic, running)
         return frame
 
+    def parse_one_packed(self, stream_idx: int, buf: bytes,
+                         packed: "_PackedBatch") -> int:
+        """Entropy-decode one stream's frame into the packed transport.
+
+        Requires the native front-end; raises PackOverflow when the frame
+        has more coefficients than the batch capacity (caller falls back to
+        the dense path).  Returns the coefficient count.
+        """
+        from ..native import ensure_built, parse_frame_native  # noqa: F401
+        from ..native.bindings import parse_frame_packed_native
+
+        st = self.states[stream_idx]
+        r = BitReader(bytes(buf))
+        pic, running = self._parse_header(stream_idx, r)
+
+        n, _end = parse_frame_packed_native(
+            r.data, r.pos, pic, self.decoder_options, running,
+            self.w, self.h,
+            packed.pos[stream_idx], packed.val[stream_idx],
+            packed.mvs[stream_idx], packed.inter[stream_idx])
+
+        if packed.inter[stream_idx].any() and not st.has_reference:
+            raise UncodedIFrameBlocks()
+
+        self._commit_header(stream_idx, pic, running)
+        return n
+
     # -- device stage -----------------------------------------------------------
+
+    def _run(self, tensors):
+        import jax
+
+        dev = jax.device_put(tensors)
+        y, cb, cr = self._fn(*dev, self.ref_y, self.ref_cb, self.ref_cr)
+        self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
+        return y, cb, cr
 
     def step(self, frames: Sequence[FrameData]):
         """Reconstruct one frame for every stream; updates reference planes.
 
         Returns (y, cb, cr) batched uint8 arrays [S, ...] (device-resident).
         """
-        import jax.numpy as jnp
-
         assert len(frames) == self.n
-        stack = lambda f: np.stack(f)
-        coeffs_y = stack([f.coeffs_y for f in frames])
-        class_y = stack([f.class_y for f in frames])
-        coeffs_cb = stack([f.coeffs_cb for f in frames])
-        class_cb = stack([f.class_cb for f in frames])
-        coeffs_cr = stack([f.coeffs_cr for f in frames])
-        class_cr = stack([f.class_cr for f in frames])
-        mvs = stack([f.mvs for f in frames])
-        inter = stack([f.inter for f in frames])
+        return self._run((
+            np.stack([f.coeffs_y for f in frames]),
+            np.stack([f.class_y for f in frames]),
+            np.stack([f.coeffs_cb for f in frames]),
+            np.stack([f.class_cb for f in frames]),
+            np.stack([f.coeffs_cr for f in frames]),
+            np.stack([f.class_cr for f in frames]),
+            np.stack([f.mvs for f in frames]),
+            np.stack([f.inter for f in frames]),
+        ))
 
-        y, cb, cr = self._fn(coeffs_y, class_y, coeffs_cb, class_cb,
-                             coeffs_cr, class_cr, mvs, inter,
-                             self.ref_y, self.ref_cb, self.ref_cr)
+    def step_batch(self, batch: _HostBatch):
+        """Reconstruct from a _HostBatch filled by parse_one(..., batch=...).
 
+        One device transfer for the whole batch; the zero-copy fast path.
+        """
+        return self._run(batch.tensors())
+
+    def step_packed(self, packed: "_PackedBatch"):
+        """Reconstruct from the packed transport (one small transfer)."""
+        import jax
+
+        dev = jax.device_put(packed.tensors())
+        y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb, self.ref_cr)
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         return y, cb, cr
 
-    def decode_step(self, buffers: Sequence[bytes]):
-        """Convenience: parse all streams then reconstruct the batch."""
-        frames = [self.parse_one(i, b) for i, b in enumerate(buffers)]
-        return self.step(frames)
+    def decode_step(self, buffers: Sequence[bytes], transport: str = "auto"):
+        """Parse all streams then reconstruct the batch.
+
+        transport: "auto" uses the packed path when the native front-end is
+        available, falling back to dense on PackOverflow; "dense"/"packed"
+        force a path.
+        """
+        import os
+
+        from ..native import ensure_built
+        from ..native.bindings import PackOverflow
+
+        use_packed = transport == "packed" or (
+            transport == "auto"
+            and not os.environ.get("H263_TPU_NO_NATIVE")
+            and ensure_built())
+        if use_packed:
+            packed = self.next_packed_batch()
+            try:
+                # Snapshot per-stream state so a mid-batch overflow can
+                # replay cleanly on the dense path.
+                saved = [(s.running_options, s.last_header, s.has_reference)
+                         for s in self.states]
+                for i, b in enumerate(buffers):
+                    self.parse_one_packed(i, b, packed)
+                return self.step_packed(packed)
+            except PackOverflow:
+                if transport == "packed":
+                    raise
+                for s, (ro, lh, hr) in zip(self.states, saved):
+                    s.running_options, s.last_header, s.has_reference = ro, lh, hr
+
+        batch = self.next_host_batch()
+        for i, b in enumerate(buffers):
+            self.parse_one(i, b, batch=batch)
+        return self.step_batch(batch)

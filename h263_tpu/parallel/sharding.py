@@ -23,21 +23,26 @@ def make_stream_mesh(devices=None):
     return Mesh(np.asarray(devices), ("stream",))
 
 
-def shard_reconstruct_fn(mesh, h: int, w: int):
+def shard_reconstruct_fn(mesh, h: int, w: int, packed: bool = False):
     """A jitted, stream-sharded batched reconstruction program.
 
     All inputs/outputs are sharded on their leading stream axis; the batch
-    size must be divisible by the mesh size.
+    size must be divisible by the mesh size.  With packed=True, shards the
+    packed-coefficient transport program instead.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..decoder.reconstruct import reconstruct_frame_batched
+    from ..decoder.reconstruct import (
+        reconstruct_frame_batched,
+        reconstruct_frame_packed,
+    )
 
     stream_sharding = NamedSharding(mesh, P("stream"))
-    n_in = 11
+    fn = reconstruct_frame_packed if packed else reconstruct_frame_batched
+    n_in = 7 if packed else 11
     return jax.jit(
-        reconstruct_frame_batched,
+        fn,
         in_shardings=(stream_sharding,) * n_in,
         out_shardings=(stream_sharding,) * 3,
     )

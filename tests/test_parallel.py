@@ -58,10 +58,12 @@ class TestSharding:
         assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
         mesh = make_stream_mesh()
         fn = shard_reconstruct_fn(mesh, 32, 32)
+        pfn = shard_reconstruct_fn(mesh, 32, 32, packed=True)
 
         n = 8
         per_stream = [_stream_frames(seed, n_p=2) for seed in range(n)]
-        batched = BatchedStreamDecoder(n, 32, 32, SORENSON, reconstruct_fn=fn)
+        batched = BatchedStreamDecoder(n, 32, 32, SORENSON, reconstruct_fn=fn,
+                                       packed_reconstruct_fn=pfn)
         singles = [H263Decoder(SORENSON, backend="numpy") for _ in range(n)]
         for t in range(3):
             y, cb, cr = batched.decode_step([per_stream[i][t] for i in range(n)])
@@ -92,3 +94,44 @@ class TestGraftEntry:
 
         ge = importlib.import_module("__graft_entry__")
         ge.dryrun_multichip(8)
+
+
+class TestPackedTransport:
+    def test_packed_matches_dense(self):
+        n = 4
+        per_stream = [_stream_frames(seed, n_p=3) for seed in range(n)]
+        dec_p = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        dec_d = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        for t in range(len(per_stream[0])):
+            bufs = [per_stream[i][t] for i in range(n)]
+            yp, cbp, crp = dec_p.decode_step(bufs, transport="packed")
+            yd, cbd, crd = dec_d.decode_step(bufs, transport="dense")
+            np.testing.assert_array_equal(np.asarray(yp), np.asarray(yd))
+            np.testing.assert_array_equal(np.asarray(cbp), np.asarray(cbd))
+            np.testing.assert_array_equal(np.asarray(crp), np.asarray(crd))
+
+    def test_overflow_falls_back_to_dense(self):
+        n = 2
+        per_stream = [_stream_frames(seed, n_p=1) for seed in range(n)]
+        dec = BatchedStreamDecoder(n, 32, 32, SORENSON, pack_cap=4)
+        dec_ref = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        for t in range(2):
+            bufs = [per_stream[i][t] for i in range(n)]
+            y1, _, _ = dec.decode_step(bufs, transport="auto")
+            y2, _, _ = dec_ref.decode_step(bufs, transport="dense")
+            np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_derive_classes_matches_host(self):
+        import jax.numpy as jnp
+        from h263_tpu.ops.idct import derive_classes_jnp
+        from h263_tpu.bitio import BitReader
+        from h263_tpu.parser import decode_picture
+        from h263_tpu.parser.frame import parse_frame
+
+        buf = _stream_frames(3, n_p=0)[0]
+        r = BitReader(buf)
+        pic = decode_picture(r, SORENSON, None)
+        f = parse_frame(r, pic, SORENSON, pic.options, 32, 32)
+        dense = f.coeffs_y.reshape(-1, 64)
+        got = np.asarray(derive_classes_jnp(jnp.asarray(dense)))
+        np.testing.assert_array_equal(got, f.class_y.reshape(-1))
