@@ -120,19 +120,19 @@ def main():
     log(f"end-to-end: {e2e_fps:.1f} frames/s/chip "
         f"(batch={S}, {1e3 * e2e_dt / (F - 1):.2f} ms/step)")
 
-    # --- device stage in isolation (transfer + reconstruct, reusing the last
-    # host batch) --------------------------------------------------------------
-    batch = dec._batches[dec._batch_idx]
-    y, cb, cr = dec.step_batch(batch)
+    # --- device stage in isolation (packed transfer + reconstruct, reusing
+    # the last packed host batch) ----------------------------------------------
+    packed = dec._packed[dec._packed_idx]
+    y, cb, cr = dec.step_packed(packed)
     y.block_until_ready()
     t0 = time.perf_counter()
     reps = max(F - 1, 4)
     for _ in range(reps):
-        y, cb, cr = dec.step_batch(batch)
+        y, cb, cr = dec.step_packed(packed)
     y.block_until_ready()
     device_dt = time.perf_counter() - t0
     device_fps = S * reps / device_dt
-    log(f"device stage (transfer+compute): {device_fps:.1f} frames/s/chip "
+    log(f"device stage (packed transfer+compute): {device_fps:.1f} frames/s/chip "
         f"({1e3 * device_dt / reps:.2f} ms/step)")
 
     print(json.dumps({

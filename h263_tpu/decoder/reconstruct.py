@@ -60,26 +60,28 @@ def _expand_luma_mask(inter):
 
 def reconstruct_frame_single(coeffs_y, class_y, coeffs_cb, class_cb,
                              coeffs_cr, class_cr, mvs, inter,
-                             ref_y, ref_cb, ref_cr):
+                             ref_y, ref_cb, ref_cr, out_hw=None):
     """Reconstruct one frame's Y/Cb/Cr planes (uint8).
 
     Shapes: coeffs_y [2mbh, 2mbw, 8, 8]; coeffs_cb/cr [mbh, mbw, 8, 8];
     mvs int16 [mbh, mbw, 4, 2]; inter bool [mbh, mbw];
     ref_y uint8 [h, w]; ref_cb/cr uint8 [ch, cw].  Plane sizes are static.
+    `out_hw` (static) gives the output luma dims when they differ from the
+    reference's (mid-stream resolution change).
     """
     import jax.numpy as jnp
 
-    h, w = ref_y.shape
-    ch, cw = ref_cb.shape
+    h, w = out_hw or ref_y.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
     inter = jnp.asarray(inter).astype(jnp.bool_)
 
     luma_mvs = _expand_luma_mvs(mvs)
     luma_mask = _expand_luma_mask(inter)
-    pred_y = gather_plane_jnp(ref_y, luma_mvs, luma_mask)
+    pred_y = gather_plane_jnp(ref_y, luma_mvs, luma_mask, out_shape=(h, w))
 
     cmv = chroma_mv_jnp(mvs)
-    pred_cb = gather_plane_jnp(ref_cb, cmv, inter)
-    pred_cr = gather_plane_jnp(ref_cr, cmv, inter)
+    pred_cb = gather_plane_jnp(ref_cb, cmv, inter, out_shape=(ch, cw))
+    pred_cr = gather_plane_jnp(ref_cr, cmv, inter, out_shape=(ch, cw))
 
     res_y = _blocks_to_plane(idct_residual_jnp(coeffs_y, class_y), h, w)
     res_cb = _blocks_to_plane(idct_residual_jnp(coeffs_cb, class_cb), ch, cw)
@@ -91,10 +93,14 @@ def reconstruct_frame_single(coeffs_y, class_y, coeffs_cb, class_cb,
 
 @functools.lru_cache(maxsize=64)
 def get_reconstruct_fn(h: int, w: int):
-    """A jitted single-stream reconstruction program for an h x w picture."""
+    """A jitted single-stream reconstruction program for an h x w picture.
+
+    The output dims are bound statically so the reference planes may carry
+    different (previous-resolution) dims.
+    """
     import jax
 
-    return jax.jit(reconstruct_frame_single)
+    return jax.jit(functools.partial(reconstruct_frame_single, out_hw=(h, w)))
 
 
 def reconstruct_frame_batched(coeffs_y, class_y, coeffs_cb, class_cb,
@@ -162,3 +168,35 @@ def get_packed_reconstruct_fn(h: int, w: int):
     import jax
 
     return jax.jit(reconstruct_frame_packed)
+
+
+def present_rgba_batched(y, cb, cr, strength, apply_deblock):
+    """Device-side presentation: optional deblock + BT.601 YUV->RGBA.
+
+    y uint8 [S, H, W]; cb/cr uint8 [S, ch, cw]; strength int32 [S] (from
+    Table J.2 via the picture quantizer); apply_deblock bool [S] (the
+    stream's advisory USE_DEBLOCKER flag, or a caller override).
+    Returns RGBA uint8 [S, H, W, 4].  Mirrors the host composition path
+    (SURVEY.md §3.4): deblock each plane, then convert.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.deblock import deblock_jnp
+    from ..ops.yuv import yuv420_to_rgba_jnp
+
+    s3 = strength.astype(jnp.int32)[:, None, None]
+    use = apply_deblock[:, None, None] & (s3 > 0)
+
+    def maybe_deblock(plane):
+        filtered = deblock_jnp(plane, s3)
+        return jnp.where(use, filtered, plane)
+
+    return yuv420_to_rgba_jnp(maybe_deblock(y), maybe_deblock(cb),
+                              maybe_deblock(cr))
+
+
+@functools.lru_cache(maxsize=16)
+def get_present_fn(h: int, w: int):
+    import jax
+
+    return jax.jit(present_rgba_batched)

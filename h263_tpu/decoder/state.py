@@ -211,9 +211,9 @@ class H263Decoder:
             rcb = np.zeros((ch, cw), dtype=np.uint8)
             rcr = np.zeros((ch, cw), dtype=np.uint8)
 
-        pred_y = golden_gather_plane(ry, luma_mvs, luma_mask)
-        pred_cb = golden_gather_plane(rcb, cmv, frame.inter)
-        pred_cr = golden_gather_plane(rcr, cmv, frame.inter)
+        pred_y = golden_gather_plane(ry, luma_mvs, luma_mask, out_shape=(h, w))
+        pred_cb = golden_gather_plane(rcb, cmv, frame.inter, out_shape=(ch, cw))
+        pred_cr = golden_gather_plane(rcr, cmv, frame.inter, out_shape=(ch, cw))
 
         y = golden_idct_channel(frame.coeffs_y, frame.class_y, pred_y)
         cb = golden_idct_channel(frame.coeffs_cb, frame.class_cb, pred_cb)

@@ -28,14 +28,23 @@ from ..types import MotionVector, halfpel_lerp_parameters
 def golden_gather_block(ref: np.ndarray, pos: tuple[int, int],
                         mv: MotionVector, out: np.ndarray) -> None:
     """Motion-compensate one 8x8 block from `ref` into `out` at `pos`
-    (gather.rs:47-126)."""
+    (gather.rs:47-126).
+
+    Deviation from the reference: destination clamping and stride use the
+    *output* plane's dims.  The reference uses the reference picture's for
+    both (gather.rs:58-76), which can only differ on a mid-stream
+    resolution change with INTER macroblocks — where the reference would
+    panic on an out-of-bounds write.  Real Sorenson streams change
+    resolution only at I-frames, so corpus parity is unaffected.
+    """
     h, w = ref.shape
+    oh, ow = out.shape
     (dx, xi), (dy, yi) = mv.lerp_parameters()
     x0, y0 = pos
     src_x = x0 + dx
     src_y = y0 + dy
-    cols = min(max(w - x0, 0), 8)
-    rows = min(max(h - y0, 0), 8)
+    cols = min(max(ow - x0, 0), 8)
+    rows = min(max(oh - y0, 0), 8)
 
     def sample(x, y):
         return int(ref[min(max(y, 0), h - 1), min(max(x, 0), w - 1)])
@@ -60,13 +69,17 @@ def golden_gather_block(ref: np.ndarray, pos: tuple[int, int],
 
 
 def golden_gather_plane(ref: np.ndarray, mvs_per_block: np.ndarray,
-                        inter_per_block: np.ndarray, block_size: int = 8) -> np.ndarray:
+                        inter_per_block: np.ndarray, block_size: int = 8,
+                        out_shape=None) -> np.ndarray:
     """Whole-plane motion compensation.
 
     mvs_per_block: int [nby, nbx, 2] half-pel (x, y) for each 8x8 block of
     this plane.  inter_per_block: bool [nby, nbx].  Non-inter blocks stay 0.
+    `out_shape` may differ from ref.shape (mid-stream resolution change):
+    destination positions use the new picture's dims while source sampling
+    clamps to the reference's (gather.rs:58-61 semantics).
     """
-    out = np.zeros_like(ref)
+    out = np.zeros(out_shape or ref.shape, dtype=ref.dtype)
     nby, nbx = inter_per_block.shape
     for by in range(nby):
         for bx in range(nbx):
@@ -83,23 +96,26 @@ def golden_gather_plane(ref: np.ndarray, mvs_per_block: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def gather_plane_jnp(ref, mvs_per_block, inter_per_block):
+def gather_plane_jnp(ref, mvs_per_block, inter_per_block, out_shape=None):
     """Bit-exact jnp version of golden_gather_plane for an [H, W] u8 plane.
 
     ref: uint8 [H, W]; mvs_per_block: int [nby, nbx, 2]; inter: bool [nby, nbx].
-    Returns int32 [H, W] predictions (0 where not inter).
+    Returns int32 [out_H, out_W] predictions (0 where not inter).
+    `out_shape` defaults to ref.shape; pass the new picture's dims on a
+    mid-stream resolution change (source clamping always uses ref's dims).
     """
     import jax.numpy as jnp
 
     h, w = ref.shape
+    oh, ow = out_shape or (h, w)
     mv = mvs_per_block.astype(jnp.int32)
     # floor(mv/2) and oddness (types.rs:721-729).
     delta = mv >> 1
     interp = (mv & 1) != 0
 
     # Per-pixel block coordinates.
-    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
-    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+    yy = jnp.arange(oh, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(ow, dtype=jnp.int32)[None, :]
     by = yy >> 3
     bx = xx >> 3
 

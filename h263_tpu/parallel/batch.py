@@ -286,6 +286,29 @@ class BatchedStreamDecoder:
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         return y, cb, cr
 
+    def present_rgba(self, deblock: Optional[bool] = None):
+        """RGBA [S, H, W, 4] of the last decoded frames, computed on device.
+
+        deblock=None honours each stream's advisory USE_DEBLOCKER flag;
+        True/False force it.  Strength = Table J.2 of the picture quantizer.
+        """
+        from ..decoder.reconstruct import get_present_fn
+        from ..ops.deblock import QUANT_TO_STRENGTH
+
+        strength = np.zeros(self.n, dtype=np.int32)
+        flags = np.zeros(self.n, dtype=np.bool_)
+        for i, st in enumerate(self.states):
+            hdr = st.last_header
+            if hdr is None:
+                continue
+            strength[i] = int(QUANT_TO_STRENGTH[hdr.quantizer & 31])
+            if deblock is None:
+                flags[i] = bool(hdr.options & PictureOption.USE_DEBLOCKER)
+            else:
+                flags[i] = deblock
+        fn = get_present_fn(self.h, self.w)
+        return fn(self.ref_y, self.ref_cb, self.ref_cr, strength, flags)
+
     def decode_step(self, buffers: Sequence[bytes], transport: str = "auto"):
         """Parse all streams then reconstruct the batch.
 

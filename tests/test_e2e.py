@@ -218,3 +218,38 @@ class TestPresentation:
         d.decode_next_picture(_gray_iframe(32, 32, dc=1024, deblocker=True))
         rgba = d.last_picture_rgba()  # advisory deblock on a flat image: no-op
         np.testing.assert_array_equal(rgba[..., 0], 130)
+
+
+class TestResolutionChange:
+    def test_iframe_resolution_change(self):
+        """A new I-frame with different dims mid-stream (config 5)."""
+        frames = [
+            _gray_iframe(32, 32, dc=800, tr=0),
+            _gray_iframe(64, 48, dc=512, tr=1),
+            encode_sorenson_picture(
+                64, 48, PictureTypeCode.P_FRAME,
+                [MBSpec(kind="uncoded")] * 12, temporal_reference=2),
+        ]
+        pics = _decode_both(frames)
+        assert pics[0].as_luma().shape == (32, 32)
+        assert pics[1].as_luma().shape == (48, 64)
+        assert (pics[1].as_luma() == 64).all()
+        np.testing.assert_array_equal(pics[2].as_luma(), pics[1].as_luma())
+
+    def test_pframe_resolution_change_with_motion(self):
+        """P-frame at a new resolution sampling the old-dims reference.
+
+        (Sane-semantics extension: the reference implementation would panic
+        here; see ops/mocomp.py.)
+        """
+        frames = [
+            _gray_iframe(32, 32, dc=800, tr=0),
+            encode_sorenson_picture(
+                48, 48, PictureTypeCode.P_FRAME,
+                [MBSpec(kind="inter", mvd=[(0, 0)])] * 9,
+                temporal_reference=1),
+        ]
+        pics = _decode_both(frames)
+        assert pics[1].as_luma().shape == (48, 48)
+        # everything gathers from the clamped 32x32 gray reference
+        assert (pics[1].as_luma() == pics[0].as_luma()[0, 0]).all()

@@ -135,3 +135,30 @@ class TestPackedTransport:
         dense = f.coeffs_y.reshape(-1, 64)
         got = np.asarray(derive_classes_jnp(jnp.asarray(dense)))
         np.testing.assert_array_equal(got, f.class_y.reshape(-1))
+
+
+class TestPresentation:
+    def test_device_rgba_matches_golden(self):
+        from h263_tpu.ops.deblock import QUANT_TO_STRENGTH, golden_deblock
+        from h263_tpu.ops.yuv import golden_yuv420_to_rgba
+
+        n = 4
+        per_stream = [_stream_frames(seed, n_p=2) for seed in range(n)]
+        dec = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        for t in range(3):
+            dec.decode_step([per_stream[i][t] for i in range(n)])
+        for force in (False, True):
+            rgba = np.asarray(dec.present_rgba(deblock=force))
+            y = np.asarray(dec.ref_y)
+            cb = np.asarray(dec.ref_cb)
+            cr = np.asarray(dec.ref_cr)
+            for i in range(n):
+                yi, cbi, cri = y[i], cb[i], cr[i]
+                if force:
+                    s = int(QUANT_TO_STRENGTH[dec.states[i].last_header.quantizer & 31])
+                    if s > 0:
+                        yi = golden_deblock(yi, s)
+                        cbi = golden_deblock(cbi, s)
+                        cri = golden_deblock(cri, s)
+                want = golden_yuv420_to_rgba(yi, cbi, cri)
+                np.testing.assert_array_equal(rgba[i], want, err_msg=f"s{i}")
