@@ -313,3 +313,130 @@ def parse_frame_packed_native(data: bytes, start_bit: int, picture: Picture,
     # device scatter (mode='drop').
     pack_pos[n:] = 6 * nmb * 64
     return n, int(end_bit.value)
+
+
+_SORENSON_PTYPES = {
+    0: PictureTypeCode.I_FRAME,
+    1: PictureTypeCode.P_FRAME,
+    2: PictureTypeCode.DISPOSABLE_P_FRAME,
+    3: PictureTypeCode.RESERVED,
+}
+
+
+def sorenson_header_native(data: bytes, start_bit: int = 0):
+    """Fast-path Sorenson picture-header parse.
+
+    Returns (Picture, end_bit).  PEI extra bytes are skipped, not captured
+    (they are advisory).  Raises on malformed/truncated headers.
+    """
+    from ..types import (
+        MotionVectorRange as MVR,
+        SourceFormat,
+        SourceFormatKind,
+    )
+
+    assert _lib is not None, "call ensure_built() first"
+    buf = np.frombuffer(data, dtype=np.uint8)
+    fields = np.zeros(8, dtype=np.int32)
+    end_bit = ctypes.c_uint64(0)
+    rc = _lib.h263_sorenson_header(
+        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint64(len(data)),
+        ctypes.c_uint64(start_bit),
+        fields.ctypes.data_as(ctypes.c_void_p), ctypes.byref(end_bit))
+    if rc == -10:
+        from ..types import MiddleOfBitstream
+
+        raise MiddleOfBitstream()
+    if rc != 0:
+        exc = _ERROR_MAP.get(rc, InternalDecoderError)
+        raise exc(f"native header parse error {rc}")
+
+    version, tr, w, h, ptype, deblock, quant, fmt_code = (int(x) for x in fields)
+    if fmt_code == 7:
+        fmt = SourceFormat(SourceFormatKind.RESERVED)
+    elif fmt_code == 2:
+        fmt = SourceFormat(SourceFormatKind.FULL_CIF)
+    elif fmt_code == 3:
+        fmt = SourceFormat(SourceFormatKind.QUARTER_CIF)
+    elif fmt_code == 4:
+        fmt = SourceFormat(SourceFormatKind.SUB_QCIF)
+    else:
+        # custom 8/16-bit dims and the fixed 320x240/160x120 shorthands are
+        # Extended formats in the reference's model (picture.rs:283-310)
+        fmt = SourceFormat.extended(w, h)
+
+    pic = Picture(
+        version=version,
+        temporal_reference=tr,
+        format=fmt,
+        options=(PictureOption.USE_DEBLOCKER if deblock else PictureOption.NONE),
+        picture_type=_SORENSON_PTYPES[ptype],
+        quantizer=quant,
+        motion_vector_range=MotionVectorRange.UNLIMITED,
+    )
+    return pic, int(end_bit.value)
+
+
+def _setup_fast_sig(lib):
+    import ctypes as C
+
+    lib.h263_sorenson_decode_frame.restype = C.c_int
+    lib.h263_sorenson_decode_frame.argtypes = [
+        C.c_char_p, C.c_uint64,            # data, nbytes
+        C.c_int32, C.c_int32,              # expected w, h
+        C.c_void_p,                        # hdr_fields
+        C.c_void_p, C.c_void_p, C.c_void_p,  # mvs, inter, pred_scratch
+        C.c_void_p, C.c_void_p, C.c_int32,   # pack_pos, pack_val, cap
+        C.c_void_p, C.c_void_p,              # pack_count, any_inter
+        C.c_void_p,                          # end_bit
+    ]
+
+
+class SorensonFastParser:
+    """Minimal-overhead per-stream-slot parser handle.
+
+    Binds fixed output buffers (one stream's slices of the packed batch)
+    once, so each frame parse is a single ctypes call with pre-marshalled
+    pointers.  Returns the parsed header fields.
+    """
+
+    __slots__ = ("_args", "_hdr", "_count", "_any_inter", "_end", "_cap",
+                 "_w", "_h")
+
+    def __init__(self, width: int, height: int, pack_pos: np.ndarray,
+                 pack_val: np.ndarray, mvs: np.ndarray, inter: np.ndarray,
+                 pred_scratch: np.ndarray):
+        assert _lib is not None
+        if not hasattr(_lib, "_fast_sig_done"):
+            _setup_fast_sig(_lib)
+            _lib._fast_sig_done = True
+        self._hdr = np.zeros(8, dtype=np.int32)
+        self._count = ctypes.c_int32(0)
+        self._any_inter = ctypes.c_int32(0)
+        self._end = ctypes.c_uint64(0)
+        self._cap = int(pack_pos.shape[0])
+        self._w, self._h = width, height
+        self._args = (
+            width, height,
+            self._hdr.ctypes.data,
+            mvs.ctypes.data, inter.ctypes.data, pred_scratch.ctypes.data,
+            pack_pos.ctypes.data, pack_val.ctypes.data, self._cap,
+            ctypes.addressof(self._count), ctypes.addressof(self._any_inter),
+            ctypes.addressof(self._end),
+        )
+
+    def parse(self, data: bytes):
+        """Parse one frame; returns (hdr_fields int32[8], n_coeffs, any_inter).
+
+        hdr_fields: [version, tr, width, height, ptype_code, deblocker,
+        quant, fmt_code].
+        """
+        rc = _lib.h263_sorenson_decode_frame(data, len(data), *self._args)
+        if rc != 0:
+            exc = _ERROR_MAP.get(rc, InternalDecoderError)
+            if rc == -10:
+                from ..types import PictureFormatInvalid
+
+                raise PictureFormatInvalid("native fast parse: bad format/dims")
+            raise exc(f"native fast parse error {rc}")
+        return self._hdr, int(self._count.value), bool(self._any_inter.value)

@@ -646,3 +646,134 @@ int h263_parse_frame(
 int h263_abi_version() { return 1; }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fast-path Sorenson Spark picture-header parse (picture.rs:611-659).
+// out_fields: [version, temporal_reference, width, height, ptype_code,
+//              deblocker, quantizer, reserved_format] (int32[8]).
+// ptype_code: 0=I, 1=P, 2=DisposableP, 3=Reserved.
+// Returns OK, E_EOF (not enough bits), or E_INVALID_BITSTREAM (no start
+// code at the current position within realignment distance).
+int h263_sorenson_header(const uint8_t* data, uint64_t nbytes,
+                         uint64_t start_bit, int32_t* out_fields,
+                         uint64_t* end_bit_out) {
+  BitReader r{data, nbytes * 8, nbytes, start_bit};
+
+  // recognize_start_code(false)
+  int max_skip = (int)((8 - (r.pos % 8)) % 8);
+  int skip = 0;
+  for (;;) {
+    if (!r.can(17)) return E_EOF;
+    uint64_t save = r.pos;
+    uint32_t code;
+    r.read(17, &code);
+    r.pos = save;
+    if (code == 1) break;
+    if (skip >= max_skip) return E_INVALID_BITSTREAM;
+    r.pos += 1;
+    skip += 1;
+  }
+  r.pos += 17;
+
+  uint32_t version, tr, fmt, ptype, deblock, quant;
+  if (!r.read(5, &version)) return E_EOF;
+  if (!r.read(8, &tr)) return E_EOF;
+  if (!r.read(3, &fmt)) return E_EOF;
+
+  int32_t width = 0, height = 0;
+  uint32_t w32, h32;
+  switch (fmt) {
+    case 0:
+      if (!r.read(8, &w32) || !r.read(8, &h32)) return E_EOF;
+      width = (int32_t)w32; height = (int32_t)h32;
+      break;
+    case 1:
+      if (!r.read(16, &w32) || !r.read(16, &h32)) return E_EOF;
+      width = (int32_t)w32; height = (int32_t)h32;
+      break;
+    case 2: width = 352; height = 288; break;
+    case 3: width = 176; height = 144; break;
+    case 4: width = 128; height = 96; break;
+    case 5: width = 320; height = 240; break;
+    case 6: width = 160; height = 120; break;
+    default: break;  // 7 = reserved
+  }
+
+  if (!r.read(2, &ptype)) return E_EOF;
+  if (!r.read(1, &deblock)) return E_EOF;
+  if (!r.read(5, &quant)) return E_EOF;
+
+  // PEI loop: skip extra bytes.
+  for (;;) {
+    uint32_t pei;
+    if (!r.read(1, &pei)) return E_EOF;
+    if (!pei) break;
+    uint32_t dummy;
+    if (!r.read(8, &dummy)) return E_EOF;
+  }
+
+  out_fields[0] = (int32_t)version;
+  out_fields[1] = (int32_t)tr;
+  out_fields[2] = width;
+  out_fields[3] = height;
+  out_fields[4] = (int32_t)ptype;  // 3 == reserved
+  out_fields[5] = (int32_t)deblock;
+  out_fields[6] = (int32_t)quant;
+  out_fields[7] = (int32_t)fmt;
+  *end_bit_out = r.pos;
+  return OK;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// One-call Sorenson hot path: header + macroblock layer (packed transport).
+// hdr_fields as in h263_sorenson_header.  prev_running_flags carries the
+// decoder's running-option flags (F_UMV_OPTION etc.) from the previous
+// picture; Sorenson never sets them, but the plumbing stays uniform.
+// Returns OK or an error code; on OK, *pack_count / mvs / inter are filled
+// and hdr is valid.  *any_inter_out reports whether any macroblock needs a
+// reference picture.
+int h263_sorenson_decode_frame(
+    const uint8_t* data, uint64_t nbytes,
+    int32_t expected_width, int32_t expected_height,
+    int32_t* hdr_fields,
+    int16_t* mvs, uint8_t* inter, int16_t* pred_scratch,
+    int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
+    int32_t* pack_count, int32_t* any_inter_out,
+    uint64_t* end_bit_out) {
+  uint64_t pos = 0;
+  int rc = h263_sorenson_header(data, nbytes, 0, hdr_fields, &pos);
+  if (rc != OK) return rc;
+  int32_t width = hdr_fields[2], height = hdr_fields[3];
+  if (hdr_fields[7] == 7) return E_INVALID_BITSTREAM;  // reserved format
+  if (width != expected_width || height != expected_height)
+    return E_INVALID_BITSTREAM;
+
+  *pack_count = 0;
+  rc = h263_parse_frame(
+      data, nbytes, pos, width, height,
+      /*picture_type=*/hdr_fields[4], /*flags=*/F_SORENSON,
+      /*version=*/hdr_fields[0], /*pquant=*/hdr_fields[6],
+      /*range_x=*/64, /*range_y=*/64,
+      nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
+      mvs, inter, pred_scratch,
+      pack_pos, pack_val, pack_cap, pack_count, end_bit_out);
+  if (rc != OK) return rc;
+
+  const int mb_w = (width + 15) / 16;
+  const int mb_h = (height + 15) / 16;
+  int32_t any = 0;
+  for (int i = 0; i < mb_w * mb_h; i++) any |= inter[i];
+  *any_inter_out = any;
+
+  // Pad unused pack entries with an out-of-range sentinel (dropped by the
+  // device scatter).
+  const int32_t sentinel = 6 * mb_w * mb_h * 64;
+  for (int32_t k = *pack_count; k < pack_cap; k++) pack_pos[k] = sentinel;
+  return OK;
+}
+
+}  // extern "C"

@@ -37,6 +37,39 @@ from ..types import (
 )
 
 
+def _picture_from_fields(hdr) -> Picture:
+    """Build a Picture from the native fast-parse header fields
+    [version, tr, w, h, ptype, deblocker, quant, fmt_code]."""
+    from ..types import (
+        MotionVectorRange,
+        PictureTypeCode as PTC,
+        SourceFormat,
+        SourceFormatKind,
+    )
+
+    fmt_code = int(hdr[7])
+    w, h = int(hdr[2]), int(hdr[3])
+    if fmt_code == 2:
+        fmt = SourceFormat(SourceFormatKind.FULL_CIF)
+    elif fmt_code == 3:
+        fmt = SourceFormat(SourceFormatKind.QUARTER_CIF)
+    elif fmt_code == 4:
+        fmt = SourceFormat(SourceFormatKind.SUB_QCIF)
+    else:
+        fmt = SourceFormat.extended(w, h)
+    ptype = (PTC.I_FRAME, PTC.P_FRAME, PTC.DISPOSABLE_P_FRAME,
+             PTC.RESERVED)[int(hdr[4])]
+    return Picture(
+        version=int(hdr[0]),
+        temporal_reference=int(hdr[1]),
+        format=fmt,
+        options=(PictureOption.USE_DEBLOCKER if hdr[5] else PictureOption.NONE),
+        picture_type=ptype,
+        quantizer=int(hdr[6]),
+        motion_vector_range=MotionVectorRange.UNLIMITED,
+    )
+
+
 class _StreamState:
     __slots__ = ("running_options", "last_header", "has_reference",
                  "is_disposable_last")
@@ -84,6 +117,7 @@ class _PackedBatch:
         self.val = np.zeros((n, cap), dtype=np.int16)
         self.mvs = np.zeros((n, mb_h, mb_w, 4, 2), dtype=np.int16)
         self.inter = np.ones((n, mb_h, mb_w), dtype=np.uint8)
+        self.fast_parsers = None  # lazily bound SorensonFastParser per slot
 
     def tensors(self):
         return (self.pos, self.val, self.mvs, self.inter)
@@ -123,6 +157,7 @@ class BatchedStreamDecoder:
         # defaults to 16 coefficients per macroblock (typical streams use
         # 2-8); PackOverflow falls back to the dense transport per step.
         self.pack_cap = pack_cap or max(1024, 16 * mb_w * mb_h)
+        self._pred_scratch = np.zeros((mb_w * mb_h, 4, 2), dtype=np.int16)
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap)
                         for _ in range(2)]
         self._packed_idx = 0
@@ -224,15 +259,33 @@ class BatchedStreamDecoder:
         has more coefficients than the batch capacity (caller falls back to
         the dense path).  Returns the coefficient count.
         """
-        from ..native import ensure_built, parse_frame_native  # noqa: F401
-        from ..native.bindings import parse_frame_packed_native
+        from ..native.bindings import (
+            parse_frame_packed_native,
+            sorenson_header_native,
+        )
 
         st = self.states[stream_idx]
-        r = BitReader(bytes(buf))
+        data = bytes(buf)
+
+        if self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM:
+            # Full-native hot path: header + macroblocks in one C++ call
+            # through pre-marshalled per-slot buffers.
+            parser = self._fast_parser(packed, stream_idx)
+            hdr, n, any_inter = parser.parse(data)
+            if any_inter and not st.has_reference:
+                raise UncodedIFrameBlocks()
+            pic = _picture_from_fields(hdr)
+            running = (pic.options & ~OPPTYPE_OPTIONS & ~MPPTYPE_OPTIONS) | (
+                st.running_options & (OPPTYPE_OPTIONS | MPPTYPE_OPTIONS))
+            self._commit_header(stream_idx, pic, running)
+            return n
+
+        r = BitReader(data)
         pic, running = self._parse_header(stream_idx, r)
+        start_bit = r.pos
 
         n, _end = parse_frame_packed_native(
-            r.data, r.pos, pic, self.decoder_options, running,
+            data, start_bit, pic, self.decoder_options, running,
             self.w, self.h,
             packed.pos[stream_idx], packed.val[stream_idx],
             packed.mvs[stream_idx], packed.inter[stream_idx])
@@ -242,6 +295,18 @@ class BatchedStreamDecoder:
 
         self._commit_header(stream_idx, pic, running)
         return n
+
+    def _fast_parser(self, packed: "_PackedBatch", stream_idx: int):
+        from ..native.bindings import SorensonFastParser
+
+        if packed.fast_parsers is None:
+            packed.fast_parsers = [
+                SorensonFastParser(self.w, self.h, packed.pos[i],
+                                   packed.val[i], packed.mvs[i],
+                                   packed.inter[i], self._pred_scratch)
+                for i in range(self.n)
+            ]
+        return packed.fast_parsers[stream_idx]
 
     # -- device stage -----------------------------------------------------------
 
