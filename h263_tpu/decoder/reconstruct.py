@@ -200,3 +200,56 @@ def get_present_fn(h: int, w: int):
     import jax
 
     return jax.jit(present_rgba_batched)
+
+
+def reconstruct_frame_packed_u32(pack_u32, mvs, inter,
+                                 ref_y, ref_cb, ref_cr):
+    """Batched reconstruction from the combined-u32 packed transport.
+
+    pack_u32 int32 [S, K]: each entry is (position << 12) | (value & 0xFFF)
+    with 20-bit global position and 12-bit signed dequantized value; padding
+    entries carry an out-of-range position and are dropped.  `mvs` is either
+    int16 [S, mbh, mbw, 4, 2] (full) or [S, mbh, mbw, 2] (slim: all four
+    block MVs of each macroblock are identical — detected by the native
+    front-end).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.idct import derive_classes_jnp
+
+    s, mbh, mbw = inter.shape
+    nmb = mbh * mbw
+    nblk = 6 * nmb
+
+    w32 = pack_u32.astype(jnp.uint32)
+    pos = (w32 >> 12).astype(jnp.int32)
+    v = (w32 & 0xFFF).astype(jnp.int32)
+    val = (v - ((v & 0x800) << 1)).astype(jnp.int16)  # sign-extend 12 bits
+
+    dense = jnp.zeros((s, nblk * 64), jnp.int16)
+    dense = jax.vmap(lambda d, p, vv: d.at[p].set(vv, mode="drop"))(
+        dense, pos, val)
+    dense = dense.reshape(s, nblk, 64)
+
+    classes = derive_classes_jnp(dense)
+
+    if mvs.ndim == 4:  # slim [S, mbh, mbw, 2] -> broadcast to 4 blocks
+        mvs = jnp.broadcast_to(mvs[:, :, :, None, :], (s, mbh, mbw, 4, 2))
+
+    cy = dense[:, : 4 * nmb].reshape(s, 2 * mbh, 2 * mbw, 8, 8)
+    ky = classes[:, : 4 * nmb].reshape(s, 2 * mbh, 2 * mbw)
+    ccb = dense[:, 4 * nmb : 5 * nmb].reshape(s, mbh, mbw, 8, 8)
+    kcb = classes[:, 4 * nmb : 5 * nmb].reshape(s, mbh, mbw)
+    ccr = dense[:, 5 * nmb :].reshape(s, mbh, mbw, 8, 8)
+    kcr = classes[:, 5 * nmb :].reshape(s, mbh, mbw)
+
+    return jax.vmap(reconstruct_frame_single)(
+        cy, ky, ccb, kcb, ccr, kcr, mvs, inter, ref_y, ref_cb, ref_cr)
+
+
+@functools.lru_cache(maxsize=16)
+def get_packed_u32_reconstruct_fn(h: int, w: int):
+    import jax
+
+    return jax.jit(reconstruct_frame_packed_u32)

@@ -403,33 +403,40 @@ class SorensonFastParser:
     __slots__ = ("_args", "_hdr", "_count", "_any_inter", "_end", "_cap",
                  "_w", "_h")
 
-    def __init__(self, width: int, height: int, pack_pos: np.ndarray,
-                 pack_val: np.ndarray, mvs: np.ndarray, inter: np.ndarray,
+    def __init__(self, width: int, height: int, pack_u32: np.ndarray,
+                 mvs: np.ndarray, inter: np.ndarray,
                  pred_scratch: np.ndarray):
         assert _lib is not None
         if not hasattr(_lib, "_fast_sig_done"):
             _setup_fast_sig(_lib)
             _lib._fast_sig_done = True
+        mb_w, mb_h = -(-width // 16), -(-height // 16)
+        # Combined (pos<<12 | val) transport needs 20-bit positions.
+        assert 6 * mb_w * mb_h * 64 < (1 << 20), \
+            "picture too large for combined packed transport"
+        assert pack_u32.dtype == np.int32 and pack_u32.flags["C_CONTIGUOUS"]
         self._hdr = np.zeros(8, dtype=np.int32)
         self._count = ctypes.c_int32(0)
         self._any_inter = ctypes.c_int32(0)
         self._end = ctypes.c_uint64(0)
-        self._cap = int(pack_pos.shape[0])
+        self._cap = int(pack_u32.shape[0])
         self._w, self._h = width, height
         self._args = (
             width, height,
             self._hdr.ctypes.data,
             mvs.ctypes.data, inter.ctypes.data, pred_scratch.ctypes.data,
-            pack_pos.ctypes.data, pack_val.ctypes.data, self._cap,
+            pack_u32.ctypes.data, None, self._cap,
             ctypes.addressof(self._count), ctypes.addressof(self._any_inter),
             ctypes.addressof(self._end),
         )
 
     def parse(self, data: bytes):
-        """Parse one frame; returns (hdr_fields int32[8], n_coeffs, any_inter).
+        """Parse one frame.
 
+        Returns (hdr_fields int32[8], n_coeffs, any_inter, any_varied_mvs).
         hdr_fields: [version, tr, width, height, ptype_code, deblocker,
-        quant, fmt_code].
+        quant, fmt_code].  any_varied_mvs is False when every macroblock's
+        four block MVs are identical (slim MV transport is exact).
         """
         rc = _lib.h263_sorenson_decode_frame(data, len(data), *self._args)
         if rc != 0:
@@ -439,4 +446,5 @@ class SorensonFastParser:
 
                 raise PictureFormatInvalid("native fast parse: bad format/dims")
             raise exc(f"native fast parse error {rc}")
-        return self._hdr, int(self._count.value), bool(self._any_inter.value)
+        flags = int(self._any_inter.value)
+        return self._hdr, int(self._count.value), bool(flags & 1), bool(flags & 2)

@@ -221,8 +221,18 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   auto emit = [&](int rm, int32_t value) {
     if (packed) {
       if (*sink.count >= sink.cap) { overflow = true; return; }
-      sink.ppos[*sink.count] = sink.base + rm;
-      sink.pval[*sink.count] = (int16_t)value;
+      if (sink.pval) {
+        // two-array transport: int32 position + int16 value
+        sink.ppos[*sink.count] = sink.base + rm;
+        sink.pval[*sink.count] = (int16_t)value;
+      } else {
+        // combined transport: (pos << 12) | (value & 0xFFF), one uint32.
+        // Values are always within [-2048, 2047] (rle.rs dequant clamp and
+        // INTRADC levels), so 12 signed bits suffice.
+        sink.ppos[*sink.count] =
+            (int32_t)(((uint32_t)(sink.base + rm) << 12) |
+                      ((uint32_t)value & 0xFFF));
+      }
       (*sink.count)++;
     } else {
       out[rm] = (int16_t)value;
@@ -765,14 +775,25 @@ int h263_sorenson_decode_frame(
 
   const int mb_w = (width + 15) / 16;
   const int mb_h = (height + 15) / 16;
+  // Bit 0: any INTER macroblock (needs a reference picture).
+  // Bit 1: any macroblock whose four block MVs differ (the slim
+  //        one-MV-per-MB transport is exact when this bit is clear).
   int32_t any = 0;
   for (int i = 0; i < mb_w * mb_h; i++) any |= inter[i];
-  *any_inter_out = any;
+  int32_t varied = 0;
+  for (int i = 0; i < mb_w * mb_h && !varied; i++) {
+    const int16_t* m = mvs + (size_t)i * 8;
+    for (int k = 1; k < 4; k++) {
+      if (m[2 * k] != m[0] || m[2 * k + 1] != m[1]) { varied = 1; break; }
+    }
+  }
+  *any_inter_out = any | (varied << 1);
 
   // Pad unused pack entries with an out-of-range sentinel (dropped by the
   // device scatter).
   const int32_t sentinel = 6 * mb_w * mb_h * 64;
-  for (int32_t k = *pack_count; k < pack_cap; k++) pack_pos[k] = sentinel;
+  const int32_t pad = pack_val ? sentinel : (int32_t)((uint32_t)sentinel << 12);
+  for (int32_t k = *pack_count; k < pack_cap; k++) pack_pos[k] = pad;
   return OK;
 }
 

@@ -17,9 +17,10 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..bitio import BitReader
+from ..utils.trace import trace_stage
 from ..decoder.reconstruct import (
     get_batched_reconstruct_fn,
-    get_packed_reconstruct_fn,
+    get_packed_u32_reconstruct_fn,
 )
 from ..parser.frame import FrameData, parse_frame_auto
 from ..parser.picture import decode_picture
@@ -109,18 +110,20 @@ class _HostBatch:
 
 
 class _PackedBatch:
-    """Host buffers for the packed coefficient transport: ~100x fewer
-    host->device bytes than dense on typical streams."""
+    """Host buffers for the packed coefficient transport.
+
+    Coefficients ride as one uint32 each — (pos << 12) | (value & 0xFFF) —
+    cutting host->device bytes by ~100x vs the dense transport on typical
+    streams.  Per-stream coefficient counts let the step slice the transfer
+    to a bucketed maximum instead of shipping the full capacity."""
 
     def __init__(self, n, mb_w, mb_h, cap):
-        self.pos = np.zeros((n, cap), dtype=np.int32)
-        self.val = np.zeros((n, cap), dtype=np.int16)
+        self.u32 = np.zeros((n, cap), dtype=np.int32)
         self.mvs = np.zeros((n, mb_h, mb_w, 4, 2), dtype=np.int16)
         self.inter = np.ones((n, mb_h, mb_w), dtype=np.uint8)
+        self.counts = np.zeros(n, dtype=np.int64)
+        self.varied_mvs = np.zeros(n, dtype=np.bool_)
         self.fast_parsers = None  # lazily bound SorensonFastParser per slot
-
-    def tensors(self):
-        return (self.pos, self.val, self.mvs, self.inter)
 
 
 class BatchedStreamDecoder:
@@ -161,7 +164,7 @@ class BatchedStreamDecoder:
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap)
                         for _ in range(2)]
         self._packed_idx = 0
-        self._packed_fn = packed_reconstruct_fn or get_packed_reconstruct_fn(
+        self._packed_fn = packed_reconstruct_fn or get_packed_u32_reconstruct_fn(
             self.h, self.w)
 
     def next_host_batch(self) -> _HostBatch:
@@ -253,46 +256,28 @@ class BatchedStreamDecoder:
 
     def parse_one_packed(self, stream_idx: int, buf: bytes,
                          packed: "_PackedBatch") -> int:
-        """Entropy-decode one stream's frame into the packed transport.
+        """Entropy-decode one Sorenson stream's frame into the packed
+        transport (full-native hot path: header + macroblocks in one C++
+        call through pre-marshalled per-slot buffers).
 
-        Requires the native front-end; raises PackOverflow when the frame
-        has more coefficients than the batch capacity (caller falls back to
-        the dense path).  Returns the coefficient count.
+        Raises PackOverflow when the frame has more coefficients than the
+        batch capacity (caller falls back to the dense path).  Returns the
+        coefficient count.
         """
-        from ..native.bindings import (
-            parse_frame_packed_native,
-            sorenson_header_native,
-        )
-
+        assert self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM, \
+            "packed transport is the Sorenson hot path; use dense otherwise"
         st = self.states[stream_idx]
         data = bytes(buf)
 
-        if self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM:
-            # Full-native hot path: header + macroblocks in one C++ call
-            # through pre-marshalled per-slot buffers.
-            parser = self._fast_parser(packed, stream_idx)
-            hdr, n, any_inter = parser.parse(data)
-            if any_inter and not st.has_reference:
-                raise UncodedIFrameBlocks()
-            pic = _picture_from_fields(hdr)
-            running = (pic.options & ~OPPTYPE_OPTIONS & ~MPPTYPE_OPTIONS) | (
-                st.running_options & (OPPTYPE_OPTIONS | MPPTYPE_OPTIONS))
-            self._commit_header(stream_idx, pic, running)
-            return n
-
-        r = BitReader(data)
-        pic, running = self._parse_header(stream_idx, r)
-        start_bit = r.pos
-
-        n, _end = parse_frame_packed_native(
-            data, start_bit, pic, self.decoder_options, running,
-            self.w, self.h,
-            packed.pos[stream_idx], packed.val[stream_idx],
-            packed.mvs[stream_idx], packed.inter[stream_idx])
-
-        if packed.inter[stream_idx].any() and not st.has_reference:
+        parser = self._fast_parser(packed, stream_idx)
+        hdr, n, any_inter, varied = parser.parse(data)
+        if any_inter and not st.has_reference:
             raise UncodedIFrameBlocks()
-
+        packed.counts[stream_idx] = n
+        packed.varied_mvs[stream_idx] = varied
+        pic = _picture_from_fields(hdr)
+        running = (pic.options & ~OPPTYPE_OPTIONS & ~MPPTYPE_OPTIONS) | (
+            st.running_options & (OPPTYPE_OPTIONS | MPPTYPE_OPTIONS))
         self._commit_header(stream_idx, pic, running)
         return n
 
@@ -301,8 +286,8 @@ class BatchedStreamDecoder:
 
         if packed.fast_parsers is None:
             packed.fast_parsers = [
-                SorensonFastParser(self.w, self.h, packed.pos[i],
-                                   packed.val[i], packed.mvs[i],
+                SorensonFastParser(self.w, self.h, packed.u32[i],
+                                   packed.mvs[i],
                                    packed.inter[i], self._pred_scratch)
                 for i in range(self.n)
             ]
@@ -343,11 +328,33 @@ class BatchedStreamDecoder:
         return self._run(batch.tensors())
 
     def step_packed(self, packed: "_PackedBatch"):
-        """Reconstruct from the packed transport (one small transfer)."""
+        """Reconstruct from the packed transport (one small transfer).
+
+        The coefficient transfer is sliced to the smallest power-of-two
+        bucket covering every stream's count (bucketing keeps the jit cache
+        small); MV transport slims to one MV per macroblock when no stream
+        used differing block MVs.
+        """
         import jax
 
-        dev = jax.device_put(packed.tensors())
-        y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb, self.ref_cr)
+        k = int(packed.counts.max()) if self.n else 0
+        bucket = 512
+        while bucket < k:
+            bucket *= 2
+        bucket = min(bucket, self.pack_cap)
+
+        if packed.varied_mvs.any():
+            mvs = packed.mvs
+        else:
+            mvs = np.ascontiguousarray(packed.mvs[:, :, :, 0, :])
+
+        with trace_stage("transfer"):
+            dev = jax.device_put(
+                (np.ascontiguousarray(packed.u32[:, :bucket]), mvs,
+                 packed.inter))
+        with trace_stage("reconstruct_dispatch"):
+            y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb,
+                                        self.ref_cr)
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         return y, cb, cr
 
@@ -386,10 +393,12 @@ class BatchedStreamDecoder:
         from ..native import ensure_built
         from ..native.bindings import PackOverflow
 
-        use_packed = transport == "packed" or (
+        sorenson = bool(self.decoder_options
+                        & DecoderOption.SORENSON_SPARK_BITSTREAM)
+        use_packed = (transport == "packed" or (
             transport == "auto"
             and not os.environ.get("H263_TPU_NO_NATIVE")
-            and ensure_built())
+            and ensure_built())) and sorenson
         if use_packed:
             packed = self.next_packed_batch()
             try:
@@ -397,8 +406,9 @@ class BatchedStreamDecoder:
                 # replay cleanly on the dense path.
                 saved = [(s.running_options, s.last_header, s.has_reference)
                          for s in self.states]
-                for i, b in enumerate(buffers):
-                    self.parse_one_packed(i, b, packed)
+                with trace_stage("host_parse"):
+                    for i, b in enumerate(buffers):
+                        self.parse_one_packed(i, b, packed)
                 return self.step_packed(packed)
             except PackOverflow:
                 if transport == "packed":

@@ -35,12 +35,12 @@ def shard_reconstruct_fn(mesh, h: int, w: int, packed: bool = False):
 
     from ..decoder.reconstruct import (
         reconstruct_frame_batched,
-        reconstruct_frame_packed,
+        reconstruct_frame_packed_u32,
     )
 
     stream_sharding = NamedSharding(mesh, P("stream"))
-    fn = reconstruct_frame_packed if packed else reconstruct_frame_batched
-    n_in = 7 if packed else 11
+    fn = reconstruct_frame_packed_u32 if packed else reconstruct_frame_batched
+    n_in = 6 if packed else 11
     return jax.jit(
         fn,
         in_shardings=(stream_sharding,) * n_in,
