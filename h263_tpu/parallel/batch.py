@@ -160,6 +160,7 @@ class BatchedStreamDecoder:
         # defaults to 16 coefficients per macroblock (typical streams use
         # 2-8); PackOverflow falls back to the dense transport per step.
         self.pack_cap = pack_cap or max(1024, 16 * mb_w * mb_h)
+        self._mv_full = False  # sticky: set on first frame with varied MVs
         self._pred_scratch = np.zeros((mb_w * mb_h, 4, 2), dtype=np.int16)
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap)
                         for _ in range(2)]
@@ -330,28 +331,23 @@ class BatchedStreamDecoder:
     def step_packed(self, packed: "_PackedBatch"):
         """Reconstruct from the packed transport (one small transfer).
 
-        The coefficient transfer is sliced to the smallest power-of-two
-        bucket covering every stream's count (bucketing keeps the jit cache
-        small); MV transport slims to one MV per macroblock when no stream
-        used differing block MVs.
+        Shapes are kept stable across steps so the jitted program compiles
+        exactly once: the coefficient transfer always uses the decoder's
+        fixed capacity, and the slim one-MV-per-MB transport sticks until
+        the first frame with differing block MVs flips the decoder to the
+        full transport permanently (one recompile, not per-step churn).
         """
         import jax
 
-        k = int(packed.counts.max()) if self.n else 0
-        bucket = 512
-        while bucket < k:
-            bucket *= 2
-        bucket = min(bucket, self.pack_cap)
-
         if packed.varied_mvs.any():
+            self._mv_full = True
+        if self._mv_full:
             mvs = packed.mvs
         else:
             mvs = np.ascontiguousarray(packed.mvs[:, :, :, 0, :])
 
         with trace_stage("transfer"):
-            dev = jax.device_put(
-                (np.ascontiguousarray(packed.u32[:, :bucket]), mvs,
-                 packed.inter))
+            dev = jax.device_put((packed.u32, mvs, packed.inter))
         with trace_stage("reconstruct_dispatch"):
             y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb,
                                         self.ref_cr)
