@@ -229,3 +229,44 @@ def encode_sorenson_picture(width: int, height: int, picture_type: PictureTypeCo
         encode_macroblock(w, mb, picture_type, version)
 
     return w.to_bytes()
+
+
+_STANDARD_FORMAT_BITS = {
+    (128, 96): 1,
+    (176, 144): 2,
+    (352, 288): 3,
+    (704, 576): 4,
+    (1408, 1152): 5,
+}
+
+
+def encode_standard_picture(width: int, height: int, picture_type: PictureTypeCode,
+                            macroblocks: Sequence[MBSpec], quantizer: int = 8,
+                            temporal_reference: int = 0,
+                            umv: bool = False) -> bytes:
+    """Assemble a standard (non-Sorenson) H.263 picture with a plain PTYPE
+    header (no PLUSPTYPE).  Dimensions must be one of the CIF family.
+
+    Parity note: the reference maps PTYPE bit 9 SET to an I-frame
+    (picture.rs:57-61), so this encoder emits the same convention.
+    """
+    fmt_bits = _STANDARD_FORMAT_BITS[(width, height)]
+    w = BitWriter()
+    w.write_bits(1, 17)                   # PSC
+    w.write_bits(0, 5)                    # GN=0
+    w.write_bits(temporal_reference & 0xFF, 8)
+    w.write_code("10")                    # PTYPE prefix
+    w.write_code("000")                   # split/doc/freeze off
+    w.write_bits(fmt_bits, 3)
+    w.write_bits(1 if picture_type is PictureTypeCode.I_FRAME else 0, 1)
+    w.write_bits(1 if umv else 0, 1)      # UMV (Annex D)
+    w.write_bits(0, 1)                    # SAC off
+    w.write_bits(0, 1)                    # AP off
+    w.write_bits(0, 1)                    # not PB
+    w.write_bits(quantizer, 5)
+    w.write_bits(0, 1)                    # CPM off
+    w.write_bits(0, 1)                    # PEI end
+
+    for mb in macroblocks:
+        encode_macroblock(w, mb, picture_type, None)
+    return w.to_bytes()

@@ -253,3 +253,84 @@ class TestResolutionChange:
         assert pics[1].as_luma().shape == (48, 48)
         # everything gathers from the clamped 32x32 gray reference
         assert (pics[1].as_luma() == pics[0].as_luma()[0, 0]).all()
+
+
+class TestStandardH263:
+    """Non-Sorenson decode paths: plain PTYPE headers, UMV option, GOB
+    resync error recovery."""
+
+    def _std_iframe(self, tr=0, dc=800):
+        from h263_tpu.testing.encoder import encode_standard_picture
+        mbs = [MBSpec(kind="intra", intradc=[dc] * 6) for _ in range(96 // 16 * 128 // 16)]
+        return encode_standard_picture(128, 96, PictureTypeCode.I_FRAME, mbs,
+                                       temporal_reference=tr)
+
+    def _decode_both_std(self, frames):
+        dj = H263Decoder(DecoderOption.NONE, backend="jax")
+        dn = H263Decoder(DecoderOption.NONE, backend="numpy")
+        outs = []
+        for buf in frames:
+            pj = dj.decode_next_picture(buf)
+            pn = dn.decode_next_picture(buf)
+            np.testing.assert_array_equal(np.asarray(pj.as_luma()),
+                                          pn.as_luma())
+            outs.append(pn)
+        return outs
+
+    def test_standard_gop(self):
+        from h263_tpu.testing.encoder import encode_standard_picture
+        frames = [self._std_iframe()]
+        nmb = 8 * 6
+        frames.append(encode_standard_picture(
+            128, 96, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(2, -2)],
+                    blocks=[[(0, 4)], [], [], [], [], []])] * nmb,
+            temporal_reference=1))
+        pics = self._decode_both_std(frames)
+        assert pics[0].as_luma().shape == (96, 128)
+
+    def test_umv_motion_vectors(self):
+        """UMV option without PLUSPTYPE: the standard-range wrap logic
+        bypasses when the predictor is in range (mvd_pred.rs:80-86)."""
+        from h263_tpu.testing.encoder import encode_standard_picture
+        nmb = 8 * 6
+        frames = [self._std_iframe()]
+        frames.append(encode_standard_picture(
+            128, 96, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(4, 6)])] * nmb,
+            temporal_reference=1, umv=True))
+        self._decode_both_std(frames)
+
+    def test_gob_resync_recovery(self):
+        """A macroblock error in a non-Sorenson stream resyncs to the next
+        start code and ends the picture; remaining MBs tail-fill
+        (state.rs:386-408)."""
+        from h263_tpu.testing.encoder import BitWriter, encode_standard_picture
+
+        frames = [self._std_iframe()]
+        # Build a P-frame with 2 valid MBs, then an invalid MCBPC code
+        # (10 zero bits) followed by byte-aligned picture start code junk.
+        w = BitWriter()
+        w.write_bits(1, 17)
+        w.write_bits(0, 5)
+        w.write_bits(1, 8)
+        w.write_code("10").write_code("000").write_bits(1, 3)
+        w.write_code("00000")
+        w.write_bits(8, 5)
+        w.write_bits(0, 1)
+        w.write_bits(0, 1)
+        for _ in range(2):
+            w.write_bits(1, 1)  # two uncoded MBs
+        w.write_bits(0, 1)      # COD=0 then invalid MCBPC:
+        w.write_code("0000000000")
+        while len(w) % 8:
+            w.write_bits(0, 1)
+        w.write_bits(1, 17)     # next picture start code (GN=0 => picture)
+        w.write_bits(0, 5)
+        frames.append(w.to_bytes())
+
+        dn = H263Decoder(DecoderOption.NONE, backend="numpy")
+        p0 = dn.decode_next_picture(frames[0])
+        p1 = dn.decode_next_picture(frames[1])
+        # picture decoded: first 2 MBs copied, rest tail-filled (also copies)
+        np.testing.assert_array_equal(p1.as_luma(), p0.as_luma())
