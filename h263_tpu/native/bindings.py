@@ -448,3 +448,74 @@ class SorensonFastParser:
             raise exc(f"native fast parse error {rc}")
         flags = int(self._any_inter.value)
         return self._hdr, int(self._count.value), bool(flags & 1), bool(flags & 2)
+
+
+def _setup_batch_sig(lib):
+    import ctypes as C
+
+    lib.h263_sorenson_decode_batch.restype = C.c_int
+    lib.h263_sorenson_decode_batch.argtypes = [
+        C.POINTER(C.c_char_p), C.c_void_p,   # buffers, lengths
+        C.c_int32, C.c_int32, C.c_int32,     # n, w, h
+        C.c_void_p,                          # has_reference
+        C.c_void_p, C.c_void_p, C.c_void_p,  # hdr_all, mvs_all, inter_all
+        C.c_void_p,                          # pred_scratch
+        C.c_void_p, C.c_int32,               # pack_all, cap
+        C.c_void_p, C.c_void_p,              # counts, flags
+        C.c_void_p,                          # failed_stream
+    ]
+
+
+class SorensonBatchParser:
+    """One-FFI-call-per-step batch parser bound to a _PackedBatch's buffers."""
+
+    __slots__ = ("_n", "_w", "_h", "_cap", "_hdr", "_counts", "_flags",
+                 "_failed", "_lengths", "_has_ref", "_fixed_args")
+
+    def __init__(self, n: int, width: int, height: int, pack_u32: np.ndarray,
+                 mvs: np.ndarray, inter: np.ndarray, pred_scratch: np.ndarray):
+        assert _lib is not None
+        if not hasattr(_lib, "_batch_sig_done"):
+            _setup_batch_sig(_lib)
+            _lib._batch_sig_done = True
+        mb_w, mb_h = -(-width // 16), -(-height // 16)
+        assert 6 * mb_w * mb_h * 64 < (1 << 20)
+        assert pack_u32.shape[0] == n and mvs.shape[0] == n
+        self._n, self._w, self._h = n, width, height
+        self._cap = int(pack_u32.shape[1])
+        self._hdr = np.zeros((n, 8), dtype=np.int32)
+        self._counts = np.zeros(n, dtype=np.int32)
+        self._flags = np.zeros(n, dtype=np.int32)
+        self._failed = ctypes.c_int32(-1)
+        self._lengths = np.zeros(n, dtype=np.uint64)
+        self._has_ref = np.zeros(n, dtype=np.uint8)
+        self._fixed_args = (
+            self._n, self._w, self._h,
+            self._has_ref.ctypes.data,
+            self._hdr.ctypes.data, mvs.ctypes.data, inter.ctypes.data,
+            pred_scratch.ctypes.data,
+            pack_u32.ctypes.data, self._cap,
+            self._counts.ctypes.data, self._flags.ctypes.data,
+            ctypes.addressof(self._failed),
+        )
+
+    def parse(self, buffers, has_reference):
+        """Parse all streams' frames.
+
+        buffers: sequence of n bytes objects; has_reference: bool per
+        stream.  Returns (hdr int32[n,8], counts, flags) — flags bit0 =
+        any_inter, bit1 = varied MVs.  Raises the mapped error (with the
+        failing stream index in the message) on any failure.
+        """
+        n = self._n
+        assert len(buffers) == n
+        ptrs = (ctypes.c_char_p * n)(*buffers)
+        for i, b in enumerate(buffers):
+            self._lengths[i] = len(b)
+        self._has_ref[:] = has_reference
+        rc = _lib.h263_sorenson_decode_batch(
+            ptrs, self._lengths.ctypes.data, *self._fixed_args)
+        if rc != 0:
+            exc = _ERROR_MAP.get(rc, InternalDecoderError)
+            raise exc(f"stream {int(self._failed.value)}: native error {rc}")
+        return self._hdr, self._counts, self._flags

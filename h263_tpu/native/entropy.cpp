@@ -798,3 +798,50 @@ int h263_sorenson_decode_frame(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Whole-batch Sorenson decode: loops h263_sorenson_decode_frame over all
+// streams in native code, so the Python host pays one FFI call per frame
+// step instead of one per stream.
+//
+// buffers: per-stream frame payload pointers; hdr_all: int32[S][8];
+// mvs_all int16[S][nmb][4][2]; inter_all uint8[S][nmb];
+// pack_all int32[S][cap]; counts int32[S]; flags int32[S]
+// (bit0 any_inter, bit1 varied MVs); has_reference uint8[S] (input).
+// On failure returns the error code and sets *failed_stream.
+int h263_sorenson_decode_batch(
+    const uint8_t* const* buffers, const uint64_t* lengths,
+    int32_t n_streams, int32_t expected_w, int32_t expected_h,
+    const uint8_t* has_reference,
+    int32_t* hdr_all, int16_t* mvs_all, uint8_t* inter_all,
+    int16_t* pred_scratch,
+    int32_t* pack_all, int32_t pack_cap, int32_t* counts, int32_t* flags,
+    int32_t* failed_stream) {
+  const int mb_w = (expected_w + 15) / 16;
+  const int mb_h = (expected_h + 15) / 16;
+  const size_t nmb = (size_t)mb_w * mb_h;
+
+  for (int32_t i = 0; i < n_streams; i++) {
+    uint64_t end_bit = 0;
+    int32_t any = 0;
+    int rc = h263_sorenson_decode_frame(
+        buffers[i], lengths[i], expected_w, expected_h,
+        hdr_all + (size_t)i * 8,
+        mvs_all + (size_t)i * nmb * 8,
+        inter_all + (size_t)i * nmb,
+        pred_scratch,
+        pack_all + (size_t)i * pack_cap, nullptr, pack_cap,
+        counts + i, &any, &end_bit);
+    if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
+    if (rc != OK) {
+      *failed_stream = i;
+      return rc;
+    }
+    flags[i] = any;
+  }
+  *failed_stream = -1;
+  return OK;
+}
+
+}  // extern "C"

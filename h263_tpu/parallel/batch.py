@@ -124,6 +124,7 @@ class _PackedBatch:
         self.counts = np.zeros(n, dtype=np.int64)
         self.varied_mvs = np.zeros(n, dtype=np.bool_)
         self.fast_parsers = None  # lazily bound SorensonFastParser per slot
+        self.batch_parser = None  # lazily bound SorensonBatchParser
 
 
 class BatchedStreamDecoder:
@@ -294,6 +295,30 @@ class BatchedStreamDecoder:
             ]
         return packed.fast_parsers[stream_idx]
 
+    def parse_batch_packed(self, buffers: Sequence[bytes],
+                           packed: "_PackedBatch") -> None:
+        """Parse every stream's frame in ONE native call (the whole host
+        stage is a single FFI round trip).  Commits per-stream header state
+        on success; a failure leaves all state untouched (the native loop
+        aborts before any Python-side commit)."""
+        from ..native.bindings import SorensonBatchParser
+
+        if packed.batch_parser is None:
+            packed.batch_parser = SorensonBatchParser(
+                self.n, self.w, self.h, packed.u32, packed.mvs,
+                packed.inter, self._pred_scratch)
+        has_ref = [st.has_reference for st in self.states]
+        buffers = [bytes(b) for b in buffers]
+        hdr, counts, flags = packed.batch_parser.parse(buffers, has_ref)
+        packed.counts[:] = counts
+        packed.varied_mvs[:] = (flags & 2) != 0
+        for i in range(self.n):
+            pic = _picture_from_fields(hdr[i])
+            st = self.states[i]
+            running = (pic.options & ~OPPTYPE_OPTIONS & ~MPPTYPE_OPTIONS) | (
+                st.running_options & (OPPTYPE_OPTIONS | MPPTYPE_OPTIONS))
+            self._commit_header(i, pic, running)
+
     # -- device stage -----------------------------------------------------------
 
     def _run(self, tensors):
@@ -398,19 +423,14 @@ class BatchedStreamDecoder:
         if use_packed:
             packed = self.next_packed_batch()
             try:
-                # Snapshot per-stream state so a mid-batch overflow can
-                # replay cleanly on the dense path.
-                saved = [(s.running_options, s.last_header, s.has_reference)
-                         for s in self.states]
                 with trace_stage("host_parse"):
-                    for i, b in enumerate(buffers):
-                        self.parse_one_packed(i, b, packed)
+                    self.parse_batch_packed(buffers, packed)
                 return self.step_packed(packed)
             except PackOverflow:
                 if transport == "packed":
                     raise
-                for s, (ro, lh, hr) in zip(self.states, saved):
-                    s.running_options, s.last_header, s.has_reference = ro, lh, hr
+                # No state was committed (the native batch call fails
+                # atomically before any commit); replay on the dense path.
 
         batch = self.next_host_batch()
         for i, b in enumerate(buffers):
