@@ -107,18 +107,30 @@ def main():
     log(f"host entropy decode: {host_fps:.1f} frames/s/core "
         f"({1e3 * host_dt / F:.3f} ms/frame)")
 
-    # --- end-to-end: parse every stream + batched device step ---------------
-    # Warm-up / compile.
-    y, cb, cr = dec.decode_step([corpus[0]] * S)
+    # --- end-to-end (sequential steps) ---------------------------------------
+    y, cb, cr = dec.decode_step([corpus[0]] * S)  # warm-up / compile
     y.block_until_ready()
     t0 = time.perf_counter()
     for t in range(1, F):
         y, cb, cr = dec.decode_step([corpus[t]] * S)
     y.block_until_ready()
     e2e_dt = time.perf_counter() - t0
-    e2e_fps = S * (F - 1) / e2e_dt
-    log(f"end-to-end: {e2e_fps:.1f} frames/s/chip "
+    seq_fps = S * (F - 1) / e2e_dt
+    log(f"end-to-end sequential: {seq_fps:.1f} frames/s/chip "
         f"(batch={S}, {1e3 * e2e_dt / (F - 1):.2f} ms/step)")
+
+    # --- end-to-end (pipelined: host parse overlaps device stage) -----------
+    t0 = time.perf_counter()
+    last = None
+    for last in dec.decode_stream_pipelined(
+            [corpus[1 + (t % (F - 1))]] * S for t in range(2 * F)):
+        pass
+    last[0].block_until_ready()
+    pipe_dt = time.perf_counter() - t0
+    pipe_fps = S * 2 * F / pipe_dt
+    log(f"end-to-end pipelined: {pipe_fps:.1f} frames/s/chip "
+        f"({1e3 * pipe_dt / (2 * F):.2f} ms/step)")
+    e2e_fps = max(seq_fps, pipe_fps)
 
     # --- device stage in isolation (packed transfer + reconstruct, reusing
     # the last packed host batch) ----------------------------------------------
@@ -143,7 +155,8 @@ def main():
         "detail": {
             "host_parse_fps_per_core": round(host_fps, 1),
             "device_stage_fps": round(device_fps, 1),
-            "end_to_end_fps": round(e2e_fps, 1),
+            "end_to_end_sequential_fps": round(seq_fps, 1),
+            "end_to_end_pipelined_fps": round(pipe_fps, 1),
             "native_frontend": bool(native),
             "streams": S, "frames": F, "width": W, "height": H,
             "baseline_note": "vs north-star 1000 real-time CIF streams/chip (30000 f/s); reference publishes no numbers",

@@ -162,6 +162,7 @@ class BatchedStreamDecoder:
         # 2-8); PackOverflow falls back to the dense transport per step.
         self.pack_cap = pack_cap or max(1024, 16 * mb_w * mb_h)
         self._mv_full = False  # sticky: set on first frame with varied MVs
+        self._executor = None  # lazy pipeline worker (submit_step)
         self._pred_scratch = np.zeros((mb_w * mb_h, 4, 2), dtype=np.int16)
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap)
                         for _ in range(2)]
@@ -378,6 +379,39 @@ class BatchedStreamDecoder:
                                         self.ref_cr)
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         return y, cb, cr
+
+    def submit_step(self, buffers: Sequence[bytes]):
+        """Pipelined decode: parse this frame now (caller thread), then
+        transfer+reconstruct on the pipeline worker while the caller parses
+        the next frame.  Returns a Future of (y, cb, cr).
+
+        Both stages release the GIL (the parse is one native call; the
+        transfer is tunnel/DMA I/O), so host entropy decode of frame t+1
+        overlaps the device stage of frame t.  Steps execute in submission
+        order (single worker), preserving reference-plane state.
+        """
+        import concurrent.futures
+
+        if self._executor is None:
+            self._executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="h263-device")
+
+        packed = self.next_packed_batch()
+        with trace_stage("host_parse"):
+            self.parse_batch_packed(buffers, packed)
+        return self._executor.submit(self.step_packed, packed)
+
+    def decode_stream_pipelined(self, frame_iter):
+        """Generator driving the two-stage pipeline over an iterator of
+        frame-buffer lists; yields (y, cb, cr) per step in order."""
+        pending = None
+        for buffers in frame_iter:
+            fut = self.submit_step(buffers)
+            if pending is not None:
+                yield pending.result()
+            pending = fut
+        if pending is not None:
+            yield pending.result()
 
     def present_rgba(self, deblock: Optional[bool] = None):
         """RGBA [S, H, W, 4] of the last decoded frames, computed on device.

@@ -162,3 +162,19 @@ class TestPresentation:
                         cri = golden_deblock(cri, s)
                 want = golden_yuv420_to_rgba(yi, cbi, cri)
                 np.testing.assert_array_equal(rgba[i], want, err_msg=f"s{i}")
+
+
+class TestPipelined:
+    def test_pipelined_matches_sequential(self):
+        n = 4
+        per_stream = [_stream_frames(seed, n_p=4) for seed in range(n)]
+        seq = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        pipe = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        frames = [[per_stream[i][t] for i in range(n)]
+                  for t in range(len(per_stream[0]))]
+        seq_out = [np.asarray(seq.decode_step(b)[0]) for b in frames]
+        pipe_out = [np.asarray(y) for (y, cb, cr)
+                    in pipe.decode_stream_pipelined(iter(frames))]
+        assert len(pipe_out) == len(seq_out)
+        for a, b in zip(seq_out, pipe_out):
+            np.testing.assert_array_equal(a, b)
