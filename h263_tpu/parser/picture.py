@@ -341,7 +341,11 @@ def decode_picture(r: BitReader, decoder_options: DecoderOption,
 
         low_tr = r.read_u8()
         options, maybe_fmt_type = _decode_ptype(r)
-        multiplex_bitstream = None
+        # CPM/PSBI placement depends on PLUSPTYPE presence; _UNREAD marks
+        # "not read yet" — distinct from "read, feature off" (None), matching
+        # the reference's Option<Option<u8>> (picture.rs:666-688,774-777).
+        _UNREAD = object()
+        multiplex_bitstream = _UNREAD
         if maybe_fmt_type is not None:
             fmt, picture_type = maybe_fmt_type
             followers = 0
@@ -407,7 +411,7 @@ def decode_picture(r: BitReader, decoder_options: DecoderOption,
 
         quantizer = r.read_bits(5)
 
-        if multiplex_bitstream is None:
+        if multiplex_bitstream is _UNREAD:
             multiplex_bitstream = _decode_cpm_and_psbi(r)
 
         pb_reference = None

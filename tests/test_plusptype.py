@@ -1,0 +1,139 @@
+"""PLUSPTYPE header paths: UFEP/OPPTYPE/MPPTYPE, CPFMT, UUI, option
+carry-forward — hand-assembled bit patterns per H.263 5.1.4."""
+
+import numpy as np
+
+from h263_tpu import DecoderOption, H263Decoder
+from h263_tpu.bitio import BitReader
+from h263_tpu.parser import decode_picture
+from h263_tpu.testing.encoder import BitWriter, MBSpec, encode_macroblock
+from h263_tpu.types import (
+    MotionVectorRange,
+    PictureOption,
+    PictureTypeCode,
+    PixelAspectRatio,
+    SourceFormatKind,
+)
+
+
+def _plusptype_header(w_pix=176, h_pix=144, ptype_bits="000", umv=True,
+                      ufep=True, tr=5, quant=9):
+    w = BitWriter()
+    w.write_bits(1, 17)          # PSC
+    w.write_bits(0, 5)           # GN
+    w.write_bits(tr, 8)          # TR
+    w.write_code("10000")        # PTYPE: '10' + no split/doc/freeze
+    w.write_code("111")          # source format 7 => PLUSPTYPE
+    if ufep:
+        w.write_code("001")      # UFEP: OPPTYPE present
+        w.write_code("110")      # OPPTYPE fmt = custom
+        w.write_bits(0, 1)       # custom PCF off
+        w.write_bits(1 if umv else 0, 1)
+        w.write_bits(0, 9)       # sac/ap/aic/df/ss/rps/isd/aiv/mq off
+        w.write_code("1000")     # mandatory tail
+    else:
+        w.write_code("000")      # UFEP: no OPPTYPE
+    w.write_code(ptype_bits)     # MPPTYPE picture type
+    w.write_code("000")          # rprp/rru/rounding off
+    w.write_code("001")          # mandatory tail
+    w.write_bits(0, 1)           # CPM off
+    if ufep:
+        # CPFMT: PAR=0001 (square), PWI, '1', PHI (8 bits used by parser)
+        w.write_bits(0b0001, 4)
+        w.write_bits(w_pix // 4 - 1, 9)
+        w.write_bits(1, 1)
+        w.write_bits(h_pix // 4, 9)
+        if umv:
+            w.write_bits(1, 1)   # UUI: '1' => Extended range
+    w.write_bits(quant, 5)
+    w.write_bits(0, 1)           # PEI end
+    return w
+
+
+def test_plusptype_custom_format():
+    w = _plusptype_header()
+    pic = decode_picture(BitReader(w.to_bytes()), DecoderOption.NONE, None)
+    assert pic.has_plusptype and pic.has_opptype
+    assert pic.format.kind is SourceFormatKind.EXTENDED
+    assert pic.format.width_and_height() == (176, 144)
+    assert pic.format.custom.pixel_aspect_ratio is PixelAspectRatio.SQUARE
+    assert pic.picture_type is PictureTypeCode.I_FRAME
+    assert pic.options & PictureOption.UNRESTRICTED_MOTION_VECTORS
+    assert pic.motion_vector_range is MotionVectorRange.EXTENDED
+    assert pic.quantizer == 9
+    assert pic.temporal_reference == 5
+
+
+def test_plusptype_without_opptype_carries_options_forward():
+    """UFEP=0 carries OPPTYPE options forward from the previous header.
+
+    Previous picture must itself lack a stated format here: the reference
+    treats `previous.format != current.format` (None vs Some) as an RPRP
+    trigger and bails unimplemented (picture.rs:760-770) — see the quirk
+    test below.
+    """
+    first = _plusptype_header(ufep=False)
+    pic1 = decode_picture(BitReader(first.to_bytes()), DecoderOption.NONE, None)
+    assert pic1.format is None
+
+    # hand the carry-forward a previous header with UMV set
+    pic1.options |= PictureOption.UNRESTRICTED_MOTION_VECTORS
+    second = _plusptype_header(ufep=False, ptype_bits="001", tr=6)
+    pic2 = decode_picture(BitReader(second.to_bytes()), DecoderOption.NONE, pic1)
+    assert pic2.has_plusptype and not pic2.has_opptype
+    assert pic2.options & PictureOption.UNRESTRICTED_MOTION_VECTORS
+    assert pic2.picture_type is PictureTypeCode.P_FRAME
+    assert pic2.format is None  # inherited later by the state machine
+
+
+def test_format_change_triggers_unimplemented_rprp():
+    """Parity quirk: a header whose stated format differs from the previous
+    header's (incl. None vs custom) hits the reference's unimplemented
+    RPRP path (picture.rs:760-770)."""
+    import pytest
+
+    from h263_tpu.types import UnimplementedDecoding
+
+    first = _plusptype_header()
+    pic1 = decode_picture(BitReader(first.to_bytes()), DecoderOption.NONE, None)
+    second = _plusptype_header(ufep=False, ptype_bits="001", tr=6)
+    with pytest.raises(UnimplementedDecoding):
+        decode_picture(BitReader(second.to_bytes()), DecoderOption.NONE, pic1)
+
+
+def test_plusptype_e2e_decode_with_umv():
+    """Full decode of a PLUSPTYPE custom-format picture; UMV fixed codes
+    for motion vectors (reader.rs:298-324 path)."""
+    nmb = (176 // 16) * (144 // 16)
+    w = _plusptype_header()
+    for _ in range(nmb):
+        encode_macroblock(w, MBSpec(kind="intra", intradc=[800] * 6),
+                          PictureTypeCode.I_FRAME, None)
+    f0 = w.to_bytes()
+
+    # P-frame with UMV-coded motion vectors.  UMV code '1' = 0; '0 00' = +1.
+    w2 = _plusptype_header(ptype_bits="001", tr=6)
+    for _ in range(nmb):
+        w2.write_bits(0, 1)      # COD coded
+        w2.write_code("1")       # MCBPC INTER no chroma
+        w2.write_code("11")      # CBPY (inter sense: none coded)
+        w2.write_code("000")     # UMV x: '0' then '00' => +1 halfpel
+        w2.write_code("1")       # UMV y: 0
+    f1 = w2.to_bytes()
+
+    dj = H263Decoder(DecoderOption.NONE, backend="jax")
+    dn = H263Decoder(DecoderOption.NONE, backend="numpy")
+    for buf in (f0, f1):
+        pj = dj.decode_next_picture(buf)
+        pn = dn.decode_next_picture(buf)
+        np.testing.assert_array_equal(np.asarray(pj.as_luma()), pn.as_luma())
+    assert dn.get_last_picture().as_luma().shape == (144, 176)
+
+
+def test_cpfmt_phi_8bit_quirk():
+    """The reference reads only 8 of CPFMT's 9 PHI bits (picture.rs:384);
+    heights >= 1024 therefore alias.  Parity check: h=1024 -> PHI=256 ->
+    8-bit truncation -> height 0."""
+    w = _plusptype_header(w_pix=176, h_pix=1024)
+    pic = decode_picture(BitReader(w.to_bytes()), DecoderOption.NONE, None)
+    assert pic.format.width_and_height() == (176, 0)
