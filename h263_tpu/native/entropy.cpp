@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 #include "tables.h"
 
@@ -106,7 +107,44 @@ struct BitReader {
     }
     return true;
   }
+
+  // ---- unchecked fast path ----
+  //
+  // Valid only when `data` points at a zero-padded copy with >= 16 spare
+  // bytes past `nbits` (h263_parse_frame guarantees this).  Reads past the
+  // logical end return zero bits; callers detect the overrun afterwards
+  // via pos > nbits and map the outcome back to the reference's
+  // read-time-EOF semantics.
+
+  inline uint64_t window_fast() const {
+    uint64_t w;
+    std::memcpy(&w, data + (pos >> 3), 8);
+    return __builtin_bswap64(w);
+  }
+
+  inline uint32_t rd(int n) {
+    uint64_t w = window_fast() << (pos & 7);
+    pos += n;
+    return n ? (uint32_t)(w >> (64 - n)) : 0;
+  }
+
+  inline int32_t rds(int n) {
+    uint32_t v = rd(n);
+    if (v & (1u << (n - 1))) return (int32_t)v - (1 << n);
+    return (int32_t)v;
+  }
+
+  inline bool overrun() const { return pos > nbits; }
 };
+
+// Unchecked VLC decode over the padded copy.
+static inline int32_t read_vlc_fast(BitReader& r, const uint32_t* lut,
+                                    int bits) {
+  uint64_t w = r.window_fast() << (r.pos & 7);
+  uint32_t e = lut[(uint32_t)(w >> (64 - bits))];
+  r.pos += e & 0xFF;
+  return (int32_t)(e >> 8);
+}
 
 // Decode one VLC; returns payload or -1 on EOF.
 static inline int32_t read_vlc(BitReader& r, const uint32_t* lut, int bits) {
@@ -155,6 +193,24 @@ static inline int16_t halfpel_decode(const MvContext& ctx, int16_t pred,
   }
   if (!mv_within(out, range)) out = (int32_t)halfpel_invert(mvd) + pred;
   return (int16_t)out;
+}
+
+// UMV fixed code, table D.3 (reader.rs:298-324); unchecked fast reads.
+// Returns E_MVD on invalid magnitude, OK otherwise.
+static inline int read_umv_fast(BitReader& r, int16_t* out) {
+  if (r.rd(1) == 1) { *out = 0; return OK; }
+  int32_t mantissa = 0;
+  int32_t bulk = 1;
+  while (bulk < 4096) {
+    switch (r.rd(2)) {
+      case 0: *out = (int16_t)(mantissa + bulk); return OK;
+      case 2: *out = (int16_t)(-(mantissa + bulk)); return OK;
+      case 1: mantissa <<= 1; break;
+      case 3: mantissa = (mantissa << 1) | 1; break;
+    }
+    bulk <<= 1;
+  }
+  return E_MVD;
 }
 
 // UMV fixed code, table D.3 (reader.rs:298-324).  Returns false on EOF;
@@ -206,8 +262,7 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   const int32_t pack_start = packed ? *sink.count : 0;
   int32_t intradc = -1;
   if (intra) {
-    uint32_t b;
-    if (!r.read(8, &b)) return E_EOF;
+    uint32_t b = r.rd(8);
     if (b == 0 || b == 128) return E_INTRADC;
     intradc = (b == 0xFF) ? 1024 : (int32_t)(b << 3);
   }
@@ -246,32 +301,23 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   int parity = (quant % 2 == 1) ? 0 : -1;
 
   while (present) {
-    int32_t sym = read_vlc(r, TCOEF_LUT, TCOEF_LUT_BITS);
-    if (sym < 0) return E_EOF;
+    int32_t sym = read_vlc_fast(r, TCOEF_LUT, TCOEF_LUT_BITS);
     int kind = sym >> 12;
     if (kind == 2) return E_SHORT_COEF;
     int last, run;
     int32_t level;
     if (kind == 1) {  // ESCAPE
       int width = 8;
-      uint32_t b;
-      if (sorenson_v1) {
-        if (!r.read(1, &b)) return E_EOF;
-        width = b ? 11 : 7;
-      }
-      if (!r.read(1, &b)) return E_EOF;
-      last = (int)b;
-      if (!r.read(6, &b)) return E_EOF;
-      run = (int)b;
-      if (!r.read_signed(width, &level)) return E_EOF;
+      if (sorenson_v1) width = r.rd(1) ? 11 : 7;
+      last = (int)r.rd(1);
+      run = (int)r.rd(6);
+      level = r.rds(width);
       if (level == 0) return E_LONG_COEF;
     } else {
       last = (sym >> 11) & 1;
       run = (sym >> 5) & 0x3F;
       level = sym & 0x1F;
-      uint32_t sign;
-      if (!r.read(1, &sign)) return E_EOF;
-      if (sign) level = -level;
+      if (r.rd(1)) level = -level;
     }
 
     zz += run;
@@ -433,7 +479,16 @@ int h263_parse_frame(
     int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
     int32_t* pack_count,
     uint64_t* end_bit_out) {
-  BitReader r{data, nbytes * 8, nbytes, start_bit};
+  // Copy the frame into a zero-padded scratch buffer so the hot loop can
+  // use branch-free reads; reads past the logical end return zero bits and
+  // the overrun is detected per macroblock / per block (see below).
+  static thread_local std::vector<uint8_t> tl_padded;
+  constexpr uint64_t PAD = 96;
+  if (tl_padded.size() < nbytes + PAD) tl_padded.resize(nbytes + PAD);
+  std::memcpy(tl_padded.data(), data, nbytes);
+  std::memset(tl_padded.data() + nbytes, 0, PAD);
+  // nbits = logical stream length; nbytes field = padded size (load bound).
+  BitReader r{tl_padded.data(), nbytes * 8, nbytes + PAD, start_bit};
 
   const bool sorenson = flags & F_SORENSON;
   const bool is_iframe = picture_type == 0;
@@ -476,9 +531,7 @@ int h263_parse_frame(
 
     do {
       uint32_t cod = 0;
-      if (!is_iframe) {
-        if (!r.read(1, &cod)) { mb_err = E_EOF; break; }
-      }
+      if (!is_iframe) cod = r.rd(1);
       if (cod) { is_uncoded = true; got_mb = true; break; }
 
       if (picture_type != 0 && picture_type != 1) {
@@ -486,8 +539,7 @@ int h263_parse_frame(
         mb_err = E_UNIMPLEMENTED;
         break;
       }
-      int32_t mc = read_vlc(r, mcbpc_lut, mcbpc_bits);
-      if (mc < 0) { mb_err = E_EOF; break; }
+      int32_t mc = read_vlc_fast(r, mcbpc_lut, mcbpc_bits);
       int kind = (mc >> 5) & 3;
       if (kind == 1) { is_stuffing = true; got_mb = true; break; }
       if (kind == 2) { mb_err = E_MB_HEADER; break; }
@@ -495,8 +547,7 @@ int h263_parse_frame(
       cbp[4] = (mc >> 1) & 1;
       cbp[5] = mc & 1;
 
-      int32_t cy = read_vlc(r, CBPY_LUT, CBPY_LUT_BITS);
-      if (cy < 0) { mb_err = E_EOF; break; }
+      int32_t cy = read_vlc_fast(r, CBPY_LUT, CBPY_LUT_BITS);
       if (cy & 0x10) { mb_err = E_MB_CODED_BITS; break; }
       bool intra = mb_type == 3 || mb_type == 4;  // INTRA, INTRA_Q
       int pattern = intra ? cy : (~cy & 0xF);
@@ -507,10 +558,8 @@ int h263_parse_frame(
 
       bool has_q = mb_type == 1 || mb_type == 4 || mb_type == 5;
       if (has_q) {
-        uint32_t dq;
-        if (!r.read(2, &dq)) { mb_err = E_EOF; break; }
         static const int dq_map[4] = {-1, -2, 1, 2};
-        dquant = dq_map[dq];
+        dquant = dq_map[r.rd(2)];
       }
 
       bool is_inter = mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5;
@@ -519,17 +568,14 @@ int h263_parse_frame(
         n_mvs = fourv ? 4 : 1;
         for (int k = 0; k < n_mvs; k++) {
           if (umv && has_plusptype) {
-            int err = 0;
-            if (!read_umv(r, &mvds[k][0], &err)) { mb_err = E_EOF; break; }
+            int err = read_umv_fast(r, &mvds[k][0]);
             if (err) { mb_err = err; break; }
-            if (!read_umv(r, &mvds[k][1], &err)) { mb_err = E_EOF; break; }
+            err = read_umv_fast(r, &mvds[k][1]);
             if (err) { mb_err = err; break; }
           } else {
-            int32_t x = read_vlc(r, MVD_LUT, MVD_LUT_BITS);
-            if (x < 0) { mb_err = E_EOF; break; }
+            int32_t x = read_vlc_fast(r, MVD_LUT, MVD_LUT_BITS);
             if (x & 0x80) { mb_err = E_MVD; break; }
-            int32_t y = read_vlc(r, MVD_LUT, MVD_LUT_BITS);
-            if (y < 0) { mb_err = E_EOF; break; }
+            int32_t y = read_vlc_fast(r, MVD_LUT, MVD_LUT_BITS);
             if (y & 0x80) { mb_err = E_MVD; break; }
             mvds[k][0] = (int16_t)(x - 64);
             mvds[k][1] = (int16_t)(y - 64);
@@ -539,6 +585,14 @@ int h263_parse_frame(
       }
       got_mb = true;
     } while (false);
+
+    // A read crossing the logical end means the reference would have hit
+    // EOF mid-macroblock: the transaction rolls back and the picture ends
+    // (state.rs:410-412) — for every header outcome, success or error.
+    if (r.overrun()) {
+      r.pos = mb_start;
+      break;
+    }
 
     if (!got_mb) {
       r.pos = mb_start;  // transaction rollback
@@ -626,8 +680,11 @@ int h263_parse_frame(
         }
         int err = decode_block(r, intra, cbp[k], quant, sorenson_v1, sink,
                                in_range);
-        if (err != OK) return err;
+        if (err != OK) return r.overrun() ? E_EOF : err;
       }
+      // A block "completing" on padding bits means the reference hit EOF
+      // mid-block, which fails the whole picture (state.rs:287-294 `?`).
+      if (r.overrun()) return E_EOF;
     }
 
     // push predictors (cap at nmb; excess MBs influence nothing in-range)
