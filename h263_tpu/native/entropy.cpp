@@ -382,13 +382,29 @@ struct PredCtx {
   int count;       // total pushed
   int after_gob;   // slice base
   int mb_w;
+  // Maintained slice-relative coordinates of the *current* (next) MB,
+  // avoiding per-call division (reset on GOB resync, stepped on push).
+  int rel_col;
+  int rel_line;
+
+  inline void step() {
+    count += 1;
+    rel_col += 1;
+    if (rel_col == mb_w) { rel_col = 0; rel_line += 1; }
+  }
+
+  inline void resync(int new_after_gob) {
+    after_gob = new_after_gob;
+    rel_col = 0;
+    rel_line = 0;
+  }
 };
 
 static inline void predict(const PredCtx& p, const int16_t cur[4][2],
                            int index, int16_t out[2]) {
   int current_mb = p.count - p.after_gob;  // slice-relative
-  int col = current_mb % p.mb_w;
-  int line = current_mb / p.mb_w;
+  int col = p.rel_col;
+  int line = p.rel_line;
   int last_line_mb = (line > 0 ? line - 1 : 0) * p.mb_w + col;
   int slice_len = current_mb;
 
@@ -511,6 +527,10 @@ int h263_parse_frame(
   pctx.count = 0;
   pctx.after_gob = 0;
   pctx.mb_w = mb_w;
+  pctx.rel_col = 0;
+  pctx.rel_line = 0;
+  // Absolute placement coordinates of the next macroblock.
+  int abs_col = 0, abs_line = 0;
 
   int quant = pquant;
 
@@ -609,8 +629,8 @@ int h263_parse_frame(
     if (is_stuffing) continue;
 
     const int index = pctx.count;
-    const int mby = index / mb_w;
-    const int mbx = index % mb_w;
+    const int mby = abs_line;
+    const int mbx = abs_col;
     const bool in_range = index < nmb;
 
     int16_t cur_mvs[4][2] = {{0, 0}, {0, 0}, {0, 0}, {0, 0}};
@@ -694,7 +714,9 @@ int h263_parse_frame(
         pctx.preds[pctx.count][k][1] = cur_mvs[k][1];
       }
     }
-    pctx.count += 1;
+    pctx.step();
+    abs_col += 1;
+    if (abs_col == mb_w) { abs_col = 0; abs_line += 1; }
 
     if (in_range) {
       inter[mby * mb_w + mbx] =
