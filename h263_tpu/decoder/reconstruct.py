@@ -203,7 +203,7 @@ def get_present_fn(h: int, w: int):
 
 
 def reconstruct_frame_packed_u32(pack_u32, mvs, inter,
-                                 ref_y, ref_cb, ref_cr):
+                                 ref_y, ref_cb, ref_cr, pallas="off"):
     """Batched reconstruction from the combined-u32 packed transport.
 
     pack_u32 int32 [S, K]: each entry is (position << 12) | (value & 0xFFF)
@@ -232,10 +232,21 @@ def reconstruct_frame_packed_u32(pack_u32, mvs, inter,
         dense, pos, val)
     dense = dense.reshape(s, nblk, 64)
 
-    classes = derive_classes_jnp(dense)
-
     if mvs.ndim == 4:  # slim [S, mbh, mbw, 2] -> broadcast to 4 blocks
         mvs = jnp.broadcast_to(mvs[:, :, :, None, :], (s, mbh, mbw, 4, 2))
+
+    if pallas != "off":
+        # Fused Pallas IDCT (class derivation happens in-kernel).
+        from ..ops.idct_pallas import idct_residual_pallas
+
+        res = idct_residual_pallas(dense, interpret=(pallas == "interpret"))
+        ry = res[:, : 4 * nmb].reshape(s, 2 * mbh, 2 * mbw, 8, 8)
+        rcb = res[:, 4 * nmb : 5 * nmb].reshape(s, mbh, mbw, 8, 8)
+        rcr = res[:, 5 * nmb :].reshape(s, mbh, mbw, 8, 8)
+        return jax.vmap(reconstruct_from_residuals_single)(
+            ry, rcb, rcr, mvs, inter, ref_y, ref_cb, ref_cr)
+
+    classes = derive_classes_jnp(dense)
 
     cy = dense[:, : 4 * nmb].reshape(s, 2 * mbh, 2 * mbw, 8, 8)
     ky = classes[:, : 4 * nmb].reshape(s, 2 * mbh, 2 * mbw)
@@ -248,8 +259,34 @@ def reconstruct_frame_packed_u32(pack_u32, mvs, inter,
         cy, ky, ccb, kcb, ccr, kcr, mvs, inter, ref_y, ref_cb, ref_cr)
 
 
+def reconstruct_from_residuals_single(res_y, res_cb, res_cr, mvs, inter,
+                                      ref_y, ref_cb, ref_cr, out_hw=None):
+    """Like reconstruct_frame_single, but with precomputed clipped-IDCT
+    residuals (int32 [nby, nbx, 8, 8]) — e.g. from the Pallas kernel."""
+    import jax.numpy as jnp
+
+    h, w = out_hw or ref_y.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    inter = jnp.asarray(inter).astype(jnp.bool_)
+
+    luma_mvs = _expand_luma_mvs(mvs)
+    luma_mask = _expand_luma_mask(inter)
+    pred_y = gather_plane_jnp(ref_y, luma_mvs, luma_mask, out_shape=(h, w))
+    cmv = chroma_mv_jnp(mvs)
+    pred_cb = gather_plane_jnp(ref_cb, cmv, inter, out_shape=(ch, cw))
+    pred_cr = gather_plane_jnp(ref_cr, cmv, inter, out_shape=(ch, cw))
+
+    ry = _blocks_to_plane(res_y, h, w)
+    rcb = _blocks_to_plane(res_cb, ch, cw)
+    rcr = _blocks_to_plane(res_cr, ch, cw)
+
+    clamp = lambda p, r: jnp.clip(p + r, 0, 255).astype(jnp.uint8)
+    return clamp(pred_y, ry), clamp(pred_cb, rcb), clamp(pred_cr, rcr)
+
+
 @functools.lru_cache(maxsize=16)
-def get_packed_u32_reconstruct_fn(h: int, w: int):
+def get_packed_u32_reconstruct_fn(h: int, w: int, pallas: str = "off"):
     import jax
 
-    return jax.jit(reconstruct_frame_packed_u32)
+    return jax.jit(functools.partial(reconstruct_frame_packed_u32,
+                                     pallas=pallas))

@@ -137,7 +137,7 @@ class BatchedStreamDecoder:
     def __init__(self, n_streams: int, width: int, height: int,
                  decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
                  reconstruct_fn=None, packed_reconstruct_fn=None,
-                 pack_cap: Optional[int] = None):
+                 pack_cap: Optional[int] = None, pallas: str = "off"):
         import jax.numpy as jnp
 
         self.n = n_streams
@@ -167,8 +167,10 @@ class BatchedStreamDecoder:
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap)
                         for _ in range(2)]
         self._packed_idx = 0
+        # pallas: "off" (XLA ops), "tpu" (Mosaic kernels), or "interpret"
+        # (CPU testing).  All three are bit-identical.
         self._packed_fn = packed_reconstruct_fn or get_packed_u32_reconstruct_fn(
-            self.h, self.w)
+            self.h, self.w, pallas)
 
     def next_host_batch(self) -> _HostBatch:
         self._batch_idx ^= 1

@@ -66,3 +66,51 @@ def test_batched_leading_axes():
     for i in range(64):
         want = golden_idct_block(flat[i].astype(np.float32), BLOCK_CLASS_FULL)
         np.testing.assert_array_equal(got.reshape(-1, 64)[i].reshape(8, 8), want)
+
+
+class TestYuvPallas:
+    @pytest.mark.parametrize("shape", [(16, 16), (17, 11), (288, 352), (9, 130)])
+    def test_matches_golden(self, shape):
+        from h263_tpu.ops.yuv import golden_yuv420_to_rgba
+        from h263_tpu.ops.yuv_pallas import yuv420_to_rgba_pallas
+
+        h, w = shape
+        r = np.random.default_rng(h * 31 + w)
+        y = r.integers(0, 256, (h, w), dtype=np.uint8)
+        cb = r.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint8)
+        cr = r.integers(0, 256, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint8)
+        want = golden_yuv420_to_rgba(y, cb, cr)
+        got = np.asarray(yuv420_to_rgba_pallas(y, cb, cr, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_pipeline_matches_xla():
+    """Full batched decode with the Pallas IDCT path (interpret mode on
+    CPU) must match the XLA path bit-for-bit."""
+    from h263_tpu import DecoderOption, PictureTypeCode
+    from h263_tpu.parallel import BatchedStreamDecoder
+    from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
+
+    SOR = DecoderOption.SORENSON_SPARK_BITSTREAM
+    rng2 = np.random.default_rng(17)
+    nmb = 4
+    frames = [encode_sorenson_picture(
+        32, 32, PictureTypeCode.I_FRAME,
+        [MBSpec(kind="intra", intradc=[int(rng2.integers(1, 128)) * 8] * 6,
+                blocks=[[(0, int(rng2.integers(1, 20)))], [], [], [], [], []])
+         for _ in range(nmb)], temporal_reference=0)]
+    for tr in (1, 2):
+        frames.append(encode_sorenson_picture(
+            32, 32, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(3, -5)],
+                    blocks=[[(1, 7)], [], [(0, -4)], [], [], []])] * nmb,
+            temporal_reference=tr))
+
+    d_xla = BatchedStreamDecoder(2, 32, 32, SOR)
+    d_pal = BatchedStreamDecoder(2, 32, 32, SOR, pallas="interpret")
+    for f in frames:
+        yx, cbx, crx = d_xla.decode_step([f, f])
+        yp, cbp, crp = d_pal.decode_step([f, f])
+        np.testing.assert_array_equal(np.asarray(yx), np.asarray(yp))
+        np.testing.assert_array_equal(np.asarray(cbx), np.asarray(cbp))
+        np.testing.assert_array_equal(np.asarray(crx), np.asarray(crp))
