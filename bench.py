@@ -65,6 +65,37 @@ def build_corpus(width: int, height: int, n_frames: int, seed: int = 7):
     return frames
 
 
+def verify_strict_rounding(make_decoder):
+    """Assert the device backend performs reference-strict f32 rounding.
+
+    Decodes a crafted two-frame sequence whose IDCT output flips by one if
+    the backend contracts mul+add into FMAs (skipping the product rounding
+    the reference performs): dequantized coefficients {735, -555, 215} at
+    positions (2,0),(3,0),(2,2) yield residual 28 strict / 27 contracted at
+    pixel (0,2).
+    """
+    from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
+    from h263_tpu.types import PictureTypeCode
+
+    f0 = encode_sorenson_picture(
+        16, 16, PictureTypeCode.I_FRAME,
+        [MBSpec(kind="intra", intradc=[1024] * 6)], temporal_reference=0)
+    # quant 5: levels 73, -55, 21 dequantize to exactly 735, -555, 215.
+    f1 = encode_sorenson_picture(
+        16, 16, PictureTypeCode.P_FRAME,
+        [MBSpec(kind="inter", mvd=[(0, 0)],
+                blocks=[[(5, 73), (0, -55), (5, 21)], [], [], [], [], []])],
+        quantizer=5, temporal_reference=1)
+
+    dec = make_decoder()
+    dec.decode_step([f0])
+    y, _, _ = dec.decode_step([f1])
+    got = int(np.asarray(y)[0, 0, 2])
+    assert got == 128 + 28, (
+        f"device backend is not reference-strict: pixel = {got}, expected "
+        f"156 (strict) — 155 indicates FMA contraction")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=64)
@@ -94,6 +125,11 @@ def main():
 
     native = ensure_built()
     log(f"native front-end: {native}")
+
+    verify_strict_rounding(
+        lambda: BatchedStreamDecoder(1, 16, 16,
+                                     DecoderOption.SORENSON_SPARK_BITSTREAM))
+    log("strict f32 rounding verified on device")
 
     dec = BatchedStreamDecoder(S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
 

@@ -160,6 +160,15 @@ def idct_residual_jnp(coeffs, classes):
 
     def idct1d_last(x):
         # x[..., 8] -> out[..., 8]; sequential accumulation over frequency.
+        #
+        # FMA hazard: a backend compiling with allow-excess-precision may
+        # contract mul+add into an FMA, skipping the product's f32 rounding
+        # and diverging from the reference by 1 ulp — enough to flip the
+        # trunc() at rounding boundaries (caught by the 60-frame soak
+        # test).  HLO-level barriers cannot prevent this (it happens in the
+        # backend); the CPU test environment disables the fusion pass
+        # (tests/conftest.py) and the TPU backend's strict rounding is
+        # asserted on hardware by bench.py's regression check.
         acc = x[..., 0:1] * basis[0]
         for f in range(1, 8):
             acc = acc + x[..., f : f + 1] * basis[f]

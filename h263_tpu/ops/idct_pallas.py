@@ -41,7 +41,10 @@ def _kernel(basis_ref, coeffs_ref, out_ref):
 
     def idct_mid(t):
         # t: (a, 8, L) -> (a, 8, L): out[a, i] = sum_f t[a, f] * B[f, i],
-        # accumulated in f order (bit-exact with idct.rs:52-65).
+        # accumulated in f order (bit-exact with idct.rs:52-65).  Each
+        # FMA-contraction hazard: see ops/idct.py idct1d_last.  Mosaic's
+        # strict-rounding behavior is asserted on hardware by bench.py's
+        # regression check.
         outs = []
         for i in range(8):
             acc = t[:, 0, :] * basis_ref[0, i]

@@ -184,3 +184,39 @@ class TestYuv:
         out = golden_yuv420_to_rgba(
             np.full((1, 1), 128, np.uint8), cb, cr)
         np.testing.assert_array_equal(out[0, 0], [130, 130, 130, 255])
+
+
+class TestFmaContraction:
+    """Regression: XLA may contract mul+add chains into FMAs (it compiles
+    with allow-excess-precision), skipping the product's f32 rounding and
+    flipping trunc() by one.  This block (caught by the 60-frame soak)
+    yields 28 at (0,2) with reference rounding but 27 under FMA."""
+
+    def _block(self):
+        c = np.zeros((8, 8), dtype=np.int16)
+        c[0, 2], c[0, 3], c[2, 2] = 735, -555, 215
+        return c
+
+    def test_golden_value(self):
+        got = golden_idct_block(self._block().astype(np.float32),
+                                BLOCK_CLASS_FULL)
+        assert got[0, 2] == 28
+
+    def test_jnp_vmapped_and_plain(self):
+        import jax
+        import jax.numpy as jnp
+
+        c = self._block().reshape(1, 1, 8, 8)
+        k = np.full((1, 1), BLOCK_CLASS_FULL, dtype=np.int8)
+        plain = jax.jit(idct_residual_jnp)(c, k)
+        assert np.asarray(plain)[0, 0, 0, 2] == 28
+        vm = jax.jit(jax.vmap(idct_residual_jnp))(
+            jnp.asarray(c)[None], jnp.asarray(k)[None])
+        assert np.asarray(vm)[0, 0, 0, 0, 2] == 28
+
+    def test_pallas_interpret(self):
+        from h263_tpu.ops.idct_pallas import idct_residual_pallas
+
+        got = idct_residual_pallas(self._block().reshape(1, 64),
+                                   interpret=True)
+        assert np.asarray(got)[0].reshape(8, 8)[0, 2] == 28
