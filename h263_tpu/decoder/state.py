@@ -235,11 +235,24 @@ class H263Decoder:
         hdr = pic.as_header()
         if deblock is None:
             deblock = bool(hdr.options & PictureOption.USE_DEBLOCKER)
+        strength = int(QUANT_TO_STRENGTH[hdr.quantizer & 31])
+
+        if self.backend == "jax":
+            import jax.numpy as jnp
+
+            from .reconstruct import get_present_fn
+
+            fn = get_present_fn(pic.height, pic.width)
+            rgba = fn(jnp.asarray(pic.luma)[None],
+                      jnp.asarray(pic.chroma_b)[None],
+                      jnp.asarray(pic.chroma_r)[None],
+                      np.array([strength], dtype=np.int32),
+                      np.array([deblock], dtype=np.bool_))
+            return np.asarray(rgba)[0]
+
         y, cb, cr = pic.as_yuv()
-        if deblock:
-            strength = int(QUANT_TO_STRENGTH[hdr.quantizer & 31])
-            if strength > 0:
-                y = golden_deblock(y, strength)
-                cb = golden_deblock(cb, strength)
-                cr = golden_deblock(cr, strength)
+        if deblock and strength > 0:
+            y = golden_deblock(y, strength)
+            cb = golden_deblock(cb, strength)
+            cr = golden_deblock(cr, strength)
         return golden_yuv420_to_rgba(y, cb, cr)

@@ -334,3 +334,15 @@ class TestStandardH263:
         p1 = dn.decode_next_picture(frames[1])
         # picture decoded: first 2 MBs copied, rest tail-filled (also copies)
         np.testing.assert_array_equal(p1.as_luma(), p0.as_luma())
+
+
+class TestRgbaBackendParity:
+    def test_jax_rgba_matches_numpy_rgba(self):
+        for deb in (None, True, False):
+            dj = H263Decoder(SORENSON, backend="jax")
+            dn = H263Decoder(SORENSON, backend="numpy")
+            buf = _gray_iframe(32, 32, dc=808, quant=9, deblocker=True)
+            dj.decode_next_picture(buf)
+            dn.decode_next_picture(buf)
+            np.testing.assert_array_equal(
+                dj.last_picture_rgba(deb), dn.last_picture_rgba(deb))
