@@ -65,8 +65,10 @@ def build_corpus(width: int, height: int, n_frames: int, seed: int = 7):
     return frames
 
 
-def verify_strict_rounding(make_decoder):
-    """Assert the device backend performs reference-strict f32 rounding.
+def verify_strict_rounding(dec, width: int, height: int):
+    """Assert the device backend performs reference-strict f32 rounding,
+    reusing the given (already-constructed) batched decoder — no extra jit
+    signatures.
 
     Decodes a crafted two-frame sequence whose IDCT output flips by one if
     the backend contracts mul+add into FMAs (skipping the product rounding
@@ -77,19 +79,21 @@ def verify_strict_rounding(make_decoder):
     from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
     from h263_tpu.types import PictureTypeCode
 
+    nmb = (-(-width // 16)) * (-(-height // 16))
     f0 = encode_sorenson_picture(
-        16, 16, PictureTypeCode.I_FRAME,
-        [MBSpec(kind="intra", intradc=[1024] * 6)], temporal_reference=0)
+        width, height, PictureTypeCode.I_FRAME,
+        [MBSpec(kind="intra", intradc=[1024] * 6)] * nmb,
+        temporal_reference=0)
     # quant 5: levels 73, -55, 21 dequantize to exactly 735, -555, 215.
     f1 = encode_sorenson_picture(
-        16, 16, PictureTypeCode.P_FRAME,
+        width, height, PictureTypeCode.P_FRAME,
         [MBSpec(kind="inter", mvd=[(0, 0)],
-                blocks=[[(5, 73), (0, -55), (5, 21)], [], [], [], [], []])],
+                blocks=[[(5, 73), (0, -55), (5, 21)], [], [], [], [], []])]
+        + [MBSpec(kind="uncoded")] * (nmb - 1),
         quantizer=5, temporal_reference=1)
 
-    dec = make_decoder()
-    dec.decode_step([f0])
-    y, _, _ = dec.decode_step([f1])
+    dec.decode_step([f0] * dec.n)
+    y, _, _ = dec.decode_step([f1] * dec.n)
     got = int(np.asarray(y)[0, 0, 2])
     assert got == 128 + 28, (
         f"device backend is not reference-strict: pixel = {got}, expected "
@@ -98,8 +102,8 @@ def verify_strict_rounding(make_decoder):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--streams", type=int, default=64)
-    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--streams", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--width", type=int, default=352)
     ap.add_argument("--height", type=int, default=288)
     ap.add_argument("--json-only", action="store_true")
@@ -126,12 +130,11 @@ def main():
     native = ensure_built()
     log(f"native front-end: {native}")
 
-    verify_strict_rounding(
-        lambda: BatchedStreamDecoder(1, 16, 16,
-                                     DecoderOption.SORENSON_SPARK_BITSTREAM))
-    log("strict f32 rounding verified on device")
-
     dec = BatchedStreamDecoder(S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
+
+    # Also serves as warm-up/compile of the main program.
+    verify_strict_rounding(dec, W, H)
+    log("strict f32 rounding verified on device")
 
     # --- host stage in isolation --------------------------------------------
     probe = BatchedStreamDecoder(1, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
