@@ -125,51 +125,6 @@ def get_batched_reconstruct_fn(h: int, w: int):
     return jax.jit(reconstruct_frame_batched)
 
 
-def reconstruct_frame_packed(pack_pos, pack_val, mvs, inter,
-                             ref_y, ref_cb, ref_cr):
-    """Batched reconstruction from the packed coefficient transport.
-
-    pack_pos int32 [S, K], pack_val int16 [S, K]: (global position, value)
-    pairs from the native front-end; padding positions point one past the
-    coefficient space and are dropped by the scatter.  Everything else as in
-    reconstruct_frame_batched.  Cuts host->device traffic by ~100x on
-    typical streams; classes are derived on device (derive_classes_jnp).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..ops.idct import derive_classes_jnp
-
-    s, mbh, mbw = inter.shape
-    h, w = ref_y.shape[-2], ref_y.shape[-1]
-    nmb = mbh * mbw
-    nblk = 6 * nmb
-
-    dense = jnp.zeros((s, nblk * 64), jnp.int16)
-    dense = jax.vmap(lambda d, p, v: d.at[p].set(v, mode="drop"))(
-        dense, pack_pos.astype(jnp.int32), pack_val.astype(jnp.int16))
-    dense = dense.reshape(s, nblk, 64)
-
-    classes = derive_classes_jnp(dense)
-
-    cy = dense[:, : 4 * nmb].reshape(s, 2 * mbh, 2 * mbw, 8, 8)
-    ky = classes[:, : 4 * nmb].reshape(s, 2 * mbh, 2 * mbw)
-    ccb = dense[:, 4 * nmb : 5 * nmb].reshape(s, mbh, mbw, 8, 8)
-    kcb = classes[:, 4 * nmb : 5 * nmb].reshape(s, mbh, mbw)
-    ccr = dense[:, 5 * nmb :].reshape(s, mbh, mbw, 8, 8)
-    kcr = classes[:, 5 * nmb :].reshape(s, mbh, mbw)
-
-    return jax.vmap(reconstruct_frame_single)(
-        cy, ky, ccb, kcb, ccr, kcr, mvs, inter, ref_y, ref_cb, ref_cr)
-
-
-@functools.lru_cache(maxsize=16)
-def get_packed_reconstruct_fn(h: int, w: int):
-    import jax
-
-    return jax.jit(reconstruct_frame_packed)
-
-
 def present_rgba_batched(y, cb, cr, strength, apply_deblock):
     """Device-side presentation: optional deblock + BT.601 YUV->RGBA.
 

@@ -243,140 +243,6 @@ class PackOverflow(H263Error):
 _ERROR_MAP[-11] = PackOverflow
 
 
-def parse_frame_packed_native(data: bytes, start_bit: int, picture: Picture,
-                              decoder_options, running_options: PictureOption,
-                              width: int, height: int,
-                              pack_pos: np.ndarray, pack_val: np.ndarray,
-                              mvs: np.ndarray, inter: np.ndarray):
-    """Packed-transport parse: coefficients as (position, value) pairs.
-
-    pack_pos int32[K] / pack_val int16[K] receive up to K pairs, where
-    position = global_block_index*64 + rowmajor index (luma blocks first,
-    then Cb, then Cr).  Unused tail entries of pack_pos are set to an
-    out-of-range sentinel so the device scatter drops them.  mvs int16
-    [mbh,mbw,4,2] and inter uint8 [mbh,mbw] are filled as in dense mode.
-    Returns (n_coeffs, end_bit).  Raises PackOverflow when K is too small.
-    """
-    from ..types import DecoderOption
-
-    assert _lib is not None, "call ensure_built() first"
-    assert pack_pos.dtype == np.int32 and pack_val.dtype == np.int16
-    assert pack_pos.flags["C_CONTIGUOUS"] and pack_val.flags["C_CONTIGUOUS"]
-    assert mvs.flags["C_CONTIGUOUS"] and inter.flags["C_CONTIGUOUS"]
-
-    mb_w = -(-width // 16)
-    mb_h = -(-height // 16)
-    nmb = mb_w * mb_h
-    mvs[:] = 0
-    inter[:] = 1
-    pred_scratch = np.zeros((nmb, 4, 2), dtype=np.int16)
-
-    flags = 0
-    if decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM:
-        flags |= F_SORENSON
-    if picture.has_plusptype:
-        flags |= F_HAS_PLUSPTYPE
-    if running_options & PictureOption.UNRESTRICTED_MOTION_VECTORS:
-        flags |= F_UMV_OPTION
-    if picture.motion_vector_range is MotionVectorRange.EXTENDED:
-        flags |= F_MV_RANGE_EXTENDED
-
-    ptype = _PICTURE_TYPE_CODE.get(picture.picture_type, 3)
-    rx, ry = _mv_ranges(picture, width, height)
-
-    end_bit = ctypes.c_uint64(0)
-    count = ctypes.c_int32(0)
-    buf = np.frombuffer(data, dtype=np.uint8)
-    rc = _lib.h263_parse_frame(
-        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint64(len(data)),
-        ctypes.c_uint64(start_bit),
-        ctypes.c_int32(width), ctypes.c_int32(height),
-        ctypes.c_int32(ptype), ctypes.c_int32(flags),
-        ctypes.c_int32(picture.version if picture.version is not None else -1),
-        ctypes.c_int32(picture.quantizer),
-        ctypes.c_int32(rx), ctypes.c_int32(ry),
-        None, None, None, None, None, None,
-        mvs.ctypes.data_as(ctypes.c_void_p),
-        inter.ctypes.data_as(ctypes.c_void_p),
-        pred_scratch.ctypes.data_as(ctypes.c_void_p),
-        pack_pos.ctypes.data_as(ctypes.c_void_p),
-        pack_val.ctypes.data_as(ctypes.c_void_p),
-        ctypes.c_int32(pack_pos.shape[0]),
-        ctypes.byref(count),
-        ctypes.byref(end_bit),
-    )
-    if rc != 0:
-        exc = _ERROR_MAP.get(rc, InternalDecoderError)
-        raise exc(f"native parse error {rc}")
-    n = int(count.value)
-    # Sentinel: one past the end of the coefficient space => dropped by the
-    # device scatter (mode='drop').
-    pack_pos[n:] = 6 * nmb * 64
-    return n, int(end_bit.value)
-
-
-_SORENSON_PTYPES = {
-    0: PictureTypeCode.I_FRAME,
-    1: PictureTypeCode.P_FRAME,
-    2: PictureTypeCode.DISPOSABLE_P_FRAME,
-    3: PictureTypeCode.RESERVED,
-}
-
-
-def sorenson_header_native(data: bytes, start_bit: int = 0):
-    """Fast-path Sorenson picture-header parse.
-
-    Returns (Picture, end_bit).  PEI extra bytes are skipped, not captured
-    (they are advisory).  Raises on malformed/truncated headers.
-    """
-    from ..types import (
-        MotionVectorRange as MVR,
-        SourceFormat,
-        SourceFormatKind,
-    )
-
-    assert _lib is not None, "call ensure_built() first"
-    buf = np.frombuffer(data, dtype=np.uint8)
-    fields = np.zeros(8, dtype=np.int32)
-    end_bit = ctypes.c_uint64(0)
-    rc = _lib.h263_sorenson_header(
-        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint64(len(data)),
-        ctypes.c_uint64(start_bit),
-        fields.ctypes.data_as(ctypes.c_void_p), ctypes.byref(end_bit))
-    if rc == -10:
-        from ..types import MiddleOfBitstream
-
-        raise MiddleOfBitstream()
-    if rc != 0:
-        exc = _ERROR_MAP.get(rc, InternalDecoderError)
-        raise exc(f"native header parse error {rc}")
-
-    version, tr, w, h, ptype, deblock, quant, fmt_code = (int(x) for x in fields)
-    if fmt_code == 7:
-        fmt = SourceFormat(SourceFormatKind.RESERVED)
-    elif fmt_code == 2:
-        fmt = SourceFormat(SourceFormatKind.FULL_CIF)
-    elif fmt_code == 3:
-        fmt = SourceFormat(SourceFormatKind.QUARTER_CIF)
-    elif fmt_code == 4:
-        fmt = SourceFormat(SourceFormatKind.SUB_QCIF)
-    else:
-        # custom 8/16-bit dims and the fixed 320x240/160x120 shorthands are
-        # Extended formats in the reference's model (picture.rs:283-310)
-        fmt = SourceFormat.extended(w, h)
-
-    pic = Picture(
-        version=version,
-        temporal_reference=tr,
-        format=fmt,
-        options=(PictureOption.USE_DEBLOCKER if deblock else PictureOption.NONE),
-        picture_type=_SORENSON_PTYPES[ptype],
-        quantizer=quant,
-        motion_vector_range=MotionVectorRange.UNLIMITED,
-    )
-    return pic, int(end_bit.value)
-
-
 def _setup_fast_sig(lib):
     import ctypes as C
 

@@ -114,3 +114,18 @@ def test_pallas_pipeline_matches_xla():
         np.testing.assert_array_equal(np.asarray(yx), np.asarray(yp))
         np.testing.assert_array_equal(np.asarray(cbx), np.asarray(cbp))
         np.testing.assert_array_equal(np.asarray(crx), np.asarray(crp))
+
+
+class TestDeblockPallas:
+    @pytest.mark.parametrize("shape", [(16, 16), (24, 32), (17, 11),
+                                       (48, 9), (64, 100), (288, 352)])
+    @pytest.mark.parametrize("strength", [1, 8, 12])
+    def test_matches_golden(self, shape, strength):
+        from h263_tpu.ops.deblock import golden_deblock
+        from h263_tpu.ops.deblock_pallas import deblock_pallas
+
+        r = np.random.default_rng(shape[0] * 7 + strength)
+        plane = r.integers(0, 256, shape, dtype=np.uint8)
+        want = golden_deblock(plane, strength)
+        got = np.asarray(deblock_pallas(plane, strength, interpret=True))
+        np.testing.assert_array_equal(got, want)
