@@ -346,3 +346,20 @@ class TestRgbaBackendParity:
             dn.decode_next_picture(buf)
             np.testing.assert_array_equal(
                 dj.last_picture_rgba(deb), dn.last_picture_rgba(deb))
+
+
+class Test480p:
+    def test_480p_decode(self):
+        """BASELINE metric covers CIF & 480p; run a small 640x480 GOP."""
+        nmb = 40 * 30
+        rng = np.random.default_rng(5)
+        mbs = [MBSpec(kind="intra", intradc=[int(rng.integers(1, 128)) * 8] * 6)
+               for _ in range(nmb)]
+        f0 = encode_sorenson_picture(640, 480, PictureTypeCode.I_FRAME, mbs,
+                                     temporal_reference=0)
+        f1 = encode_sorenson_picture(
+            640, 480, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(2, -2)])] * nmb, temporal_reference=1)
+        pics = _decode_both([f0, f1])
+        assert pics[0].as_luma().shape == (480, 640)
+        assert pics[1].as_chroma_b().shape == (240, 320)

@@ -90,3 +90,26 @@ def test_60_frame_drift_all_paths():
                                       err_msg=f"pallas drift at frame {t}")
         np.testing.assert_array_equal(np.asarray(cbb)[0], pn.as_chroma_b(),
                                       err_msg=f"chroma drift at frame {t}")
+
+
+def test_presentation_drift():
+    """RGBA presentation (deblock + BT.601) after a 20-frame GOP must match
+    the golden host path across device backends."""
+    from h263_tpu.parallel import BatchedStreamDecoder
+    from h263_tpu.ops.deblock import QUANT_TO_STRENGTH, golden_deblock
+    from h263_tpu.ops.yuv import golden_yuv420_to_rgba
+
+    frames = _rich_gop(7, n_frames=20)
+    d_np = H263Decoder(SORENSON, backend="numpy")
+    d_jx = H263Decoder(SORENSON, backend="jax")
+    d_b = BatchedStreamDecoder(1, 48, 48, SORENSON)
+    for buf in frames:
+        d_np.decode_next_picture(buf)
+        d_jx.decode_next_picture(buf)
+        d_b.decode_step([buf])
+
+    for force in (True, False):
+        want = d_np.last_picture_rgba(force)
+        np.testing.assert_array_equal(d_jx.last_picture_rgba(force), want)
+        got_b = np.asarray(d_b.present_rgba(force))[0]
+        np.testing.assert_array_equal(got_b, want)
