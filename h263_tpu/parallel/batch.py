@@ -452,10 +452,14 @@ class BatchedStreamDecoder:
 
         sorenson = bool(self.decoder_options
                         & DecoderOption.SORENSON_SPARK_BITSTREAM)
+        # The combined-u32 packed transport carries 20-bit coefficient
+        # positions; larger pictures (> ~2730 macroblocks, e.g. 1280x720)
+        # ride the dense transport instead.
+        packable = 6 * self.mb_w * self.mb_h * 64 < (1 << 20)
         use_packed = (transport == "packed" or (
             transport == "auto"
             and not os.environ.get("H263_TPU_NO_NATIVE")
-            and ensure_built())) and sorenson
+            and ensure_built())) and sorenson and packable
         if use_packed:
             packed = self.next_packed_batch()
             try:

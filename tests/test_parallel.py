@@ -178,3 +178,19 @@ class TestPipelined:
         assert len(pipe_out) == len(seq_out)
         for a, b in zip(seq_out, pipe_out):
             np.testing.assert_array_equal(a, b)
+
+
+class TestLargeFormats:
+    def test_720p_uses_dense_transport(self):
+        """1280x720 exceeds the u32 packed transport's 20-bit positions;
+        decode_step must route to the dense transport transparently."""
+        nmb = 80 * 45
+        f0 = encode_sorenson_picture(
+            1280, 720, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[800] * 6)] * nmb,
+            temporal_reference=0)
+        dec = BatchedStreamDecoder(1, 1280, 720, SORENSON)
+        ref = H263Decoder(SORENSON, backend="numpy")
+        y, cb, cr = dec.decode_step([f0])
+        pic = ref.decode_next_picture(f0)
+        np.testing.assert_array_equal(np.asarray(y)[0], pic.as_luma())
