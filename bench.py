@@ -109,7 +109,19 @@ def main():
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # Persistent compilation cache: tunnel-side TPU compiles can take
+    # minutes; cache them across processes (primed by earlier runs).
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from h263_tpu.parallel.batch import BatchedStreamDecoder
     from h263_tpu.types import DecoderOption
