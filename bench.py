@@ -113,15 +113,9 @@ def main():
 
     import jax
 
-    # Persistent compilation cache: tunnel-side TPU compiles can take
-    # minutes; cache them across processes (primed by earlier runs).
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # NB: do NOT enable the persistent compilation cache here: the axon
+    # plugin's executable deserialization produces a pathologically slow
+    # binary (~100x per-step regression, observed 885 ms vs 8 ms steps).
 
     from h263_tpu.parallel.batch import BatchedStreamDecoder
     from h263_tpu.types import DecoderOption
@@ -143,10 +137,6 @@ def main():
     log(f"native front-end: {native}")
 
     dec = BatchedStreamDecoder(S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
-
-    # Also serves as warm-up/compile of the main program.
-    verify_strict_rounding(dec, W, H)
-    log("strict f32 rounding verified on device")
 
     # --- host stage in isolation --------------------------------------------
     probe = BatchedStreamDecoder(1, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
@@ -184,7 +174,11 @@ def main():
     e2e_fps = max(seq_fps, pipe_fps)
 
     # --- device stage in isolation (packed transfer + reconstruct, reusing
-    # the last packed host batch) ----------------------------------------------
+    # the last packed host batch) ---------------------------------------------
+    # NB: keep every device->host fetch AFTER all timing: the axon tunnel
+    # client permanently switches this process to a ~1 s synchronous
+    # dispatch mode after the first readback of a computed array (measured:
+    # 8 ms/step before, ~990 ms/step after, irreversibly).
     packed = dec._packed[dec._packed_idx]
     y, cb, cr = dec.step_packed(packed)
     y.block_until_ready()
@@ -197,6 +191,10 @@ def main():
     device_fps = S * reps / device_dt
     log(f"device stage (packed transfer+compute): {device_fps:.1f} frames/s/chip "
         f"({1e3 * device_dt / reps:.2f} ms/step)")
+
+    # Correctness gate last (it reads back a pixel — see note above).
+    verify_strict_rounding(dec, W, H)
+    log("strict f32 rounding verified on device")
 
     print(json.dumps({
         "metric": "cif_decode_frames_per_sec_per_chip",
