@@ -106,6 +106,10 @@ def main():
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--width", type=int, default=352)
     ap.add_argument("--height", type=int, default=288)
+    ap.add_argument("--pack-per-mb", type=int, default=10,
+                    help="packed-transport capacity in coefficients per "
+                         "macroblock (smaller = fewer transfer bytes; "
+                         "overflow falls back to the dense transport)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -136,17 +140,23 @@ def main():
     native = ensure_built()
     log(f"native front-end: {native}")
 
-    dec = BatchedStreamDecoder(S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
+    mbs_per_frame = (-(-W // 16)) * (-(-H // 16))
+    dec = BatchedStreamDecoder(S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                               pack_cap=args.pack_per_mb * mbs_per_frame)
 
-    # --- host stage in isolation --------------------------------------------
-    probe = BatchedStreamDecoder(1, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
+    # --- host stage in isolation (the production packed batch parse) --------
+    host_probe = BatchedStreamDecoder(
+        S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
+        pack_cap=args.pack_per_mb * mbs_per_frame)
+    pk = host_probe.next_packed_batch()
+    host_probe.parse_batch_packed([corpus[0]] * S, pk)  # warm/bind
     t0 = time.perf_counter()
-    for buf in corpus:
-        probe.parse_one(0, buf)
+    for t in range(1, F):
+        host_probe.parse_batch_packed([corpus[t]] * S, pk)
     host_dt = time.perf_counter() - t0
-    host_fps = F / host_dt
+    host_fps = S * (F - 1) / host_dt
     log(f"host entropy decode: {host_fps:.1f} frames/s/core "
-        f"({1e3 * host_dt / F:.3f} ms/frame)")
+        f"({1e6 * host_dt / (S * (F - 1)):.1f} us/frame)")
 
     # --- end-to-end (sequential steps) ---------------------------------------
     y, cb, cr = dec.decode_step([corpus[0]] * S)  # warm-up / compile

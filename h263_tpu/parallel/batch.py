@@ -161,6 +161,11 @@ class BatchedStreamDecoder:
         # defaults to 16 coefficients per macroblock (typical streams use
         # 2-8); PackOverflow falls back to the dense transport per step.
         self.pack_cap = pack_cap or max(1024, 16 * mb_w * mb_h)
+        # Small transfer bucket for sparse (typical P) frames; frames whose
+        # coefficient count exceeds it ship the full capacity instead.
+        self.pack_cap_small = max(512, 4 * mb_w * mb_h)
+        if self.pack_cap_small >= self.pack_cap:
+            self.pack_cap_small = self.pack_cap
         self._mv_full = False  # sticky: set on first frame with varied MVs
         self._executor = None  # lazy pipeline worker (submit_step)
         self._pred_scratch = np.zeros((mb_w * mb_h, 4, 2), dtype=np.int16)
@@ -359,11 +364,12 @@ class BatchedStreamDecoder:
     def step_packed(self, packed: "_PackedBatch"):
         """Reconstruct from the packed transport (one small transfer).
 
-        Shapes are kept stable across steps so the jitted program compiles
-        exactly once: the coefficient transfer always uses the decoder's
-        fixed capacity, and the slim one-MV-per-MB transport sticks until
-        the first frame with differing block MVs flips the decoder to the
-        full transport permanently (one recompile, not per-step churn).
+        Shape stability: only TWO coefficient-transfer signatures exist —
+        the full capacity and a small bucket (typical P-frames) — so the
+        jit cache stays tiny while sparse steps ship ~4x fewer bytes.  The
+        slim one-MV-per-MB transport sticks until the first frame with
+        differing block MVs flips the decoder to the full transport
+        permanently (one recompile, not per-step churn).
         """
         import jax
 
@@ -374,8 +380,14 @@ class BatchedStreamDecoder:
         else:
             mvs = np.ascontiguousarray(packed.mvs[:, :, :, 0, :])
 
+        k = int(packed.counts.max()) if self.n else 0
+        if k <= self.pack_cap_small:
+            u32 = np.ascontiguousarray(packed.u32[:, : self.pack_cap_small])
+        else:
+            u32 = packed.u32
+
         with trace_stage("transfer"):
-            dev = jax.device_put((packed.u32, mvs, packed.inter))
+            dev = jax.device_put((u32, mvs, packed.inter))
         with trace_stage("reconstruct_dispatch"):
             y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb,
                                         self.ref_cr)
