@@ -159,16 +159,20 @@ def main():
         f"({1e6 * host_dt / (S * (F - 1)):.1f} us/frame)")
 
     # --- end-to-end (sequential steps) ---------------------------------------
-    y, cb, cr = dec.decode_step([corpus[0]] * S)  # warm-up / compile
+    # Warm-up compiles BOTH transfer signatures (I-frame -> full bucket,
+    # P-frame -> small bucket).
+    y, cb, cr = dec.decode_step([corpus[0]] * S)
+    y.block_until_ready()
+    y, cb, cr = dec.decode_step([corpus[1]] * S)
     y.block_until_ready()
     t0 = time.perf_counter()
-    for t in range(1, F):
+    for t in range(2, F):
         y, cb, cr = dec.decode_step([corpus[t]] * S)
     y.block_until_ready()
     e2e_dt = time.perf_counter() - t0
-    seq_fps = S * (F - 1) / e2e_dt
+    seq_fps = S * (F - 2) / e2e_dt
     log(f"end-to-end sequential: {seq_fps:.1f} frames/s/chip "
-        f"(batch={S}, {1e3 * e2e_dt / (F - 1):.2f} ms/step)")
+        f"(batch={S}, {1e3 * e2e_dt / (F - 2):.2f} ms/step)")
 
     # --- end-to-end (pipelined: host parse overlaps device stage) -----------
     t0 = time.perf_counter()
