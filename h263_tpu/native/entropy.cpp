@@ -260,6 +260,8 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   int8_t* cls = sink.cls;
   const bool packed = sink.ppos != nullptr;
   const int32_t pack_start = packed ? *sink.count : 0;
+  int32_t cnt = pack_start;          // register-resident pack cursor
+  const int32_t base = sink.base;
   int32_t intradc = -1;
   if (intra) {
     uint32_t b = r.rd(8);
@@ -275,20 +277,20 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
 
   auto emit = [&](int rm, int32_t value) {
     if (packed) {
-      if (*sink.count >= sink.cap) { overflow = true; return; }
+      if (cnt >= sink.cap) { overflow = true; return; }
       if (sink.pval) {
         // two-array transport: int32 position + int16 value
-        sink.ppos[*sink.count] = sink.base + rm;
-        sink.pval[*sink.count] = (int16_t)value;
+        sink.ppos[cnt] = base + rm;
+        sink.pval[cnt] = (int16_t)value;
       } else {
         // combined transport: (pos << 12) | (value & 0xFFF), one uint32.
         // Values are always within [-2048, 2047] (rle.rs dequant clamp and
         // INTRADC levels), so 12 signed bits suffice.
-        sink.ppos[*sink.count] =
-            (int32_t)(((uint32_t)(sink.base + rm) << 12) |
+        sink.ppos[cnt] =
+            (int32_t)(((uint32_t)(base + rm) << 12) |
                       ((uint32_t)value & 0xFFF));
       }
-      (*sink.count)++;
+      cnt++;
     } else {
       out[rm] = (int16_t)value;
     }
@@ -344,6 +346,7 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   }
 
   if (overflow) return E_PACK_OVERFLOW;
+  if (packed) *sink.count = cnt;
 
   if (discard) {
     // Whole block discarded: rewind packed emission / clear dense.
