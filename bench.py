@@ -102,7 +102,7 @@ def verify_strict_rounding(dec, width: int, height: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--streams", type=int, default=128)
+    ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--width", type=int, default=352)
     ap.add_argument("--height", type=int, default=288)
