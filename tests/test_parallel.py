@@ -194,3 +194,49 @@ class TestLargeFormats:
         y, cb, cr = dec.decode_step([f0])
         pic = ref.decode_next_picture(f0)
         np.testing.assert_array_equal(np.asarray(y)[0], pic.as_luma())
+
+
+class TestStandardH263Batched:
+    def test_dense_transport_for_standard_streams(self):
+        """Non-Sorenson streams route through the dense transport."""
+        from h263_tpu.testing.encoder import encode_standard_picture
+        from h263_tpu.types import DecoderOption
+
+        nmb = 8 * 6
+        f0 = encode_standard_picture(
+            128, 96, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[800] * 6)] * nmb)
+        f1 = encode_standard_picture(
+            128, 96, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(2, 0)],
+                    blocks=[[(0, 4)], [], [], [], [], []])] * nmb,
+            temporal_reference=1)
+        dec = BatchedStreamDecoder(2, 128, 96, DecoderOption.NONE)
+        ref = H263Decoder(DecoderOption.NONE, backend="numpy")
+        for f in (f0, f1):
+            y, cb, cr = dec.decode_step([f, f])
+            pic = ref.decode_next_picture(f)
+            np.testing.assert_array_equal(np.asarray(y)[0], pic.as_luma())
+            np.testing.assert_array_equal(np.asarray(cb)[1], pic.as_chroma_b())
+
+
+class TestTracing:
+    def test_stage_metrics(self):
+        from h263_tpu.utils.trace import (
+            get_metrics, reset_metrics, trace_enabled, trace_stage)
+
+        reset_metrics()
+        trace_enabled(True)
+        try:
+            per = [_stream_frames(s, n_p=1) for s in range(2)]
+            dec = BatchedStreamDecoder(2, 32, 32, SORENSON)
+            for t in range(2):
+                dec.decode_step([per[0][t], per[1][t]])
+            m = get_metrics()
+            assert m["host_parse"]["count"] == 2
+            assert m["transfer"]["count"] == 2
+            assert m["reconstruct_dispatch"]["count"] == 2
+            assert m["host_parse"]["total_s"] > 0
+        finally:
+            trace_enabled(False)
+            reset_metrics()
