@@ -376,8 +376,7 @@ class SorensonBatchParser:
         n = self._n
         assert len(buffers) == n
         ptrs = (ctypes.c_char_p * n)(*buffers)
-        for i, b in enumerate(buffers):
-            self._lengths[i] = len(b)
+        self._lengths[:] = [len(b) for b in buffers]
         self._has_ref[:] = has_reference
         rc = _lib.h263_sorenson_decode_batch(
             ptrs, self._lengths.ctypes.data, *self._fixed_args)

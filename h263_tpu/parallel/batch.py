@@ -169,6 +169,11 @@ class BatchedStreamDecoder:
         self._mv_full = False  # sticky: set on first frame with varied MVs
         self._executor = None  # lazy pipeline worker (submit_step)
         self._pred_scratch = np.zeros((mb_w * mb_h, 4, 2), dtype=np.int16)
+        # Header-commit fast path: Picture objects cached per unique native
+        # header row, and PictureOption enums per running-options value, so
+        # the per-stream commit loop is dict lookups + int arithmetic.
+        self._pic_cache: dict = {}
+        self._po_cache: dict = {}
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap)
                         for _ in range(2)]
         self._packed_idx = 0
@@ -316,16 +321,37 @@ class BatchedStreamDecoder:
                 self.n, self.w, self.h, packed.u32, packed.mvs,
                 packed.inter, self._pred_scratch)
         has_ref = [st.has_reference for st in self.states]
-        buffers = [bytes(b) for b in buffers]
+        buffers = [b if type(b) is bytes else bytes(b) for b in buffers]
         hdr, counts, flags = packed.batch_parser.parse(buffers, has_ref)
         packed.counts[:] = counts
         packed.varied_mvs[:] = (flags & 2) != 0
+        # Per-stream header commit (state.rs:464-483 semantics), optimized:
+        # headers repeat heavily across streams and steps, so Picture
+        # construction and enum arithmetic are cached and the running-option
+        # merge runs on plain ints.
+        keep = int(OPPTYPE_OPTIONS | MPPTYPE_OPTIONS)
+        rows = hdr.tobytes()
+        rowlen = hdr.shape[1] * hdr.itemsize
+        pic_cache, po_cache, states = self._pic_cache, self._po_cache, self.states
         for i in range(self.n):
-            pic = _picture_from_fields(hdr[i])
-            st = self.states[i]
-            running = (pic.options & ~OPPTYPE_OPTIONS & ~MPPTYPE_OPTIONS) | (
-                st.running_options & (OPPTYPE_OPTIONS | MPPTYPE_OPTIONS))
-            self._commit_header(i, pic, running)
+            key = rows[i * rowlen:(i + 1) * rowlen]
+            ent = pic_cache.get(key)
+            if ent is None:
+                pic = _picture_from_fields(hdr[i])
+                ent = (pic, int(pic.options) & ~keep,
+                       pic.picture_type is PictureTypeCode.I_FRAME,
+                       not pic.picture_type.is_disposable())
+                pic_cache[key] = ent
+            pic, base_opts, is_i, not_disp = ent
+            st = states[i]
+            running = base_opts | (int(st.running_options) & keep)
+            st.last_header = pic
+            if is_i or not_disp:
+                st.has_reference = not_disp
+            po = po_cache.get(running)
+            if po is None:
+                po = po_cache[running] = PictureOption(running)
+            st.running_options = po
 
     # -- device stage -----------------------------------------------------------
 
