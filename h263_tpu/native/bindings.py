@@ -85,7 +85,7 @@ def _build() -> bool:
         if need:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 src, "-o", _LIB_PATH],
+                 "-pthread", src, "-o", _LIB_PATH],
                 check=True, capture_output=True, cwd=_DIR)
         return True
     except Exception:

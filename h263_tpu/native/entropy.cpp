@@ -14,8 +14,11 @@
 //
 // Build: g++ -O3 -shared -fPIC entropy.cpp -o libh263entropy.so
 
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "tables.h"
@@ -904,23 +907,88 @@ int h263_sorenson_decode_batch(
   const int mb_h = (expected_h + 15) / 16;
   const size_t nmb = (size_t)mb_w * mb_h;
 
-  for (int32_t i = 0; i < n_streams; i++) {
-    uint64_t end_bit = 0;
-    int32_t any = 0;
-    int rc = h263_sorenson_decode_frame(
-        buffers[i], lengths[i], expected_w, expected_h,
-        hdr_all + (size_t)i * 8,
-        mvs_all + (size_t)i * nmb * 8,
-        inter_all + (size_t)i * nmb,
-        pred_scratch,
-        pack_all + (size_t)i * pack_cap, nullptr, pack_cap,
-        counts + i, &any, &end_bit);
-    if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
-    if (rc != OK) {
-      *failed_stream = i;
-      return rc;
+  // Streams are independent (per-stream output slices, per-thread scratch),
+  // so the batch parses on every host core.  H263_TPU_PARSE_THREADS
+  // overrides the hardware count; 1 keeps the caller's scratch and spawns
+  // nothing.  Failure stays deterministic: the LOWEST failing stream index
+  // (and its error) is reported regardless of thread interleaving, matching
+  // the sequential loop's first-failure semantics.
+  int threads = (int)std::thread::hardware_concurrency();
+  if (const char* e = std::getenv("H263_TPU_PARSE_THREADS")) {
+    threads = std::atoi(e);
+  }
+  if (threads < 1) threads = 1;
+  if (threads > n_streams) threads = n_streams;
+
+  if (threads == 1) {
+    for (int32_t i = 0; i < n_streams; i++) {
+      uint64_t end_bit = 0;
+      int32_t any = 0;
+      int rc = h263_sorenson_decode_frame(
+          buffers[i], lengths[i], expected_w, expected_h,
+          hdr_all + (size_t)i * 8,
+          mvs_all + (size_t)i * nmb * 8,
+          inter_all + (size_t)i * nmb,
+          pred_scratch,
+          pack_all + (size_t)i * pack_cap, nullptr, pack_cap,
+          counts + i, &any, &end_bit);
+      if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
+      if (rc != OK) {
+        *failed_stream = i;
+        return rc;
+      }
+      flags[i] = any;
     }
-    flags[i] = any;
+    *failed_stream = -1;
+    return OK;
+  }
+
+  // failure record: (stream_index << 32) | uint32(rc), CAS'd to the minimum
+  // so the winner is index-ordered, not time-ordered.
+  std::atomic<int64_t> fail{INT64_MAX};
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    std::vector<int16_t> scratch(nmb * 8);
+    int32_t i;
+    while ((i = next.fetch_add(1, std::memory_order_relaxed)) < n_streams) {
+      if (fail.load(std::memory_order_relaxed) != INT64_MAX) {
+        // someone failed: keep draining only streams BELOW the failure so
+        // the minimum is exact, skip the rest.
+        if ((int64_t)i > (fail.load(std::memory_order_relaxed) >> 32)) continue;
+      }
+      uint64_t end_bit = 0;
+      int32_t any = 0;
+      int rc = h263_sorenson_decode_frame(
+          buffers[i], lengths[i], expected_w, expected_h,
+          hdr_all + (size_t)i * 8,
+          mvs_all + (size_t)i * nmb * 8,
+          inter_all + (size_t)i * nmb,
+          scratch.data(),
+          pack_all + (size_t)i * pack_cap, nullptr, pack_cap,
+          counts + i, &any, &end_bit);
+      if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
+      if (rc != OK) {
+        int64_t rec = ((int64_t)i << 32) | (uint32_t)rc;
+        int64_t cur = fail.load(std::memory_order_relaxed);
+        while (rec < cur &&
+               !fail.compare_exchange_weak(cur, rec,
+                                           std::memory_order_relaxed)) {
+        }
+      } else {
+        flags[i] = any;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(threads - 1);
+  for (int t = 0; t < threads - 1; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+
+  int64_t f = fail.load(std::memory_order_relaxed);
+  if (f != INT64_MAX) {
+    *failed_stream = (int32_t)(f >> 32);
+    return (int32_t)(uint32_t)(f & 0xFFFFFFFF);
   }
   *failed_stream = -1;
   return OK;

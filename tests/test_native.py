@@ -149,3 +149,62 @@ def test_umv_wraparound_mvs():
            for _ in range(8)]
     buf = encode_sorenson_picture(64, 32, PictureTypeCode.P_FRAME, mbs)
     _parse_both(buf)
+
+
+class TestThreadedBatchParse:
+    """The batch FFI loop parses streams on every host core; outputs and
+    failure reporting must be independent of thread count/interleaving."""
+
+    def _mk(self, n, monkeypatch, threads):
+        monkeypatch.setenv("H263_TPU_PARSE_THREADS", str(threads))
+        from h263_tpu.parallel.batch import BatchedStreamDecoder
+        return BatchedStreamDecoder(n, 176, 144, SORENSON)
+
+    def _corpus(self):
+        rng = np.random.default_rng(3)
+        mbs_i = [MBSpec(kind="intra",
+                        intradc=[int(rng.integers(1, 120)) * 8] * 6,
+                        blocks=[[(0, 5)], [], [(1, -3)], [], [], []])
+                 for _ in range(11 * 9)]
+        i_frame = encode_sorenson_picture(
+            176, 144, PictureTypeCode.I_FRAME, mbs_i, quantizer=8)
+        mbs_p = [MBSpec(kind="inter", mvd=[(2, -2)],
+                        blocks=[[(1, 7)], [], [], [], [], []]
+                        if k % 3 == 0 else [[], [], [], [], [], []])
+                 for k in range(11 * 9)]
+        p_frame = encode_sorenson_picture(
+            176, 144, PictureTypeCode.P_FRAME, mbs_p, quantizer=8,
+            temporal_reference=1)
+        return [i_frame, p_frame]
+
+    def test_outputs_identical_across_thread_counts(self, monkeypatch):
+        corpus = self._corpus()
+        results = {}
+        for threads in (1, 3, 8):
+            dec = self._mk(12, monkeypatch, threads)
+            pk = dec._packed[0]
+            dec.parse_batch_packed([corpus[0]] * 12, pk)
+            first = (pk.u32.copy(), pk.mvs.copy(), pk.counts.copy())
+            dec.parse_batch_packed([corpus[1]] * 12, pk)
+            results[threads] = (first, pk.u32.copy(), pk.mvs.copy(),
+                                pk.counts.copy())
+        base = results[1]
+        for threads in (3, 8):
+            got = results[threads]
+            for a, b in zip(base[0], got[0]):
+                np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(base[1], got[1])
+            np.testing.assert_array_equal(base[2], got[2])
+            np.testing.assert_array_equal(base[3], got[3])
+
+    def test_failure_reports_lowest_stream_deterministically(self, monkeypatch):
+        from h263_tpu.types import H263Error
+        corpus = self._corpus()
+        bufs = [corpus[0]] * 12
+        bufs[4] = b"\x00\x00\x01\xff"  # garbage after start code
+        bufs[9] = b"\x00\x00\x01\xff"
+        for threads in (1, 8):
+            dec = self._mk(12, monkeypatch, threads)
+            with pytest.raises(H263Error) as ei:
+                dec.parse_batch_packed(bufs, dec._packed[0])
+            assert "stream 4" in str(ei.value)
