@@ -168,6 +168,29 @@ def reconstruct_frame_packed_u32(pack_u32, mvs, inter,
     block MVs of each macroblock are identical — detected by the native
     front-end).
     """
+    import jax.numpy as jnp
+
+    w32 = pack_u32.astype(jnp.uint32)
+    pos = (w32 >> 12).astype(jnp.int32)
+    v = (w32 & 0xFFF).astype(jnp.int32)
+    val = (v - ((v & 0x800) << 1)).astype(jnp.int16)  # sign-extend 12 bits
+    return _reconstruct_from_posval(pos, val, mvs, inter,
+                                    ref_y, ref_cb, ref_cr, pallas)
+
+
+def reconstruct_frame_packed_split(pack_pos, pack_val, mvs, inter,
+                                   ref_y, ref_cb, ref_cr, pallas="off"):
+    """Batched reconstruction from the split packed transport: int32
+    positions + int16 values (6 B/coefficient).  Used for pictures too
+    large for the combined transport's 20-bit positions (> ~2730
+    macroblocks, e.g. 1280x720); padding entries carry the out-of-range
+    sentinel and are dropped by the scatter."""
+    return _reconstruct_from_posval(pack_pos, pack_val, mvs, inter,
+                                    ref_y, ref_cb, ref_cr, pallas)
+
+
+def _reconstruct_from_posval(pos, val, mvs, inter,
+                             ref_y, ref_cb, ref_cr, pallas="off"):
     import jax
     import jax.numpy as jnp
 
@@ -176,11 +199,6 @@ def reconstruct_frame_packed_u32(pack_u32, mvs, inter,
     s, mbh, mbw = inter.shape
     nmb = mbh * mbw
     nblk = 6 * nmb
-
-    w32 = pack_u32.astype(jnp.uint32)
-    pos = (w32 >> 12).astype(jnp.int32)
-    v = (w32 & 0xFFF).astype(jnp.int32)
-    val = (v - ((v & 0x800) << 1)).astype(jnp.int16)  # sign-extend 12 bits
 
     dense = jnp.zeros((s, nblk * 64), jnp.int16)
     dense = jax.vmap(lambda d, p, vv: d.at[p].set(vv, mode="drop"))(
@@ -244,4 +262,12 @@ def get_packed_u32_reconstruct_fn(h: int, w: int, pallas: str = "off"):
     import jax
 
     return jax.jit(functools.partial(reconstruct_frame_packed_u32,
+                                     pallas=pallas))
+
+
+@functools.lru_cache(maxsize=16)
+def get_packed_split_reconstruct_fn(h: int, w: int, pallas: str = "off"):
+    import jax
+
+    return jax.jit(functools.partial(reconstruct_frame_packed_split,
                                      pallas=pallas))

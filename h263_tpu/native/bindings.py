@@ -326,7 +326,7 @@ def _setup_batch_sig(lib):
         C.c_void_p,                          # has_reference
         C.c_void_p, C.c_void_p, C.c_void_p,  # hdr_all, mvs_all, inter_all
         C.c_void_p,                          # pred_scratch
-        C.c_void_p, C.c_int32,               # pack_all, cap
+        C.c_void_p, C.c_void_p, C.c_int32,   # pack_all, packval_all, cap
         C.c_void_p, C.c_void_p,              # counts, flags
         C.c_void_p,                          # failed_stream
     ]
@@ -338,17 +338,25 @@ class SorensonBatchParser:
     __slots__ = ("_n", "_w", "_h", "_cap", "_hdr", "_counts", "_flags",
                  "_failed", "_lengths", "_has_ref", "_fixed_args")
 
-    def __init__(self, n: int, width: int, height: int, pack_u32: np.ndarray,
-                 mvs: np.ndarray, inter: np.ndarray, pred_scratch: np.ndarray):
+    def __init__(self, n: int, width: int, height: int, pack_pos: np.ndarray,
+                 mvs: np.ndarray, inter: np.ndarray, pred_scratch: np.ndarray,
+                 pack_val: np.ndarray = None):
+        """pack_val None => combined-u32 transport (position<<12 | value,
+        needs 6*mb_w*mb_h*64 < 2^20); pack_val given => split transport
+        (int32 position + int16 value arrays, any picture size)."""
         assert _lib is not None
         if not hasattr(_lib, "_batch_sig_done"):
             _setup_batch_sig(_lib)
             _lib._batch_sig_done = True
         mb_w, mb_h = -(-width // 16), -(-height // 16)
-        assert 6 * mb_w * mb_h * 64 < (1 << 20)
-        assert pack_u32.shape[0] == n and mvs.shape[0] == n
+        if pack_val is None:
+            assert 6 * mb_w * mb_h * 64 < (1 << 20)
+        else:
+            assert pack_val.shape == pack_pos.shape
+            assert pack_val.dtype == np.int16
+        assert pack_pos.shape[0] == n and mvs.shape[0] == n
         self._n, self._w, self._h = n, width, height
-        self._cap = int(pack_u32.shape[1])
+        self._cap = int(pack_pos.shape[1])
         self._hdr = np.zeros((n, 8), dtype=np.int32)
         self._counts = np.zeros(n, dtype=np.int32)
         self._flags = np.zeros(n, dtype=np.int32)
@@ -360,7 +368,9 @@ class SorensonBatchParser:
             self._has_ref.ctypes.data,
             self._hdr.ctypes.data, mvs.ctypes.data, inter.ctypes.data,
             pred_scratch.ctypes.data,
-            pack_u32.ctypes.data, self._cap,
+            pack_pos.ctypes.data,
+            pack_val.ctypes.data if pack_val is not None else None,
+            self._cap,
             self._counts.ctypes.data, self._flags.ctypes.data,
             ctypes.addressof(self._failed),
         )

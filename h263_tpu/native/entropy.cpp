@@ -901,7 +901,8 @@ int h263_sorenson_decode_batch(
     const uint8_t* has_reference,
     int32_t* hdr_all, int16_t* mvs_all, uint8_t* inter_all,
     int16_t* pred_scratch,
-    int32_t* pack_all, int32_t pack_cap, int32_t* counts, int32_t* flags,
+    int32_t* pack_all, int16_t* packval_all,  // packval_all null => combined
+    int32_t pack_cap, int32_t* counts, int32_t* flags,
     int32_t* failed_stream) {
   const int mb_w = (expected_w + 15) / 16;
   const int mb_h = (expected_h + 15) / 16;
@@ -930,8 +931,9 @@ int h263_sorenson_decode_batch(
           mvs_all + (size_t)i * nmb * 8,
           inter_all + (size_t)i * nmb,
           pred_scratch,
-          pack_all + (size_t)i * pack_cap, nullptr, pack_cap,
-          counts + i, &any, &end_bit);
+          pack_all + (size_t)i * pack_cap,
+          packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
+          pack_cap, counts + i, &any, &end_bit);
       if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
       if (rc != OK) {
         *failed_stream = i;
@@ -964,8 +966,9 @@ int h263_sorenson_decode_batch(
           mvs_all + (size_t)i * nmb * 8,
           inter_all + (size_t)i * nmb,
           scratch.data(),
-          pack_all + (size_t)i * pack_cap, nullptr, pack_cap,
-          counts + i, &any, &end_bit);
+          pack_all + (size_t)i * pack_cap,
+          packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
+          pack_cap, counts + i, &any, &end_bit);
       if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
       if (rc != OK) {
         int64_t rec = ((int64_t)i << 32) | (uint32_t)rc;

@@ -20,6 +20,7 @@ from ..bitio import BitReader
 from ..utils.trace import trace_stage
 from ..decoder.reconstruct import (
     get_batched_reconstruct_fn,
+    get_packed_split_reconstruct_fn,
     get_packed_u32_reconstruct_fn,
 )
 from ..parser.frame import FrameData, parse_frame_auto
@@ -117,8 +118,13 @@ class _PackedBatch:
     streams.  Per-stream coefficient counts let the step slice the transfer
     to a bucketed maximum instead of shipping the full capacity."""
 
-    def __init__(self, n, mb_w, mb_h, cap):
+    def __init__(self, n, mb_w, mb_h, cap, split=False):
+        # split=False: combined-u32 transport (4 B/coeff, needs 20-bit
+        # positions).  split=True: int32 position + int16 value arrays
+        # (6 B/coeff, any picture size).
+        self.split = split
         self.u32 = np.zeros((n, cap), dtype=np.int32)
+        self.val = np.zeros((n, cap), dtype=np.int16) if split else None
         self.mvs = np.zeros((n, mb_h, mb_w, 4, 2), dtype=np.int16)
         self.inter = np.ones((n, mb_h, mb_w), dtype=np.uint8)
         self.counts = np.zeros(n, dtype=np.int64)
@@ -174,13 +180,24 @@ class BatchedStreamDecoder:
         # the per-stream commit loop is dict lookups + int arithmetic.
         self._pic_cache: dict = {}
         self._po_cache: dict = {}
-        self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap)
+        # Combined-u32 packed transport needs 20-bit coefficient positions;
+        # larger pictures (> ~2730 macroblocks, e.g. 1280x720) use the split
+        # transport (int32 position + int16 value) instead.
+        self._split = 6 * mb_w * mb_h * 64 >= (1 << 20)
+        self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap,
+                                     split=self._split)
                         for _ in range(2)]
         self._packed_idx = 0
         # pallas: "off" (XLA ops), "tpu" (Mosaic kernels), or "interpret"
         # (CPU testing).  All three are bit-identical.
-        self._packed_fn = packed_reconstruct_fn or get_packed_u32_reconstruct_fn(
-            self.h, self.w, pallas)
+        if packed_reconstruct_fn is not None:
+            self._packed_fn = packed_reconstruct_fn
+        elif self._split:
+            self._packed_fn = get_packed_split_reconstruct_fn(
+                self.h, self.w, pallas)
+        else:
+            self._packed_fn = get_packed_u32_reconstruct_fn(
+                self.h, self.w, pallas)
 
     def next_host_batch(self) -> _HostBatch:
         self._batch_idx ^= 1
@@ -319,7 +336,7 @@ class BatchedStreamDecoder:
         if packed.batch_parser is None:
             packed.batch_parser = SorensonBatchParser(
                 self.n, self.w, self.h, packed.u32, packed.mvs,
-                packed.inter, self._pred_scratch)
+                packed.inter, self._pred_scratch, pack_val=packed.val)
         has_ref = [st.has_reference for st in self.states]
         buffers = [b if type(b) is bytes else bytes(b) for b in buffers]
         hdr, counts, flags = packed.batch_parser.parse(buffers, has_ref)
@@ -407,13 +424,20 @@ class BatchedStreamDecoder:
             mvs = np.ascontiguousarray(packed.mvs[:, :, :, 0, :])
 
         k = int(packed.counts.max()) if self.n else 0
-        if k <= self.pack_cap_small:
-            u32 = np.ascontiguousarray(packed.u32[:, : self.pack_cap_small])
+        small = k <= self.pack_cap_small
+        cut = self.pack_cap_small if small else None
+        if packed.split:
+            pos = (np.ascontiguousarray(packed.u32[:, :cut])
+                   if small else packed.u32)
+            vals = (np.ascontiguousarray(packed.val[:, :cut])
+                    if small else packed.val)
+            coef = (pos, vals)
         else:
-            u32 = packed.u32
+            coef = (np.ascontiguousarray(packed.u32[:, :cut])
+                    if small else packed.u32,)
 
         with trace_stage("transfer"):
-            dev = jax.device_put((u32, mvs, packed.inter))
+            dev = jax.device_put((*coef, mvs, packed.inter))
         with trace_stage("reconstruct_dispatch"):
             y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb,
                                         self.ref_cr)
@@ -490,14 +514,10 @@ class BatchedStreamDecoder:
 
         sorenson = bool(self.decoder_options
                         & DecoderOption.SORENSON_SPARK_BITSTREAM)
-        # The combined-u32 packed transport carries 20-bit coefficient
-        # positions; larger pictures (> ~2730 macroblocks, e.g. 1280x720)
-        # ride the dense transport instead.
-        packable = 6 * self.mb_w * self.mb_h * 64 < (1 << 20)
         use_packed = (transport == "packed" or (
             transport == "auto"
             and not os.environ.get("H263_TPU_NO_NATIVE")
-            and ensure_built())) and sorenson and packable
+            and ensure_built())) and sorenson
         if use_packed:
             packed = self.next_packed_batch()
             try:

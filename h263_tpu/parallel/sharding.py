@@ -23,24 +23,30 @@ def make_stream_mesh(devices=None):
     return Mesh(np.asarray(devices), ("stream",))
 
 
-def shard_reconstruct_fn(mesh, h: int, w: int, packed: bool = False):
+def shard_reconstruct_fn(mesh, h: int, w: int, packed=False):
     """A jitted, stream-sharded batched reconstruction program.
 
     All inputs/outputs are sharded on their leading stream axis; the batch
-    size must be divisible by the mesh size.  With packed=True, shards the
-    packed-coefficient transport program instead.
+    size must be divisible by the mesh size.  packed=True/"u32" shards the
+    combined-u32 packed transport program, packed="split" the large-picture
+    split transport (int32 positions + int16 values), False the dense one.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..decoder.reconstruct import (
         reconstruct_frame_batched,
+        reconstruct_frame_packed_split,
         reconstruct_frame_packed_u32,
     )
 
     stream_sharding = NamedSharding(mesh, P("stream"))
-    fn = reconstruct_frame_packed_u32 if packed else reconstruct_frame_batched
-    n_in = 6 if packed else 11
+    if packed == "split":
+        fn, n_in = reconstruct_frame_packed_split, 7
+    elif packed:
+        fn, n_in = reconstruct_frame_packed_u32, 6
+    else:
+        fn, n_in = reconstruct_frame_batched, 11
     return jax.jit(
         fn,
         in_shardings=(stream_sharding,) * n_in,

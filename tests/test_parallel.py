@@ -183,7 +183,8 @@ class TestPipelined:
 class TestLargeFormats:
     def test_720p_uses_dense_transport(self):
         """1280x720 exceeds the u32 packed transport's 20-bit positions;
-        decode_step must route to the dense transport transparently."""
+        decode_step must route to the split packed transport
+        transparently (was: dense fallback)."""
         nmb = 80 * 45
         f0 = encode_sorenson_picture(
             1280, 720, PictureTypeCode.I_FRAME,
@@ -240,3 +241,72 @@ class TestTracing:
         finally:
             trace_enabled(False)
             reset_metrics()
+
+
+class TestSplitPackedTransport:
+    """Pictures too large for 20-bit combined-u32 positions (> ~2730 MBs)
+    ride the split transport (int32 pos + int16 val) — same results as the
+    dense transport, bit for bit."""
+
+    def _corpus(self):
+        from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
+        W, H, mbw, mbh = 1280, 720, 80, 45
+        rng = np.random.default_rng(5)
+        mbs_i = [MBSpec(kind="intra", intradc=[int(rng.integers(1, 120)) * 8] * 6,
+                        blocks=[[(0, 4)], [], [], [(2, -6)], [], []])
+                 for _ in range(mbw * mbh)]
+        i_f = encode_sorenson_picture(W, H, PictureTypeCode.I_FRAME, mbs_i,
+                                      quantizer=7)
+        mbs_p = [MBSpec(kind="inter", mvd=[(3, -1)],
+                        blocks=[[(0, 9)], [], [], [], [], []]
+                        if k % 5 == 0 else [[], [], [], [], [], []])
+                 for k in range(mbw * mbh)]
+        p_f = encode_sorenson_picture(W, H, PictureTypeCode.P_FRAME, mbs_p,
+                                      quantizer=7, temporal_reference=1)
+        return W, H, [i_f, p_f]
+
+    def test_720p_split_equals_dense(self):
+        from h263_tpu.native import ensure_built
+        if not ensure_built():
+            pytest.skip("native front-end unavailable")
+        W, H, corpus = self._corpus()
+        S = 2
+        d1 = BatchedStreamDecoder(S, W, H)
+        assert d1._split
+        outs_split = [np.asarray(a) for f in corpus
+                      for a in d1.decode_step([f] * S)]
+        d2 = BatchedStreamDecoder(S, W, H)
+        outs_dense = [np.asarray(a) for f in corpus
+                      for a in d2.decode_step([f] * S, transport="dense")]
+        for a, b in zip(outs_split, outs_dense):
+            np.testing.assert_array_equal(a, b)
+
+    def test_split_transport_sharded(self):
+        """The split-transport program compiles and runs over a stream
+        mesh, matching the unsharded program exactly (CIF-sized inputs so
+        the 8-device CPU mesh stays fast; routing at real >2730-MB sizes is
+        covered by test_720p_split_equals_dense)."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        from h263_tpu.decoder.reconstruct import (
+            reconstruct_frame_packed_split)
+        S, H, W = 8, 144, 176
+        mbh, mbw = 9, 11
+        nco = 6 * mbh * mbw * 64
+        rng = np.random.default_rng(11)
+        K = 40
+        pos = rng.integers(0, nco, size=(S, K)).astype(np.int32)
+        pos[:, -5:] = nco  # sentinel padding entries must drop
+        val = rng.integers(-200, 200, size=(S, K)).astype(np.int16)
+        mvs = rng.integers(-8, 8, size=(S, mbh, mbw, 4, 2)).astype(np.int16)
+        inter = (rng.random((S, mbh, mbw)) < 0.5).astype(np.uint8)
+        ref = rng.integers(0, 255, size=(S, H, W)).astype(np.uint8)
+        refc = rng.integers(0, 255, size=(S, H // 2, W // 2)).astype(np.uint8)
+        mesh = make_stream_mesh()
+        fn = shard_reconstruct_fn(mesh, H, W, packed="split")
+        a = fn(pos, val, mvs, inter, ref, refc, refc)
+        b = reconstruct_frame_packed_split(pos, val, mvs, inter,
+                                           ref, refc, refc)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
