@@ -154,13 +154,15 @@ def main():
         pack_cap=args.pack_per_mb * mbs_per_frame)
     pk = host_probe.next_packed_batch()
     host_probe.parse_batch_packed([corpus[0]] * S, pk)  # warm/bind
-    t0 = time.perf_counter()
-    for t in range(1, F):
-        host_probe.parse_batch_packed([corpus[t]] * S, pk)
-    host_dt = time.perf_counter() - t0
-    host_fps = S * (F - 1) / host_dt
+    host_fps = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for t in range(1, F):
+            host_probe.parse_batch_packed([corpus[t]] * S, pk)
+        host_dt = time.perf_counter() - t0
+        host_fps = max(host_fps, S * (F - 1) / host_dt)
     log(f"host entropy decode: {host_fps:.1f} frames/s/core "
-        f"({1e6 * host_dt / (S * (F - 1)):.1f} us/frame)")
+        f"(best of 3 passes)")
 
     # --- end-to-end (sequential steps) ---------------------------------------
     # Warm-up compiles BOTH transfer signatures (I-frame -> full bucket,
