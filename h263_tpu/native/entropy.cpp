@@ -149,6 +149,20 @@ static inline int32_t read_vlc_fast(BitReader& r, const uint32_t* lut,
   return (int32_t)(e >> 8);
 }
 
+// VLC decode + a peek at the single bit following the code, from the SAME
+// 64-bit window load (the TCOEF hot loop's sign bit; bits+1 <= 57 always
+// holds).  The peeked bit is NOT consumed — the caller advances r.pos by 1
+// only on the code paths where a sign bit actually follows.
+static inline int32_t read_vlc_peek1_fast(BitReader& r, const uint32_t* lut,
+                                          int bits, uint32_t* next_bit) {
+  uint64_t w = r.window_fast() << (r.pos & 7);
+  uint32_t e = lut[(uint32_t)(w >> (64 - bits))];
+  uint32_t len = e & 0xFF;
+  *next_bit = (uint32_t)((w >> (63 - len)) & 1);
+  r.pos += len;
+  return (int32_t)(e >> 8);
+}
+
 // Decode one VLC; returns payload or -1 on EOF.
 static inline int32_t read_vlc(BitReader& r, const uint32_t* lut, int bits) {
   int avail;
@@ -306,23 +320,29 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   int parity = (quant % 2 == 1) ? 0 : -1;
 
   while (present) {
-    int32_t sym = read_vlc_fast(r, TCOEF_LUT, TCOEF_LUT_BITS);
+    uint32_t sign_bit;
+    int32_t sym = read_vlc_peek1_fast(r, TCOEF_LUT, TCOEF_LUT_BITS,
+                                      &sign_bit);
     int kind = sym >> 12;
     if (kind == 2) return E_SHORT_COEF;
     int last, run;
     int32_t level;
     if (kind == 1) {  // ESCAPE
       int width = 8;
-      if (sorenson_v1) width = r.rd(1) ? 11 : 7;
+      if (sorenson_v1) {
+        r.pos += 1;  // the peeked bit was the escape-width flag
+        width = sign_bit ? 11 : 7;
+      }
       last = (int)r.rd(1);
       run = (int)r.rd(6);
       level = r.rds(width);
       if (level == 0) return E_LONG_COEF;
     } else {
+      r.pos += 1;  // the peeked bit was the sign bit
       last = (sym >> 11) & 1;
       run = (sym >> 5) & 0x3F;
       level = sym & 0x1F;
-      if (r.rd(1)) level = -level;
+      if (sign_bit) level = -level;
     }
 
     zz += run;
