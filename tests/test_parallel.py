@@ -310,3 +310,18 @@ class TestSplitPackedTransport:
                                            ref, refc, refc)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_split_pack_overflow_falls_back_to_dense(self):
+        """PackOverflow on the split transport replays on the dense path
+        with no state corruption (atomic native failure)."""
+        from h263_tpu.native import ensure_built
+        if not ensure_built():
+            pytest.skip("native front-end unavailable")
+        W, H, corpus = self._corpus()
+        S = 2
+        dec = BatchedStreamDecoder(S, W, H, pack_cap=8)  # absurdly small
+        assert dec._split
+        y1 = np.asarray(dec.decode_step([corpus[0]] * S)[0])
+        ref = BatchedStreamDecoder(S, W, H)
+        y2 = np.asarray(ref.decode_step([corpus[0]] * S, transport="dense")[0])
+        np.testing.assert_array_equal(y1, y2)
