@@ -111,6 +111,11 @@ def main():
                     help="packed-transport capacity in coefficients per "
                          "macroblock (smaller = fewer transfer bytes; "
                          "overflow falls back to the dense transport)")
+    ap.add_argument("--pallas", default=None, choices=["off", "tpu"],
+                    help="reconstruction kernels: XLA ops (off) or fused "
+                         "Mosaic kernels (tpu).  Default: tpu on TPU "
+                         "backends (the Mosaic IDCT benches ~10%% faster "
+                         "end-to-end), off on CPU")
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--budget", type=float, default=380.0,
                     help="soft wall-clock budget (s); extra best-of passes "
@@ -132,6 +137,9 @@ def main():
         lambda *a: print(*a, file=sys.stderr))
 
     log(f"devices: {jax.devices()}")
+    if args.pallas is None:
+        args.pallas = "off" if jax.default_backend() == "cpu" else "tpu"
+    log(f"pallas kernels: {args.pallas}")
     S, F, W, H = args.streams, args.frames, args.width, args.height
 
     t0 = time.perf_counter()
@@ -146,7 +154,8 @@ def main():
 
     mbs_per_frame = (-(-W // 16)) * (-(-H // 16))
     dec = BatchedStreamDecoder(S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
-                               pack_cap=args.pack_per_mb * mbs_per_frame)
+                               pack_cap=args.pack_per_mb * mbs_per_frame,
+                               pallas=args.pallas)
 
     # --- host stage in isolation (the production packed batch parse) --------
     host_probe = BatchedStreamDecoder(

@@ -235,6 +235,68 @@ def parse_frame_native(data: bytes, start_bit: int, picture: Picture,
     return frame, int(end_bit.value)
 
 
+def parse_frame_native_packed(data: bytes, start_bit: int, picture: Picture,
+                              decoder_options,
+                              running_options: PictureOption,
+                              width: int, height: int,
+                              pack_pos: np.ndarray, mvs: np.ndarray,
+                              inter: np.ndarray, pred_scratch: np.ndarray,
+                              pack_val: Optional[np.ndarray] = None):
+    """Like parse_frame_native, but emits the packed coefficient transport
+    (combined-u32 into pack_pos when pack_val is None, else split int32
+    positions + int16 values) for any header flavor — used by the batched
+    standard-H.263 path, whose picture headers parse in Python.
+
+    Fills mvs/inter in place; returns (count, end_bit).  The caller owns
+    sentinel-padding of unused pack entries."""
+    from ..types import DecoderOption
+
+    assert _lib is not None, "call ensure_built() first"
+
+    mvs[:] = 0
+    inter[:] = 1
+
+    flags = 0
+    if decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM:
+        flags |= F_SORENSON
+    if picture.has_plusptype:
+        flags |= F_HAS_PLUSPTYPE
+    if running_options & PictureOption.UNRESTRICTED_MOTION_VECTORS:
+        flags |= F_UMV_OPTION
+    if picture.motion_vector_range is MotionVectorRange.EXTENDED:
+        flags |= F_MV_RANGE_EXTENDED
+
+    ptype = _PICTURE_TYPE_CODE.get(picture.picture_type, 3)
+    rx, ry = _mv_ranges(picture, width, height)
+
+    end_bit = ctypes.c_uint64(0)
+    count = ctypes.c_int32(0)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    rc = _lib.h263_parse_frame(
+        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint64(len(data)),
+        ctypes.c_uint64(start_bit),
+        ctypes.c_int32(width), ctypes.c_int32(height),
+        ctypes.c_int32(ptype), ctypes.c_int32(flags),
+        ctypes.c_int32(picture.version if picture.version is not None else -1),
+        ctypes.c_int32(picture.quantizer),
+        ctypes.c_int32(rx), ctypes.c_int32(ry),
+        None, None, None, None, None, None,
+        mvs.ctypes.data_as(ctypes.c_void_p),
+        inter.ctypes.data_as(ctypes.c_void_p),
+        pred_scratch.ctypes.data_as(ctypes.c_void_p),
+        pack_pos.ctypes.data_as(ctypes.c_void_p),
+        pack_val.ctypes.data_as(ctypes.c_void_p)
+        if pack_val is not None else None,
+        ctypes.c_int32(pack_pos.shape[0]),
+        ctypes.byref(count),
+        ctypes.byref(end_bit),
+    )
+    if rc != 0:
+        exc = _ERROR_MAP.get(rc, InternalDecoderError)
+        raise exc(f"native packed parse error {rc}")
+    return int(count.value), int(end_bit.value)
+
+
 class PackOverflow(H263Error):
     """Packed-coefficient capacity exceeded; caller should fall back to the
     dense transport for this frame."""

@@ -325,12 +325,47 @@ class BatchedStreamDecoder:
             ]
         return packed.fast_parsers[stream_idx]
 
+    def parse_batch_packed_standard(self, buffers: Sequence[bytes],
+                                    packed: "_PackedBatch") -> None:
+        """Packed-transport batch parse for standard (non-Sorenson) H.263:
+        picture headers parse in Python (PTYPE/PLUSPTYPE and followers are
+        stateful and rare-branchy), macroblock data parses natively straight
+        into the packed buffers.  Header state commits only after every
+        stream parsed (whole-batch atomicity, matching the Sorenson path).
+        """
+        from ..native.bindings import parse_frame_native_packed
+
+        cap = packed.u32.shape[1]
+        sentinel = 6 * self.mb_w * self.mb_h * 64
+        pad = sentinel if packed.split else (sentinel << 12)
+        staged = []
+        for i, b in enumerate(buffers):
+            r = BitReader(b if type(b) is bytes else bytes(b))
+            pic, running = self._parse_header(i, r)
+            count, _ = parse_frame_native_packed(
+                r.data, r.pos, pic, self.decoder_options, running,
+                self.w, self.h, packed.u32[i], packed.mvs[i],
+                packed.inter[i], self._pred_scratch,
+                pack_val=packed.val[i] if packed.split else None)
+            if not self.states[i].has_reference and packed.inter[i].any():
+                # gather.rs:149 — INTER macroblocks with no reference picture
+                raise UncodedIFrameBlocks(f"stream {i}: no reference picture")
+            packed.u32[i, count:cap] = pad
+            packed.counts[i] = count
+            staged.append((pic, running))
+        m = packed.mvs
+        packed.varied_mvs[:] = (m != m[:, :, :, 0:1, :]).any(axis=(1, 2, 3, 4))
+        for i, (pic, running) in enumerate(staged):
+            self._commit_header(i, pic, running)
+
     def parse_batch_packed(self, buffers: Sequence[bytes],
                            packed: "_PackedBatch") -> None:
         """Parse every stream's frame in ONE native call (the whole host
         stage is a single FFI round trip).  Commits per-stream header state
         on success; a failure leaves all state untouched (the native loop
         aborts before any Python-side commit)."""
+        if not (self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
+            return self.parse_batch_packed_standard(buffers, packed)
         from ..native.bindings import SorensonBatchParser
 
         if packed.batch_parser is None:
@@ -512,12 +547,10 @@ class BatchedStreamDecoder:
         from ..native import ensure_built
         from ..native.bindings import PackOverflow
 
-        sorenson = bool(self.decoder_options
-                        & DecoderOption.SORENSON_SPARK_BITSTREAM)
         use_packed = (transport == "packed" or (
             transport == "auto"
             and not os.environ.get("H263_TPU_NO_NATIVE")
-            and ensure_built())) and sorenson
+            and ensure_built()))
         if use_packed:
             packed = self.next_packed_batch()
             try:

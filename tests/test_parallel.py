@@ -198,8 +198,10 @@ class TestLargeFormats:
 
 
 class TestStandardH263Batched:
-    def test_dense_transport_for_standard_streams(self):
-        """Non-Sorenson streams route through the dense transport."""
+    def test_standard_streams_batched(self):
+        """Non-Sorenson streams decode batched (packed transport when the
+        native front-end is present, dense otherwise) and match the
+        single-stream decoder exactly."""
         from h263_tpu.testing.encoder import encode_standard_picture
         from h263_tpu.types import DecoderOption
 
@@ -213,12 +215,16 @@ class TestStandardH263Batched:
                     blocks=[[(0, 4)], [], [], [], [], []])] * nmb,
             temporal_reference=1)
         dec = BatchedStreamDecoder(2, 128, 96, DecoderOption.NONE)
+        dense = BatchedStreamDecoder(2, 128, 96, DecoderOption.NONE)
         ref = H263Decoder(DecoderOption.NONE, backend="numpy")
         for f in (f0, f1):
             y, cb, cr = dec.decode_step([f, f])
+            yd, cbd, crd = dense.decode_step([f, f], transport="dense")
             pic = ref.decode_next_picture(f)
             np.testing.assert_array_equal(np.asarray(y)[0], pic.as_luma())
             np.testing.assert_array_equal(np.asarray(cb)[1], pic.as_chroma_b())
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(yd))
+            np.testing.assert_array_equal(np.asarray(cr), np.asarray(crd))
 
 
 class TestTracing:

@@ -2,6 +2,7 @@
 carry-forward — hand-assembled bit patterns per H.263 5.1.4."""
 
 import numpy as np
+import pytest
 
 from h263_tpu import DecoderOption, H263Decoder
 from h263_tpu.bitio import BitReader
@@ -137,3 +138,37 @@ def test_cpfmt_phi_8bit_quirk():
     w = _plusptype_header(w_pix=176, h_pix=1024)
     pic = decode_picture(BitReader(w.to_bytes()), DecoderOption.NONE, None)
     assert pic.format.width_and_height() == (176, 0)
+
+
+def test_plusptype_umv_batched_packed_transport():
+    """The same PLUSPTYPE+UMV stream through the batched packed transport
+    (Python headers + native packed MB parse) matches the single-stream
+    decoder bit for bit."""
+    from h263_tpu.native import ensure_built
+    from h263_tpu.parallel import BatchedStreamDecoder
+
+    if not ensure_built():
+        pytest.skip("native front-end unavailable")
+
+    nmb = (176 // 16) * (144 // 16)
+    w = _plusptype_header()
+    for _ in range(nmb):
+        encode_macroblock(w, MBSpec(kind="intra", intradc=[800] * 6),
+                          PictureTypeCode.I_FRAME, None)
+    f0 = w.to_bytes()
+    w2 = _plusptype_header(ptype_bits="001", tr=6)
+    for _ in range(nmb):
+        w2.write_bits(0, 1)
+        w2.write_code("1")
+        w2.write_code("11")
+        w2.write_code("000")
+        w2.write_code("1")
+    f1 = w2.to_bytes()
+
+    dec = BatchedStreamDecoder(2, 176, 144, DecoderOption.NONE)
+    ref = H263Decoder(DecoderOption.NONE, backend="numpy")
+    for buf in (f0, f1):
+        y, cb, cr = dec.decode_step([buf, buf], transport="packed")
+        pic = ref.decode_next_picture(buf)
+        np.testing.assert_array_equal(np.asarray(y)[0], pic.as_luma())
+        np.testing.assert_array_equal(np.asarray(y)[1], pic.as_luma())
