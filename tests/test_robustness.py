@@ -155,3 +155,49 @@ class TestNativePythonErrorParity:
             else:
                 assert err_py is err_c, (trial, err_py, err_c)
         assert agree > 0  # some corruptions still decode
+
+
+class TestStandardBatchedRobustness:
+    """The standard-H.263 batched packed path (Python headers + native
+    packed MB parse) must fail cleanly and atomically on corrupt input."""
+
+    def _gop(self):
+        from h263_tpu.testing.encoder import encode_standard_picture
+        nmb = 8 * 6
+        f0 = encode_standard_picture(
+            128, 96, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[800] * 6)] * nmb)
+        f1 = encode_standard_picture(
+            128, 96, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(2, 0)])] * nmb,
+            temporal_reference=1)
+        return f0, f1
+
+    def test_corrupt_stream_raises_and_state_survives(self):
+        from h263_tpu.types import DecoderOption, H263Error
+        f0, f1 = self._gop()
+        dec = BatchedStreamDecoder(2, 128, 96, DecoderOption.NONE)
+        y0 = np.asarray(dec.decode_step([f0, f0])[0])
+        with pytest.raises(H263Error):
+            dec.decode_step([f1, b"\x00\x00\x8f\xff\xff"],
+                            transport="packed")
+        # state untouched by the failed step: the good P-frame still decodes
+        y1 = np.asarray(dec.decode_step([f1, f1])[0])
+        ref = BatchedStreamDecoder(2, 128, 96, DecoderOption.NONE)
+        ref.decode_step([f0, f0], transport="dense")
+        y1_ref = np.asarray(ref.decode_step([f1, f1], transport="dense")[0])
+        np.testing.assert_array_equal(y1, y1_ref)
+
+    def test_random_garbage_never_crashes(self):
+        from h263_tpu.types import DecoderOption, H263Error
+        f0, _ = self._gop()
+        rng = np.random.default_rng(9)
+        dec = BatchedStreamDecoder(2, 128, 96, DecoderOption.NONE)
+        dec.decode_step([f0, f0])
+        for _ in range(30):
+            junk = rng.integers(0, 256, int(rng.integers(1, 60)),
+                                dtype=np.uint8).tobytes()
+            try:
+                dec.decode_step([f0, junk], transport="packed")
+            except H263Error:
+                pass
