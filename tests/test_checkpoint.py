@@ -82,3 +82,35 @@ def test_batched_roundtrip():
         ya, _, _ = ref.decode_step(bufs)
         yb, _, _ = resumed.decode_step(bufs)
         np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+
+def test_batched_roundtrip_split_transport():
+    """Checkpoint/resume across the large-picture split transport (720p):
+    decoding resumes bit-exactly mid-GOP."""
+    from h263_tpu.native import ensure_built
+    if not ensure_built():
+        pytest.skip("native front-end unavailable")
+    from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
+    from h263_tpu.types import PictureTypeCode
+
+    W, H, mbw, mbh = 1280, 720, 80, 45
+    rng = np.random.default_rng(7)
+    f0 = encode_sorenson_picture(
+        W, H, PictureTypeCode.I_FRAME,
+        [MBSpec(kind="intra", intradc=[int(rng.integers(1, 120)) * 8] * 6)
+         for _ in range(mbw * mbh)], quantizer=7)
+    f1 = encode_sorenson_picture(
+        W, H, PictureTypeCode.P_FRAME,
+        [MBSpec(kind="inter", mvd=[(1, -3)],
+                blocks=[[(0, 8)], [], [], [], [], []]
+                if k % 9 == 0 else [[], [], [], [], [], []])
+         for k in range(mbw * mbh)], quantizer=7, temporal_reference=1)
+
+    dec = BatchedStreamDecoder(2, W, H)
+    assert dec._split
+    dec.decode_step([f0, f0])
+    resumed = load_batched_state(save_batched_state(dec))
+    assert resumed._split
+    ya = np.asarray(dec.decode_step([f1, f1])[0])
+    yb = np.asarray(resumed.decode_step([f1, f1])[0])
+    np.testing.assert_array_equal(ya, yb)
