@@ -231,6 +231,25 @@ def main():
     log(f"device stage (packed transfer+compute): {device_fps:.1f} "
         f"frames/s/chip (best of 3 passes)")
 
+    # --- presentation (deblock + BT.601 RGBA, on device) --------------------
+    # Not part of the headline decode metric; reported as a detail field.
+    # Guarded: any failure here must not kill the benchmark.
+    present_fps = None
+    try:
+        rgba = dec.present_rgba(deblock=True)
+        rgba.block_until_ready()
+        reps_p = 8
+        t0 = time.perf_counter()
+        for _ in range(reps_p):
+            rgba = dec.present_rgba(deblock=True)
+        rgba.block_until_ready()
+        present_dt = time.perf_counter() - t0
+        present_fps = S * reps_p / present_dt
+        log(f"present (deblock+RGBA): {present_fps:.1f} frames/s/chip "
+            f"({1e3 * present_dt / reps_p:.2f} ms/step)")
+    except Exception as e:  # pragma: no cover
+        log(f"present measurement skipped: {e!r}")
+
     # Correctness gate last (it reads back a pixel — see note above).
     verify_strict_rounding(dec, W, H)
     log("strict f32 rounding verified on device")
@@ -242,6 +261,8 @@ def main():
         "vs_baseline": round(e2e_fps / 30000.0, 4),
         "detail": {
             "host_parse_fps_per_core": round(host_fps, 1),
+            "present_rgba_fps": (round(present_fps, 1)
+                                 if present_fps else None),
             "device_stage_fps": round(device_fps, 1),
             "end_to_end_sequential_fps": round(seq_fps, 1),
             "end_to_end_pipelined_fps": round(pipe_fps, 1),
