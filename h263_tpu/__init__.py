@@ -13,12 +13,15 @@ Public surface mirrors the reference crates:
 """
 
 from .types import (
+    BPictureQuantizer,
     DecoderOption,
     H263Error,
     MotionVector,
     Picture,
     PictureOption,
     PictureTypeCode,
+    ReferencePictureSelectionMode,
+    SliceSubmode,
     SourceFormat,
     SourceFormatKind,
 )
@@ -28,6 +31,7 @@ from .decoder import DecodedPicture, H263Decoder
 __version__ = "0.1.0"
 
 __all__ = [
+    "BPictureQuantizer",
     "BitReader",
     "DecodedPicture",
     "DecoderOption",
@@ -37,6 +41,8 @@ __all__ = [
     "Picture",
     "PictureOption",
     "PictureTypeCode",
+    "ReferencePictureSelectionMode",
+    "SliceSubmode",
     "SourceFormat",
     "SourceFormatKind",
     "__version__",

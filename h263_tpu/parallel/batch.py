@@ -143,8 +143,20 @@ class BatchedStreamDecoder:
     def __init__(self, n_streams: int, width: int, height: int,
                  decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
                  reconstruct_fn=None, packed_reconstruct_fn=None,
-                 pack_cap: Optional[int] = None, pallas: str = "off"):
+                 pack_cap: Optional[int] = None, pallas: str = "auto"):
+        import jax
         import jax.numpy as jnp
+
+        # pallas="auto": the fused Mosaic kernels are the production default
+        # on TPU (~10% faster e2e, bit-identical); they don't lower on CPU,
+        # so non-TPU backends resolve to the XLA-ops path.  Tests that want
+        # the interpreter pass pallas="interpret" explicitly.
+        if pallas == "auto":
+            pallas = "tpu" if jax.default_backend() == "tpu" else "off"
+        if pallas not in ("off", "tpu", "interpret"):
+            raise ValueError(
+                f"pallas must be 'auto', 'off', 'tpu', or 'interpret'; "
+                f"got {pallas!r}")
 
         self.n = n_streams
         self.w = width
@@ -190,6 +202,7 @@ class BatchedStreamDecoder:
         self._packed_idx = 0
         # pallas: "off" (XLA ops), "tpu" (Mosaic kernels), or "interpret"
         # (CPU testing).  All three are bit-identical.
+        self.pallas = pallas
         if packed_reconstruct_fn is not None:
             self._packed_fn = packed_reconstruct_fn
         elif self._split:

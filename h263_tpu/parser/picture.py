@@ -11,6 +11,7 @@ from typing import Optional
 
 from ..bitio import BitReader
 from ..types import (
+    BPictureQuantizer,
     CustomPictureClock,
     CustomPictureFormat,
     DecoderOption,
@@ -27,7 +28,9 @@ from ..types import (
     PictureOption,
     PictureTypeCode,
     PixelAspectRatio,
+    ReferencePictureSelectionMode,
     ScalabilityLayer,
+    SliceSubmode,
     SourceFormat,
     SourceFormatKind,
     UnimplementedDecoding,
@@ -378,7 +381,7 @@ def decode_picture(r: BitReader, decoder_options: DecoderOption,
 
         slice_submode = None
         if followers & _F_SLICE_SUBMODE:
-            slice_submode = r.read_bits(2)
+            slice_submode = SliceSubmode(r.read_bits(2))
 
         scalability_layer = None
         if decoder_options & DecoderOption.USE_SCALABILITY_MODE:
@@ -388,7 +391,8 @@ def decode_picture(r: BitReader, decoder_options: DecoderOption,
 
         reference_picture_selection_mode = None
         if followers & _F_RPS_MODE:
-            reference_picture_selection_mode = r.read_bits(3)
+            reference_picture_selection_mode = ReferencePictureSelectionMode(
+                r.read_bits(3))
 
         prediction_reference = None
         backchannel_message = None
@@ -418,7 +422,7 @@ def decode_picture(r: BitReader, decoder_options: DecoderOption,
         pb_quantizer = None
         if picture_type.is_any_pbframe():
             pb_reference = r.read_bits(5 if picture_clock is not None else 3)
-            pb_quantizer = r.read_bits(2)  # DBQUANT index (5/4 .. 8/4)
+            pb_quantizer = BPictureQuantizer(r.read_bits(2))  # DBQUANT (5/4..8/4)
 
         extra = _decode_pei(r)
 

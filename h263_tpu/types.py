@@ -278,6 +278,43 @@ class ScalabilityLayer:
     reference: Optional[int]
 
 
+class SliceSubmode(enum.IntFlag):
+    """H.263 5.1.9 SSS slice configuration (types.rs:400-407).
+
+    IntFlag (int subclass), so the raw 2-bit field value is preserved for
+    tensor packing while the flag names carry the spec semantics.
+    """
+
+    NONE = 0
+    RECTANGULAR_SLICES = 0b01
+    ARBITRARY_ORDER = 0b10
+
+
+class ReferencePictureSelectionMode(enum.IntFlag):
+    """H.263 5.1.13 RPSMF backchannel-message request flags
+    (types.rs:424-436)."""
+
+    NONE = 0
+    RESERVED = 0b001
+    REQUEST_NEGATIVE_ACKNOWLEDGEMENT = 0b010
+    REQUEST_ACKNOWLEDGEMENT = 0b100
+
+
+class BPictureQuantizer(enum.IntEnum):
+    """H.263 5.1.23 DBQUANT — B-picture quantizer as fourths
+    (types.rs:529-542).  The enum value is the raw 2-bit code; the
+    numerator is value + 5 (5/4 .. 8/4)."""
+
+    FIVE = 0
+    SIX = 1
+    SEVEN = 2
+    EIGHT = 3
+
+    @property
+    def numerator(self) -> int:
+        return int(self) + 5
+
+
 # ---------------------------------------------------------------------------
 # Picture header (cf. types.rs:13-122)
 # ---------------------------------------------------------------------------
@@ -295,16 +332,16 @@ class Picture:
     has_opptype: bool = False
     picture_type: PictureTypeCode = PictureTypeCode.I_FRAME
     motion_vector_range: Optional[MotionVectorRange] = None
-    slice_submode: Optional[int] = None
+    slice_submode: Optional[SliceSubmode] = None
     scalability_layer: Optional[ScalabilityLayer] = None
-    reference_picture_selection_mode: Optional[int] = None
+    reference_picture_selection_mode: Optional[ReferencePictureSelectionMode] = None
     prediction_reference: Optional[int] = None
     backchannel_message: Optional[object] = None
     reference_picture_resampling: Optional[object] = None
     quantizer: int = 1
     multiplex_bitstream: Optional[int] = None
     pb_reference: Optional[int] = None
-    pb_quantizer: Optional[int] = None
+    pb_quantizer: Optional[BPictureQuantizer] = None
     extra: bytes = b""
 
 

@@ -1,6 +1,11 @@
 """Checkpoint/resume: suspending mid-GOP and resuming must be bit-exact."""
 
+import io
+import json
+import pickle
+
 import numpy as np
+import pytest
 
 from h263_tpu import DecoderOption, H263Decoder, PictureTypeCode
 from h263_tpu.parallel import BatchedStreamDecoder
@@ -114,3 +119,92 @@ def test_batched_roundtrip_split_transport():
     ya = np.asarray(dec.decode_step([f1, f1])[0])
     yb = np.asarray(resumed.decode_step([f1, f1])[0])
     np.testing.assert_array_equal(ya, yb)
+
+
+def test_v2_format_is_versioned_npz():
+    """The blob is a zip (np.savez) with a JSON meta member — no pickle."""
+    dec = H263Decoder(SORENSON, backend="numpy")
+    for f in _gop(3)[:2]:
+        dec.decode_next_picture(f)
+    blob = save_decoder_state(dec)
+    assert blob.startswith(b"PK\x03\x04")
+    z = np.load(io.BytesIO(blob), allow_pickle=False)
+    meta = json.loads(bytes(z["meta"]).decode("utf-8"))
+    assert meta["format_version"] == 2
+    assert meta["kind"] == "decoder"
+    assert len(meta["pictures"]) >= 1
+    # Every plane referenced by meta exists as a real array member.
+    for p in meta["pictures"]:
+        for suffix in ("y", "cb", "cr"):
+            assert z[f"{p['planes']}_{suffix}"].dtype == np.uint8
+
+
+def _v1_decoder_blob(dec) -> bytes:
+    """Reproduce the round-1 pickle writer byte-for-byte in schema."""
+    pictures = {}
+    for tr, pic in dec.reference_states.items():
+        pictures[tr] = {
+            "header": pic.picture_header,
+            "format": pic.format,
+            "luma": np.asarray(pic.luma),
+            "chroma_b": np.asarray(pic.chroma_b),
+            "chroma_r": np.asarray(pic.chroma_r),
+        }
+    return pickle.dumps({
+        "version": 1,
+        "decoder_options": int(dec.decoder_options),
+        "backend": dec.backend,
+        "last_picture": dec.last_picture,
+        "reference_picture": dec.reference_picture,
+        "running_options": int(dec.running_options),
+        "pictures": pictures,
+    })
+
+
+def test_v1_blob_still_loads():
+    """Cross-version load: a round-1 pickle checkpoint resumes bit-exactly."""
+    frames = _gop(4)
+    ref = H263Decoder(SORENSON, backend="numpy")
+    dec = H263Decoder(SORENSON, backend="numpy")
+    for f in frames[:3]:
+        ref.decode_next_picture(f)
+        dec.decode_next_picture(f)
+    resumed = load_decoder_state(_v1_decoder_blob(dec))
+    for f in frames[3:]:
+        a = ref.decode_next_picture(f)
+        b = resumed.decode_next_picture(f)
+        np.testing.assert_array_equal(a.as_luma(), b.as_luma())
+
+
+def test_picture_dict_roundtrip_all_fields():
+    """Every Picture header field survives the JSON schema."""
+    from h263_tpu.types import (BPictureQuantizer, MotionVectorRange, Picture,
+                                PictureOption, PictureTypeCode,
+                                ReferencePictureSelectionMode,
+                                ScalabilityLayer, SliceSubmode, SourceFormat)
+    from h263_tpu.utils.checkpoint import picture_from_dict, picture_to_dict
+
+    pic = Picture(
+        version=1,
+        temporal_reference=345,
+        format=SourceFormat.extended(180, 140),
+        options=PictureOption.USE_DEBLOCKER | PictureOption.ADVANCED_PREDICTION,
+        has_plusptype=True,
+        has_opptype=True,
+        picture_type=PictureTypeCode.PB_FRAME,
+        motion_vector_range=MotionVectorRange.EXTENDED,
+        slice_submode=SliceSubmode.RECTANGULAR_SLICES,
+        scalability_layer=ScalabilityLayer(3, None),
+        reference_picture_selection_mode=(
+            ReferencePictureSelectionMode.REQUEST_ACKNOWLEDGEMENT),
+        prediction_reference=77,
+        quantizer=13,
+        multiplex_bitstream=2,
+        pb_reference=5,
+        pb_quantizer=BPictureQuantizer.SEVEN,
+        extra=b"\x01\x02",
+    )
+    d = json.loads(json.dumps(picture_to_dict(pic)))  # force JSON round-trip
+    back = picture_from_dict(d)
+    assert back == pic
+    assert picture_from_dict(picture_to_dict(None)) is None
