@@ -7,6 +7,7 @@ parallel, so XLA inserts no cross-chip collectives.
 """
 
 from .batch import BatchedStreamDecoder
-from .sharding import make_stream_mesh, shard_reconstruct_fn
+from .sharding import make_stream_mesh, shard_present_fn, shard_reconstruct_fn
 
-__all__ = ["BatchedStreamDecoder", "make_stream_mesh", "shard_reconstruct_fn"]
+__all__ = ["BatchedStreamDecoder", "make_stream_mesh", "shard_present_fn",
+           "shard_reconstruct_fn"]

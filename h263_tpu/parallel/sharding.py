@@ -23,13 +23,15 @@ def make_stream_mesh(devices=None):
     return Mesh(np.asarray(devices), ("stream",))
 
 
-def shard_reconstruct_fn(mesh, h: int, w: int, packed=False):
+def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off"):
     """A jitted, stream-sharded batched reconstruction program.
 
     All inputs/outputs are sharded on their leading stream axis; the batch
     size must be divisible by the mesh size.  packed=True/"u32" shards the
     combined-u32 packed transport program, packed="split" the large-picture
     split transport (int32 positions + int16 values), False the dense one.
+    `pallas` selects the kernel backend for the packed programs ("off",
+    "tpu", or "interpret"), matching BatchedStreamDecoder.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -42,13 +44,36 @@ def shard_reconstruct_fn(mesh, h: int, w: int, packed=False):
 
     stream_sharding = NamedSharding(mesh, P("stream"))
     if packed == "split":
-        fn, n_in = reconstruct_frame_packed_split, 7
+        fn = functools.partial(reconstruct_frame_packed_split, pallas=pallas)
+        n_in = 7
     elif packed:
-        fn, n_in = reconstruct_frame_packed_u32, 6
+        fn = functools.partial(reconstruct_frame_packed_u32, pallas=pallas)
+        n_in = 6
     else:
         fn, n_in = reconstruct_frame_batched, 11
     return jax.jit(
         fn,
         in_shardings=(stream_sharding,) * n_in,
         out_shardings=(stream_sharding,) * 3,
+    )
+
+
+def shard_present_fn(mesh):
+    """A jitted, stream-sharded presentation program (deblock + BT.601).
+
+    Inputs: y [S,H,W], cb/cr [S,ch,cw], strength int32 [S], apply bool [S];
+    output RGBA uint8 [S,H,W,4].  Sharded on the stream axis like the
+    reconstruction program — the full production step (reconstruct +
+    present) runs collective-free on a multi-chip mesh.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..decoder.reconstruct import present_rgba_batched
+
+    stream_sharding = NamedSharding(mesh, P("stream"))
+    return jax.jit(
+        present_rgba_batched,
+        in_shardings=(stream_sharding,) * 5,
+        out_shardings=stream_sharding,
     )

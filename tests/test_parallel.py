@@ -331,3 +331,61 @@ class TestSplitPackedTransport:
         ref = BatchedStreamDecoder(S, W, H)
         y2 = np.asarray(ref.decode_step([corpus[0]] * S, transport="dense")[0])
         np.testing.assert_array_equal(y1, y2)
+
+
+class TestShardedPresent:
+    def test_present_sharded_matches_unsharded(self):
+        """The presentation program (deblock + BT.601) sharded over the
+        stream mesh is bit-identical to the unsharded program."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        from h263_tpu.decoder.reconstruct import present_rgba_batched
+        from h263_tpu.parallel import make_stream_mesh, shard_present_fn
+
+        S, H, W = 8, 48, 48
+        rng = np.random.default_rng(21)
+        y = rng.integers(0, 255, (S, H, W)).astype(np.uint8)
+        cb = rng.integers(0, 255, (S, H // 2, W // 2)).astype(np.uint8)
+        cr = rng.integers(0, 255, (S, H // 2, W // 2)).astype(np.uint8)
+        strength = rng.integers(1, 13, S).astype(np.int32)
+        apply = rng.random(S) < 0.7
+
+        fn = shard_present_fn(make_stream_mesh())
+        a = np.asarray(fn(y, cb, cr, strength, apply))
+        b = np.asarray(present_rgba_batched(
+            jax.numpy.asarray(y), jax.numpy.asarray(cb),
+            jax.numpy.asarray(cr), jax.numpy.asarray(strength),
+            jax.numpy.asarray(apply)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_packed_pallas_interpret_sharded(self):
+        """The packed-u32 program with Pallas-interpret kernels (the
+        dryrun_multichip configuration) matches the XLA-ops program over
+        the mesh."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        from h263_tpu.decoder.reconstruct import reconstruct_frame_packed_u32
+        from h263_tpu.parallel import make_stream_mesh, shard_reconstruct_fn
+
+        S, H, W = 8, 48, 48
+        mbh = mbw = 3
+        nco = 6 * mbh * mbw * 64
+        rng = np.random.default_rng(22)
+        K = 32
+        pos = rng.integers(0, nco, (S, K)).astype(np.int64)
+        val = rng.integers(-1024, 1024, (S, K)).astype(np.int64)
+        u32 = ((pos << 12) | (val & 0xFFF)).astype(np.int32)
+        u32[:, -4:] = np.int32(nco << 12)  # sentinel padding
+        mvs = rng.integers(-6, 6, (S, mbh, mbw, 4, 2)).astype(np.int16)
+        inter = (rng.random((S, mbh, mbw)) < 0.5).astype(np.uint8)
+        ref = rng.integers(0, 255, (S, H, W)).astype(np.uint8)
+        refc = rng.integers(0, 255, (S, H // 2, W // 2)).astype(np.uint8)
+
+        mesh = make_stream_mesh()
+        fn = shard_reconstruct_fn(mesh, H, W, packed=True, pallas="interpret")
+        a = fn(u32, mvs, inter, ref, refc, refc)
+        b = reconstruct_frame_packed_u32(u32, mvs, inter, ref, refc, refc)
+        for x, yv in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(yv))
