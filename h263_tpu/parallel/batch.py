@@ -186,6 +186,7 @@ class BatchedStreamDecoder:
             self.pack_cap_small = self.pack_cap
         self._mv_full = False  # sticky: set on first frame with varied MVs
         self._executor = None  # lazy pipeline worker (submit_step)
+        self._skip_frame: Optional[bytes] = None  # lazy all-uncoded P-frame
         self._pred_scratch = np.zeros((mb_w * mb_h, 4, 2), dtype=np.int16)
         # Header-commit fast path: Picture objects cached per unique native
         # header row, and PictureOption enums per running-options value, so
@@ -260,12 +261,34 @@ class BatchedStreamDecoder:
             st.has_reference = True
         st.running_options = running
 
+    def skip_frame_bytes(self) -> bytes:
+        """A cached all-uncoded P-frame at this bucket's dims.
+
+        Used to pad empty/absent slots in a lockstep batch: every
+        macroblock is COD=1 (copy reference with MV 0), so the slot's
+        planes are preserved and — decoded with commit suppressed — its
+        header state is untouched."""
+        if self._skip_frame is None:
+            from ..testing.encoder import (MBSpec, encode_sorenson_picture,
+                                           encode_standard_picture)
+
+            mbs = [MBSpec(kind="uncoded")] * (self.mb_w * self.mb_h)
+            enc = (encode_sorenson_picture
+                   if self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM
+                   else encode_standard_picture)
+            self._skip_frame = enc(self.w, self.h, PictureTypeCode.P_FRAME,
+                                   mbs)
+        return self._skip_frame
+
     def parse_one(self, stream_idx: int, buf: bytes,
-                  batch: Optional[_HostBatch] = None) -> FrameData:
+                  batch: Optional[_HostBatch] = None,
+                  commit: bool = True) -> FrameData:
         """Entropy-decode one stream's next frame to dense tensors.
 
         With `batch` given (and the native front-end available), tensors are
         written directly into the stream's slice of the batch buffers.
+        commit=False parses without touching per-stream header state or
+        enforcing the reference-picture rule (slot-padding path).
         """
         st = self.states[stream_idx]
         r = BitReader(bytes(buf))
@@ -293,10 +316,10 @@ class BatchedStreamDecoder:
                        frame.mvs, frame.inter)
                 for d, s in zip(dst, src):
                     d[:] = s
-        if frame.inter.any() and not st.has_reference:
-            raise UncodedIFrameBlocks()
-
-        self._commit_header(stream_idx, pic, running)
+        if commit:
+            if frame.inter.any() and not st.has_reference:
+                raise UncodedIFrameBlocks()
+            self._commit_header(stream_idx, pic, running)
         return frame
 
     def parse_one_packed(self, stream_idx: int, buf: bytes,
@@ -339,7 +362,8 @@ class BatchedStreamDecoder:
         return packed.fast_parsers[stream_idx]
 
     def parse_batch_packed_standard(self, buffers: Sequence[bytes],
-                                    packed: "_PackedBatch") -> None:
+                                    packed: "_PackedBatch",
+                                    mask=None) -> None:
         """Packed-transport batch parse for standard (non-Sorenson) H.263:
         picture headers parse in Python (PTYPE/PLUSPTYPE and followers are
         stateful and rare-branchy), macroblock data parses natively straight
@@ -353,6 +377,9 @@ class BatchedStreamDecoder:
         pad = sentinel if packed.split else (sentinel << 12)
         staged = []
         for i, b in enumerate(buffers):
+            live = mask is None or mask[i]
+            if not live:
+                b = self.skip_frame_bytes()
             r = BitReader(b if type(b) is bytes else bytes(b))
             pic, running = self._parse_header(i, r)
             count, _ = parse_frame_native_packed(
@@ -360,33 +387,54 @@ class BatchedStreamDecoder:
                 self.w, self.h, packed.u32[i], packed.mvs[i],
                 packed.inter[i], self._pred_scratch,
                 pack_val=packed.val[i] if packed.split else None)
-            if not self.states[i].has_reference and packed.inter[i].any():
+            if (live and not self.states[i].has_reference
+                    and packed.inter[i].any()):
                 # gather.rs:149 — INTER macroblocks with no reference picture
                 raise UncodedIFrameBlocks(f"stream {i}: no reference picture")
             packed.u32[i, count:cap] = pad
             packed.counts[i] = count
-            staged.append((pic, running))
+            staged.append((pic, running) if live else None)
         m = packed.mvs
         packed.varied_mvs[:] = (m != m[:, :, :, 0:1, :]).any(axis=(1, 2, 3, 4))
-        for i, (pic, running) in enumerate(staged):
-            self._commit_header(i, pic, running)
+        for i, st in enumerate(staged):
+            if st is not None:
+                self._commit_header(i, *st)
 
     def parse_batch_packed(self, buffers: Sequence[bytes],
-                           packed: "_PackedBatch") -> None:
+                           packed: "_PackedBatch", mask=None) -> None:
         """Parse every stream's frame in ONE native call (the whole host
         stage is a single FFI round trip).  Commits per-stream header state
         on success; a failure leaves all state untouched (the native loop
-        aborts before any Python-side commit)."""
+        aborts before any Python-side commit).
+
+        `mask` (bool per slot, optional): False slots decode the cached
+        skip frame instead of their buffer, with header commit and the
+        reference-picture rule suppressed — used by StreamPool to pad
+        empty or this-step-absent slots without shape churn."""
         if not (self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
-            return self.parse_batch_packed_standard(buffers, packed)
+            return self.parse_batch_packed_standard(buffers, packed, mask)
         from ..native.bindings import SorensonBatchParser
 
         if packed.batch_parser is None:
             packed.batch_parser = SorensonBatchParser(
                 self.n, self.w, self.h, packed.u32, packed.mvs,
                 packed.inter, self._pred_scratch, pack_val=packed.val)
-        has_ref = [st.has_reference for st in self.states]
-        buffers = [b if type(b) is bytes else bytes(b) for b in buffers]
+        if mask is None:
+            has_ref = [st.has_reference for st in self.states]
+            buffers = [b if type(b) is bytes else bytes(b) for b in buffers]
+        else:
+            skip = None
+            has_ref, bufs = [], []
+            for i, b in enumerate(buffers):
+                if mask[i]:
+                    has_ref.append(self.states[i].has_reference)
+                    bufs.append(b if type(b) is bytes else bytes(b))
+                else:
+                    if skip is None:
+                        skip = self.skip_frame_bytes()
+                    has_ref.append(True)  # skip frame is all-uncoded INTER
+                    bufs.append(skip)
+            buffers = bufs
         hdr, counts, flags = packed.batch_parser.parse(buffers, has_ref)
         packed.counts[:] = counts
         packed.varied_mvs[:] = (flags & 2) != 0
@@ -399,6 +447,8 @@ class BatchedStreamDecoder:
         rowlen = hdr.shape[1] * hdr.itemsize
         pic_cache, po_cache, states = self._pic_cache, self._po_cache, self.states
         for i in range(self.n):
+            if mask is not None and not mask[i]:
+                continue  # padded slot: no header-state commit
             key = rows[i * rowlen:(i + 1) * rowlen]
             ent = pic_cache.get(key)
             if ent is None:
@@ -548,12 +598,15 @@ class BatchedStreamDecoder:
         fn = get_present_fn(self.h, self.w)
         return fn(self.ref_y, self.ref_cb, self.ref_cr, strength, flags)
 
-    def decode_step(self, buffers: Sequence[bytes], transport: str = "auto"):
+    def decode_step(self, buffers: Sequence[bytes], transport: str = "auto",
+                    mask=None):
         """Parse all streams then reconstruct the batch.
 
         transport: "auto" uses the packed path when the native front-end is
         available, falling back to dense on PackOverflow; "dense"/"packed"
-        force a path.
+        force a path.  `mask` (bool per slot): False slots decode the
+        cached skip frame with state commit suppressed (see
+        parse_batch_packed).
         """
         import os
 
@@ -568,7 +621,7 @@ class BatchedStreamDecoder:
             packed = self.next_packed_batch()
             try:
                 with trace_stage("host_parse"):
-                    self.parse_batch_packed(buffers, packed)
+                    self.parse_batch_packed(buffers, packed, mask=mask)
                 return self.step_packed(packed)
             except PackOverflow:
                 if transport == "packed":
@@ -578,5 +631,7 @@ class BatchedStreamDecoder:
 
         batch = self.next_host_batch()
         for i, b in enumerate(buffers):
-            self.parse_one(i, b, batch=batch)
+            live = mask is None or mask[i]
+            self.parse_one(i, b if live else self.skip_frame_bytes(),
+                           batch=batch, commit=live)
         return self.step_batch(batch)

@@ -1,9 +1,25 @@
-"""Mixed-resolution stream pool: bucket streams by picture size.
+"""Mixed-resolution stream pool with dynamic membership.
 
 Streams of different resolutions cannot share one XLA program (static
 shapes), so the pool groups them into per-resolution BatchedStreamDecoder
-buckets (SURVEY.md §7 hard part 4: "bucket by MB count and pad").  Each
-bucket decodes in lockstep; buckets are independent of each other.
+buckets (SURVEY.md §7 hard part 4: "bucket by MB count and pad").  Buckets
+decode independently; within a bucket, slots decode in lockstep with
+padding, giving a serving-shaped lifecycle (VERDICT r1 item 4):
+
+* **join** — `add_stream` at any time; a free slot is recycled, or the
+  bucket grows (amortized doubling; one recompile per growth, never
+  per-step shape churn).
+* **leave** — `remove_stream` frees the slot; its state resets and the
+  slot pads with skip frames until reused.
+* **absent** — a registered stream may simply not supply a frame for a
+  step; its slot decodes the cached all-uncoded skip frame with header
+  commit suppressed, so its planes and state are untouched.
+* **resolution change** — a stream whose next frame is an I-frame at new
+  dimensions is rebucketed transparently (running options carry over;
+  reference planes reset, exactly like the single-stream decoder's
+  I-frame semantics, state.rs:464-470).  A non-I frame at wrong
+  dimensions is a per-stream error (there is no reference picture at the
+  new size to predict from).
 """
 
 from __future__ import annotations
@@ -12,20 +28,76 @@ from typing import Optional
 
 import numpy as np
 
-from ..types import DecoderOption
+from ..bitio import BitReader
+from ..types import (
+    DecoderOption,
+    PictureFormatInvalid,
+    PictureOption,
+    PictureTypeCode,
+)
 from .batch import BatchedStreamDecoder
 
 
+class _Bucket:
+    __slots__ = ("dec", "slots", "free")
+
+    def __init__(self, dec: BatchedStreamDecoder):
+        self.dec = dec
+        self.slots: dict = {}   # stream_id -> slot index
+        self.free: list = list(range(dec.n))[::-1]  # stack of free slots
+
+    def mask(self, present) -> np.ndarray:
+        m = np.zeros(self.dec.n, dtype=bool)
+        for sid, slot in self.slots.items():
+            if sid in present:
+                m[slot] = True
+        return m
+
+
+def _sniff_sorenson(buf: bytes):
+    """(width, height, is_iframe) from a Sorenson picture header, or None.
+
+    Layout (picture.rs:628-659): PSC(17) version(5) TR(8) fmt(3)
+    [custom dims 8+8 or 16+16] ptype(2) ...
+    """
+    if len(buf) < 9:
+        return None
+    word = int.from_bytes(buf[:9], "big")  # 72 bits
+    top = word >> (72 - 17)
+    if top != 1:
+        return None
+    rest = word & ((1 << 55) - 1)          # after PSC
+    fmt = (rest >> (55 - 5 - 8 - 3)) & 0x7
+    pos = 5 + 8 + 3
+    if fmt == 0:
+        w = (rest >> (55 - pos - 8)) & 0xFF
+        h = (rest >> (55 - pos - 16)) & 0xFF
+        pos += 16
+    elif fmt == 1:
+        w = (rest >> (55 - pos - 16)) & 0xFFFF
+        h = (rest >> (55 - pos - 32)) & 0xFFFF
+        pos += 32
+    else:
+        dims = {2: (352, 288), 3: (176, 144), 4: (128, 96),
+                5: (320, 240), 6: (160, 120)}.get(fmt)
+        if dims is None:
+            return None
+        w, h = dims
+    ptype = (rest >> (55 - pos - 2)) & 0x3
+    return w, h, ptype == 0
+
+
 class StreamPool:
-    """Decode many streams of mixed resolutions.
+    """Decode many streams of mixed resolutions with dynamic membership.
 
     Usage:
         pool = StreamPool()
         pool.add_stream("a", 352, 288)
         pool.add_stream("b", 176, 144)
-        ...
-        planes = pool.decode_step({"a": buf_a, "b": buf_b, ...})
-        planes["a"]  # -> (y, cb, cr) numpy views for stream "a"
+        planes = pool.decode_step({"a": buf_a, "b": buf_b})
+        planes["a"]                    # -> (y, cb, cr) numpy arrays
+        pool.remove_stream("b")        # slot recycled
+        pool.add_stream("c", 176, 144) # reuses b's slot, fresh state
     """
 
     def __init__(self, decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
@@ -33,50 +105,190 @@ class StreamPool:
         self.decoder_options = decoder_options
         self.decoder_kwargs = decoder_kwargs
         self._pending: dict = {}          # (w, h) -> [stream_id, ...]
-        self._buckets: dict = {}          # (w, h) -> (decoder, {sid: slot})
+        self._buckets: dict = {}          # (w, h) -> _Bucket
+        self._dims: dict = {}             # stream_id -> (w, h)
+
+    # -- membership -----------------------------------------------------------
 
     def add_stream(self, stream_id, width: int, height: int) -> None:
-        """Register a stream; buckets finalize lazily on first decode."""
+        """Register a stream (before or after decoding has started)."""
+        if stream_id in self._dims:
+            raise RuntimeError(f"duplicate stream id {stream_id!r}")
         key = (width, height)
-        assert not any(stream_id in slots
-                       for _, slots in self._buckets.values()), "duplicate id"
+        self._dims[stream_id] = key
         if key in self._buckets:
-            raise RuntimeError(
-                f"bucket {key} already finalized; add streams before decoding")
-        self._pending.setdefault(key, []).append(stream_id)
+            self._join(key, stream_id)
+        else:
+            self._pending.setdefault(key, []).append(stream_id)
+
+    def remove_stream(self, stream_id) -> None:
+        """Unregister a stream; its slot pads until recycled by a join."""
+        key = self._dims.pop(stream_id)
+        pend = self._pending.get(key)
+        if pend and stream_id in pend:
+            pend.remove(stream_id)
+            return
+        bucket = self._buckets[key]
+        slot = bucket.slots.pop(stream_id)
+        self._reset_slot(bucket.dec, slot)
+        bucket.free.append(slot)
+
+    def _reset_slot(self, dec: BatchedStreamDecoder, slot: int,
+                    running: Optional[PictureOption] = None) -> None:
+        st = dec.states[slot]
+        st.running_options = running if running is not None else PictureOption.NONE
+        st.last_header = None
+        st.has_reference = False
+
+    def _join(self, key, stream_id,
+              running: Optional[PictureOption] = None) -> int:
+        bucket = self._buckets[key]
+        if not bucket.free:
+            self._grow(key)
+            bucket = self._buckets[key]
+        slot = bucket.free.pop()
+        self._reset_slot(bucket.dec, slot, running)
+        bucket.slots[stream_id] = slot
+        return slot
 
     def _finalize(self, key):
         ids = self._pending.pop(key)
         dec = BatchedStreamDecoder(len(ids), key[0], key[1],
                                    self.decoder_options, **self.decoder_kwargs)
-        self._buckets[key] = (dec, {sid: i for i, sid in enumerate(ids)})
+        bucket = _Bucket(dec)
+        self._buckets[key] = bucket
+        for sid in ids:
+            bucket.slots[sid] = bucket.free.pop()
+
+    def _grow(self, key) -> None:
+        """Double a full bucket's capacity, migrating states + ref planes.
+
+        One recompile per growth (the batched program's stream dim is
+        static); slot indices are preserved so outputs stay stable.
+        """
+        import jax.numpy as jnp
+
+        old = self._buckets[key]
+        n_new = max(2 * old.dec.n, 1)
+        dec = BatchedStreamDecoder(n_new, key[0], key[1],
+                                   self.decoder_options, **self.decoder_kwargs)
+        for i, st in enumerate(old.dec.states):
+            dec.states[i] = st
+        pad = [(0, n_new - old.dec.n)] + [(0, 0)] * (old.dec.ref_y.ndim - 1)
+        dec.ref_y = jnp.pad(old.dec.ref_y, pad)
+        dec.ref_cb = jnp.pad(old.dec.ref_cb, pad)
+        dec.ref_cr = jnp.pad(old.dec.ref_cr, pad)
+        dec._mv_full = old.dec._mv_full
+        bucket = _Bucket(dec)
+        bucket.slots = dict(old.slots)
+        bucket.free = [i for i in range(n_new)[::-1]
+                       if i not in set(old.slots.values())]
+        self._buckets[key] = bucket
+
+    # -- resolution change ----------------------------------------------------
+
+    def _sniff(self, stream_id, buf: bytes):
+        """(w, h, is_iframe) of the frame, or None if unparseable."""
+        if self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM:
+            return _sniff_sorenson(bytes(buf))
+        from ..parser.picture import decode_picture
+
+        key = self._dims[stream_id]
+        bucket = self._buckets.get(key)
+        last = None
+        if bucket is not None and stream_id in bucket.slots:
+            last = bucket.dec.states[bucket.slots[stream_id]].last_header
+        try:
+            pic = decode_picture(BitReader(bytes(buf)), self.decoder_options,
+                                 last)
+        except Exception:
+            return None
+        if pic is None:
+            return None
+        fmt = pic.format or (last.format if last else None)
+        wh = fmt.width_and_height() if fmt else None
+        if wh is None:
+            return None
+        return wh[0], wh[1], pic.picture_type is PictureTypeCode.I_FRAME
+
+    def _rebucket(self, stream_id, new_key, is_iframe: bool) -> None:
+        old_key = self._dims[stream_id]
+        if not is_iframe:
+            raise PictureFormatInvalid(
+                f"stream {stream_id!r}: {old_key} -> {new_key} resolution "
+                f"change on a non-I frame (no reference at the new size)")
+        pend = self._pending.get(old_key)
+        if pend and stream_id in pend:  # registered but never decoded
+            pend.remove(stream_id)
+            self._dims[stream_id] = new_key
+            if new_key in self._buckets:
+                self._join(new_key, stream_id)
+            else:
+                self._pending.setdefault(new_key, []).append(stream_id)
+            return
+        bucket = self._buckets[old_key]
+        slot = bucket.slots.pop(stream_id)
+        running = bucket.dec.states[slot].running_options
+        self._reset_slot(bucket.dec, slot)
+        bucket.free.append(slot)
+        self._dims[stream_id] = new_key
+        if new_key in self._buckets:
+            self._join(new_key, stream_id, running)
+        else:
+            self._pending.setdefault(new_key, []).append(stream_id)
+
+    # -- decode ---------------------------------------------------------------
 
     def decode_step(self, buffers: dict) -> dict:
-        """Decode one frame for every registered stream.
+        """Decode one frame for each stream present in `buffers`.
 
-        `buffers` maps stream_id -> frame payload; every stream must be
-        present (buckets run in lockstep).  Returns stream_id -> (y, cb, cr)
-        numpy arrays.
+        Registered streams absent from `buffers` keep their state and
+        planes (their slots pad with skip frames).  A stream whose frame
+        is an I-frame at new dimensions is rebucketed first.  Returns
+        stream_id -> (y, cb, cr) numpy arrays for the streams decoded
+        this step.
         """
+        unknown = set(buffers) - set(self._dims)
+        if unknown:
+            raise KeyError(f"unregistered streams: {sorted(unknown)!r}")
+
+        # Resolution-change pre-pass: move streams whose header disagrees
+        # with their bucket before building the lockstep batches.
+        for sid, buf in list(buffers.items()):
+            sniffed = self._sniff(sid, buf)
+            if sniffed is None:
+                continue  # let the bucket parser raise the precise error
+            w, h, is_i = sniffed
+            if (w, h) != self._dims[sid]:
+                self._rebucket(sid, (w, h), is_i)
+
         for key in list(self._pending):
             self._finalize(key)
 
         out = {}
-        for key, (dec, slots) in self._buckets.items():
+        for key, bucket in self._buckets.items():
+            dec = bucket.dec
+            mask = bucket.mask(buffers)
+            if not mask.any():
+                continue
             batch = [None] * dec.n
-            for sid, slot in slots.items():
-                batch[slot] = buffers[sid]
-            y, cb, cr = dec.decode_step(batch)
+            for sid, slot in bucket.slots.items():
+                if mask[slot]:
+                    batch[slot] = buffers[sid]
+            y, cb, cr = dec.decode_step(batch, mask=mask)
             y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
-            for sid, slot in slots.items():
-                out[sid] = (y[slot], cb[slot], cr[slot])
+            for sid, slot in bucket.slots.items():
+                if mask[slot]:
+                    out[sid] = (y[slot], cb[slot], cr[slot])
         return out
 
     def present_rgba(self, deblock: Optional[bool] = None) -> dict:
-        """RGBA for every stream's last decoded frame."""
+        """RGBA for every registered stream's last decoded frame."""
         out = {}
-        for key, (dec, slots) in self._buckets.items():
-            rgba = np.asarray(dec.present_rgba(deblock))
-            for sid, slot in slots.items():
+        for key, bucket in self._buckets.items():
+            if not bucket.slots:
+                continue
+            rgba = np.asarray(bucket.dec.present_rgba(deblock))
+            for sid, slot in bucket.slots.items():
                 out[sid] = rgba[slot]
         return out
