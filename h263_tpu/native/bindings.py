@@ -105,7 +105,7 @@ def ensure_built() -> bool:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.h263_parse_frame.restype = ctypes.c_int
             lib.h263_abi_version.restype = ctypes.c_int
-            assert lib.h263_abi_version() == 1
+            assert lib.h263_abi_version() == 2
             _lib = lib
             NATIVE_AVAILABLE = True
         except Exception:
@@ -456,3 +456,109 @@ class SorensonBatchParser:
             exc = _ERROR_MAP.get(rc, InternalDecoderError)
             raise exc(f"stream {int(self._failed.value)}: native error {rc}")
         return self._hdr, self._counts, self._flags
+
+
+class NeedsPythonHeader(Exception):
+    """The batch contains a header outside the native PTYPE-only fast path
+    (PLUSPTYPE chain, PB frame, reserved/invalid format, malformed bits).
+    Nothing was committed; the caller replays through the exact Python
+    header parser."""
+
+
+E_NEEDS_PYTHON = 100
+
+
+def _setup_std_batch_sig(lib):
+    import ctypes as C
+
+    lib.h263_standard_decode_batch.restype = C.c_int
+    lib.h263_standard_decode_batch.argtypes = [
+        C.POINTER(C.c_char_p), C.c_void_p,   # buffers, lengths
+        C.c_int32, C.c_int32, C.c_int32,     # n, w, h
+        C.c_void_p, C.c_void_p, C.c_void_p,  # has_ref, prev_running, prev_fmt
+        C.c_void_p, C.c_void_p, C.c_void_p,  # hdr_all, mvs_all, inter_all
+        C.c_void_p,                          # pred_scratch
+        C.c_void_p, C.c_void_p, C.c_int32,   # pack_all, packval_all, cap
+        C.c_void_p, C.c_void_p,              # counts, flags
+        C.c_void_p,                          # failed_stream
+    ]
+    lib.h263_option_masks.restype = C.c_int
+    lib.h263_option_masks.argtypes = [C.c_void_p, C.c_void_p]
+
+
+def native_option_masks():
+    """(OPPTYPE, MPPTYPE) carry-forward masks as compiled into the native
+    library — pinned against types.py by tests."""
+    assert _lib is not None
+    if not hasattr(_lib, "_std_sig_done"):
+        _setup_std_batch_sig(_lib)
+        _lib._std_sig_done = True
+    opp = np.zeros(1, dtype=np.uint32)
+    mpp = np.zeros(1, dtype=np.uint32)
+    _lib.h263_option_masks(opp.ctypes.data, mpp.ctypes.data)
+    return int(opp[0]), int(mpp[0])
+
+
+class StandardBatchParser:
+    """One-FFI-call batch parser for standard (non-Sorenson) H.263 streams
+    with plain PTYPE headers.  Raises NeedsPythonHeader (nothing committed)
+    when any stream's header needs the full Python parser."""
+
+    __slots__ = ("_n", "_w", "_h", "_cap", "hdr", "_counts", "_flags",
+                 "_failed", "_lengths", "_has_ref", "prev_running",
+                 "prev_fmt", "_fixed_args")
+
+    def __init__(self, n: int, width: int, height: int, pack_pos: np.ndarray,
+                 mvs: np.ndarray, inter: np.ndarray, pred_scratch: np.ndarray,
+                 pack_val: np.ndarray = None):
+        assert _lib is not None
+        if not hasattr(_lib, "_std_sig_done"):
+            _setup_std_batch_sig(_lib)
+            _lib._std_sig_done = True
+        if pack_val is not None:
+            assert pack_val.shape == pack_pos.shape
+            assert pack_val.dtype == np.int16
+        assert pack_pos.shape[0] == n and mvs.shape[0] == n
+        self._n, self._w, self._h = n, width, height
+        self._cap = int(pack_pos.shape[1])
+        self.hdr = np.zeros((n, 10), dtype=np.int32)
+        self._counts = np.zeros(n, dtype=np.int32)
+        self._flags = np.zeros(n, dtype=np.int32)
+        self._failed = ctypes.c_int32(-1)
+        self._lengths = np.zeros(n, dtype=np.uint64)
+        self._has_ref = np.zeros(n, dtype=np.uint8)
+        self.prev_running = np.zeros(n, dtype=np.uint32)
+        self.prev_fmt = np.full(n, -1, dtype=np.int32)
+        self._fixed_args = (
+            self._n, self._w, self._h,
+            self._has_ref.ctypes.data,
+            self.prev_running.ctypes.data, self.prev_fmt.ctypes.data,
+            self.hdr.ctypes.data, mvs.ctypes.data, inter.ctypes.data,
+            pred_scratch.ctypes.data,
+            pack_pos.ctypes.data,
+            pack_val.ctypes.data if pack_val is not None else None,
+            self._cap,
+            self._counts.ctypes.data, self._flags.ctypes.data,
+            ctypes.addressof(self._failed),
+        )
+
+    def parse(self, buffers, has_reference):
+        """Parse all streams' frames (caller fills prev_running/prev_fmt).
+
+        Returns (hdr int32[n,10], counts, flags).  hdr columns: [tr, w, h,
+        ptype, header_opts, quant, cpm, psbi, fmt_bits, running_opts].
+        Raises NeedsPythonHeader for fast-path misses, else the mapped
+        decode error."""
+        n = self._n
+        assert len(buffers) == n
+        ptrs = (ctypes.c_char_p * n)(*buffers)
+        self._lengths[:] = [len(b) for b in buffers]
+        self._has_ref[:] = has_reference
+        rc = _lib.h263_standard_decode_batch(
+            ptrs, self._lengths.ctypes.data, *self._fixed_args)
+        if rc == E_NEEDS_PYTHON:
+            raise NeedsPythonHeader(int(self._failed.value))
+        if rc != 0:
+            exc = _ERROR_MAP.get(rc, InternalDecoderError)
+            raise exc(f"stream {int(self._failed.value)}: native error {rc}")
+        return self.hdr, self._counts, self._flags

@@ -758,7 +758,7 @@ int h263_parse_frame(
   return OK;
 }
 
-int h263_abi_version() { return 1; }
+int h263_abi_version() { return 2; }
 
 }  // extern "C"
 
@@ -999,6 +999,296 @@ int h263_sorenson_decode_batch(
         }
       } else {
         flags[i] = any;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(threads - 1);
+  for (int t = 0; t < threads - 1; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+
+  int64_t f = fail.load(std::memory_order_relaxed);
+  if (f != INT64_MAX) {
+    *failed_stream = (int32_t)(f >> 32);
+    return (int32_t)(uint32_t)(f & 0xFFFFFFFF);
+  }
+  *failed_stream = -1;
+  return OK;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Standard (non-Sorenson) H.263: native PTYPE-only fast path.
+//
+// The common case for standard streams is the plain PTYPE header
+// (picture.rs:21-81): standard source format, I or P, no PLUSPTYPE chain.
+// That path parses natively below, giving standard batches the same
+// one-FFI-call host stage as Sorenson.  Anything else (PLUSPTYPE, PB
+// frames, reserved formats, malformed headers) returns E_NEEDS_PYTHON and
+// the caller replays the batch through the exact Python header parser —
+// error classes and edge semantics stay byte-identical to the reference.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+enum {
+  E_NEEDS_PYTHON = 100,  // not an error: header outside the native fast path
+};
+
+// PictureOption bit values — MUST mirror h263_tpu/types.py::PictureOption
+// (pinned by tests/test_native.py::test_option_constants_match_python).
+enum {
+  OPT_USE_SPLIT_SCREEN = 1 << 0,
+  OPT_USE_DOCUMENT_CAMERA = 1 << 1,
+  OPT_RELEASE_FULL_PICTURE_FREEZE = 1 << 2,
+  OPT_UNRESTRICTED_MOTION_VECTORS = 1 << 3,
+  OPT_SYNTAX_BASED_ARITHMETIC_CODING = 1 << 4,
+  OPT_ADVANCED_PREDICTION = 1 << 5,
+};
+// OPPTYPE/MPPTYPE carry-forward masks (types.rs:220-241 / types.py).
+static constexpr uint32_t OPPTYPE_MASK = 0x1FF8;
+static constexpr uint32_t MPPTYPE_MASK = 0xE000;
+
+int h263_option_masks(uint32_t* opptype_out, uint32_t* mpptype_out) {
+  *opptype_out = OPPTYPE_MASK;
+  *mpptype_out = MPPTYPE_MASK;
+  return OK;
+}
+
+// PTYPE-only standard picture header (picture.rs:611-817 minus PLUSPTYPE).
+// out_fields int32[10]:
+//   [0] temporal_reference   [1] width      [2] height
+//   [3] ptype (0 I, 1 P)     [4] header option bits (OPT_*)
+//   [5] quantizer            [6] cpm (0/1)  [7] psbi (-1 if CPM off)
+//   [8] fmt_bits             [9] running option bits (set by the batch fn)
+// prev_fmt_bits: the previous picture's PTYPE format code, or -1 for
+// "no previous picture" (skips the RPRP format-change quirk) — any other
+// mismatch punts to Python, which raises UnimplementedDecoding exactly as
+// the reference does (picture.rs:760-770).
+int h263_standard_header(const uint8_t* data, uint64_t nbytes,
+                         uint64_t start_bit, int32_t prev_fmt_bits,
+                         int32_t* out_fields, uint64_t* end_bit_out) {
+  // prev_fmt_bits -2: previous header exists but was not a plain-PTYPE
+  // standard format — the RPRP quirk comparison needs Python's object
+  // semantics, so the whole header punts.
+  if (prev_fmt_bits < -1) return E_NEEDS_PYTHON;
+  BitReader r{data, nbytes * 8, nbytes, start_bit};
+
+  // recognize_start_code(false)
+  int max_skip = (int)((8 - (r.pos % 8)) % 8);
+  int skip = 0;
+  for (;;) {
+    if (!r.can(17)) return E_NEEDS_PYTHON;
+    uint64_t save = r.pos;
+    uint32_t code;
+    r.read(17, &code);
+    r.pos = save;
+    if (code == 1) break;
+    if (skip >= max_skip) return E_NEEDS_PYTHON;  // MiddleOfBitstream
+    r.pos += 1;
+    skip += 1;
+  }
+  r.pos += 17;
+
+  uint32_t gob_id, tr, high, low, quant, cpm;
+  if (!r.read(5, &gob_id)) return E_NEEDS_PYTHON;
+  if (gob_id != 0) return E_NEEDS_PYTHON;  // positioned at a GOB
+  if (!r.read(8, &tr)) return E_NEEDS_PYTHON;
+
+  if (!r.read(8, &high)) return E_NEEDS_PYTHON;
+  if ((high & 0xC0) != 0x80) return E_NEEDS_PYTHON;  // InvalidPType
+  uint32_t opts = 0;
+  if (high & 0x20) opts |= OPT_USE_SPLIT_SCREEN;
+  if (high & 0x10) opts |= OPT_USE_DOCUMENT_CAMERA;
+  if (high & 0x08) opts |= OPT_RELEASE_FULL_PICTURE_FREEZE;
+  uint32_t fmt = high & 0x07;
+  // 0 invalid, 6 reserved, 7 PLUSPTYPE — all outside the fast path.
+  if (fmt == 0 || fmt >= 6) return E_NEEDS_PYTHON;
+  if (prev_fmt_bits >= 0 && prev_fmt_bits != (int32_t)fmt)
+    return E_NEEDS_PYTHON;  // RPRP format-change quirk -> Unimplemented
+
+  if (!r.read(5, &low)) return E_NEEDS_PYTHON;
+  int32_t ptype = (low & 0x10) ? 0 : 1;  // I : P
+  if (low & 0x08) opts |= OPT_UNRESTRICTED_MOTION_VECTORS;
+  if (low & 0x04) opts |= OPT_SYNTAX_BASED_ARITHMETIC_CODING;
+  if (low & 0x02) opts |= OPT_ADVANCED_PREDICTION;
+  if (low & 0x01) return E_NEEDS_PYTHON;  // PB frame
+
+  static const int32_t DIMS[6][2] = {
+      {0, 0}, {128, 96}, {176, 144}, {352, 288}, {704, 576}, {1408, 1152}};
+  int32_t width = DIMS[fmt][0], height = DIMS[fmt][1];
+
+  if (!r.read(5, &quant)) return E_NEEDS_PYTHON;
+  if (!r.read(1, &cpm)) return E_NEEDS_PYTHON;
+  int32_t psbi = -1;
+  if (cpm) {
+    uint32_t p;
+    if (!r.read(2, &p)) return E_NEEDS_PYTHON;
+    psbi = (int32_t)p;
+  }
+
+  // PEI loop: extra bytes skipped (not stored — same deviation as the
+  // Sorenson fast path, PARITY.md "known deviations" #3).
+  for (;;) {
+    uint32_t pei;
+    if (!r.read(1, &pei)) return E_NEEDS_PYTHON;
+    if (!pei) break;
+    uint32_t dummy;
+    if (!r.read(8, &dummy)) return E_NEEDS_PYTHON;
+  }
+
+  out_fields[0] = (int32_t)tr;
+  out_fields[1] = width;
+  out_fields[2] = height;
+  out_fields[3] = ptype;
+  out_fields[4] = (int32_t)opts;
+  out_fields[5] = (int32_t)quant;
+  out_fields[6] = (int32_t)cpm;
+  out_fields[7] = psbi;
+  out_fields[8] = (int32_t)fmt;
+  out_fields[9] = 0;
+  *end_bit_out = r.pos;
+  return OK;
+}
+
+// Header + macroblock layer for one standard PTYPE stream (the standard
+// counterpart of h263_sorenson_decode_frame).  prev_running carries the
+// stream's running PictureOption bits; per the reference's carry-forward
+// (state.rs:147-155), a plain-PTYPE picture's own OPPTYPE-class bits are
+// DISCARDED and the running ones carry.  hdr_fields[9] receives the new
+// running options.
+int h263_standard_decode_frame(
+    const uint8_t* data, uint64_t nbytes,
+    int32_t expected_width, int32_t expected_height,
+    uint32_t prev_running, int32_t prev_fmt_bits,
+    int32_t* hdr_fields,
+    int16_t* mvs, uint8_t* inter, int16_t* pred_scratch,
+    int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
+    int32_t* pack_count, int32_t* any_inter_out,
+    uint64_t* end_bit_out) {
+  uint64_t pos = 0;
+  int rc = h263_standard_header(data, nbytes, 0, prev_fmt_bits, hdr_fields,
+                                &pos);
+  if (rc != OK) return rc;
+  int32_t width = hdr_fields[1], height = hdr_fields[2];
+  if (width != expected_width || height != expected_height)
+    return E_NEEDS_PYTHON;  // Python raises PictureFormatInvalid
+
+  uint32_t running = ((uint32_t)hdr_fields[4] & ~OPPTYPE_MASK & ~MPPTYPE_MASK)
+                     | (prev_running & (OPPTYPE_MASK | MPPTYPE_MASK));
+  hdr_fields[9] = (int32_t)running;
+
+  int32_t mb_flags = 0;
+  if (running & OPT_UNRESTRICTED_MOTION_VECTORS) mb_flags |= F_UMV_OPTION;
+  // No PLUSPTYPE => motion_vector_range is never Extended here; the
+  // rx/ry band table is therefore unused (umv_extended false).
+
+  *pack_count = 0;
+  rc = h263_parse_frame(
+      data, nbytes, pos, width, height,
+      /*picture_type=*/hdr_fields[3], mb_flags,
+      /*version=*/-1, /*pquant=*/hdr_fields[5],
+      /*range_x=*/64, /*range_y=*/64,
+      nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
+      mvs, inter, pred_scratch,
+      pack_pos, pack_val, pack_cap, pack_count, end_bit_out);
+  if (rc != OK) return rc;
+
+  const int mb_w = (width + 15) / 16;
+  const int mb_h = (height + 15) / 16;
+  int32_t any = 0;
+  for (int i = 0; i < mb_w * mb_h; i++) any |= inter[i];
+  int32_t varied = 0;
+  for (int i = 0; i < mb_w * mb_h && !varied; i++) {
+    const int16_t* m = mvs + (size_t)i * 8;
+    for (int k = 1; k < 4; k++) {
+      if (m[2 * k] != m[0] || m[2 * k + 1] != m[1]) { varied = 1; break; }
+    }
+  }
+  *any_inter_out = any | (varied << 1);
+
+  const int32_t sentinel = 6 * mb_w * mb_h * 64;
+  const int32_t pad = pack_val ? sentinel : (int32_t)((uint32_t)sentinel << 12);
+  for (int32_t k = *pack_count; k < pack_cap; k++) pack_pos[k] = pad;
+  return OK;
+}
+
+// Whole-batch standard decode (counterpart of h263_sorenson_decode_batch,
+// same threading + deterministic lowest-index failure semantics).
+// prev_running uint32[S] carries each stream's running options;
+// prev_fmt int32[S] each stream's previous PTYPE format code (-1 = none).
+// Returns OK, an error code, or E_NEEDS_PYTHON (replay the whole batch
+// through the Python header path; nothing was committed).
+int h263_standard_decode_batch(
+    const uint8_t* const* buffers, const uint64_t* lengths,
+    int32_t n_streams, int32_t expected_w, int32_t expected_h,
+    const uint8_t* has_reference, const uint32_t* prev_running,
+    const int32_t* prev_fmt,
+    int32_t* hdr_all, int16_t* mvs_all, uint8_t* inter_all,
+    int16_t* pred_scratch,
+    int32_t* pack_all, int16_t* packval_all,
+    int32_t pack_cap, int32_t* counts, int32_t* flags,
+    int32_t* failed_stream) {
+  const int mb_w = (expected_w + 15) / 16;
+  const int mb_h = (expected_h + 15) / 16;
+  const size_t nmb = (size_t)mb_w * mb_h;
+
+  int threads = (int)std::thread::hardware_concurrency();
+  if (const char* e = std::getenv("H263_TPU_PARSE_THREADS")) {
+    threads = std::atoi(e);
+  }
+  if (threads < 1) threads = 1;
+  if (threads > n_streams) threads = n_streams;
+
+  auto decode_one = [&](int32_t i, int16_t* scratch) -> int {
+    uint64_t end_bit = 0;
+    int32_t any = 0;
+    int rc = h263_standard_decode_frame(
+        buffers[i], lengths[i], expected_w, expected_h,
+        prev_running[i], prev_fmt[i],
+        hdr_all + (size_t)i * 10,
+        mvs_all + (size_t)i * nmb * 8,
+        inter_all + (size_t)i * nmb,
+        scratch,
+        pack_all + (size_t)i * pack_cap,
+        packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
+        pack_cap, counts + i, &any, &end_bit);
+    if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
+    if (rc == OK) flags[i] = any;
+    return rc;
+  };
+
+  if (threads == 1) {
+    for (int32_t i = 0; i < n_streams; i++) {
+      int rc = decode_one(i, pred_scratch);
+      if (rc != OK) {
+        *failed_stream = i;
+        return rc;
+      }
+    }
+    *failed_stream = -1;
+    return OK;
+  }
+
+  std::atomic<int64_t> fail{INT64_MAX};
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    std::vector<int16_t> scratch(nmb * 8);
+    int32_t i;
+    while ((i = next.fetch_add(1, std::memory_order_relaxed)) < n_streams) {
+      if (fail.load(std::memory_order_relaxed) != INT64_MAX) {
+        if ((int64_t)i > (fail.load(std::memory_order_relaxed) >> 32)) continue;
+      }
+      int rc = decode_one(i, scratch.data());
+      if (rc != OK) {
+        int64_t rec = ((int64_t)i << 32) | (uint32_t)rc;
+        int64_t cur = fail.load(std::memory_order_relaxed);
+        while (rec < cur &&
+               !fail.compare_exchange_weak(cur, rec,
+                                           std::memory_order_relaxed)) {
+        }
       }
     }
   };

@@ -131,6 +131,7 @@ class _PackedBatch:
         self.varied_mvs = np.zeros(n, dtype=np.bool_)
         self.fast_parsers = None  # lazily bound SorensonFastParser per slot
         self.batch_parser = None  # lazily bound SorensonBatchParser
+        self.std_parser = None    # lazily bound StandardBatchParser
 
 
 class BatchedStreamDecoder:
@@ -152,7 +153,14 @@ class BatchedStreamDecoder:
         # so non-TPU backends resolve to the XLA-ops path.  Tests that want
         # the interpreter pass pallas="interpret" explicitly.
         if pallas == "auto":
-            pallas = "tpu" if jax.default_backend() == "tpu" else "off"
+            # Backend init can fail (e.g. device tunnel down); host-only use
+            # of the decoder must still construct, so fall back to the XLA
+            # path rather than raising here.
+            try:
+                backend = jax.default_backend()
+            except RuntimeError:
+                backend = "cpu"
+            pallas = "tpu" if backend == "tpu" else "off"
         if pallas not in ("off", "tpu", "interpret"):
             raise ValueError(
                 f"pallas must be 'auto', 'off', 'tpu', or 'interpret'; "
@@ -187,6 +195,9 @@ class BatchedStreamDecoder:
         self._mv_full = False  # sticky: set on first frame with varied MVs
         self._executor = None  # lazy pipeline worker (submit_step)
         self._skip_frame: Optional[bytes] = None  # lazy all-uncoded P-frame
+        # Standard-H.263 native fast path: each stream's previous PTYPE
+        # format code (-1 none, -2 non-PTYPE header — punts to Python).
+        self._std_prev_fmt = np.full(n_streams, -1, dtype=np.int32)
         self._pred_scratch = np.zeros((mb_w * mb_h, 4, 2), dtype=np.int16)
         # Header-commit fast path: Picture objects cached per unique native
         # header row, and PictureOption enums per running-options value, so
@@ -250,6 +261,8 @@ class BatchedStreamDecoder:
                 f"stream {stream_idx}: expected {(self.w, self.h)}, got {wh}")
         return pic, running
 
+    _STD_FMT_BITS = None  # SourceFormatKind -> PTYPE format code, lazy
+
     def _commit_header(self, stream_idx: int, pic: Picture,
                        running: PictureOption) -> None:
         """state.rs:464-483 header-state semantics."""
@@ -260,6 +273,29 @@ class BatchedStreamDecoder:
         if not pic.picture_type.is_disposable():
             st.has_reference = True
         st.running_options = running
+        if not (self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
+            # Bookkeeping for the native PTYPE fast path's RPRP quirk check.
+            from ..types import SourceFormatKind as K
+
+            if BatchedStreamDecoder._STD_FMT_BITS is None:
+                BatchedStreamDecoder._STD_FMT_BITS = {
+                    K.SUB_QCIF: 1, K.QUARTER_CIF: 2, K.FULL_CIF: 3,
+                    K.FOUR_CIF: 4, K.SIXTEEN_CIF: 5}
+            bits = -2
+            if not pic.has_plusptype and pic.format is not None:
+                bits = BatchedStreamDecoder._STD_FMT_BITS.get(
+                    pic.format.kind, -2)
+            self._std_prev_fmt[stream_idx] = bits
+
+    def reset_slot_state(self, slot: int,
+                         running: Optional[PictureOption] = None) -> None:
+        """Fresh per-stream state for a (re)joined batch slot."""
+        st = self.states[slot]
+        st.running_options = (running if running is not None
+                              else PictureOption.NONE)
+        st.last_header = None
+        st.has_reference = False
+        self._std_prev_fmt[slot] = -1
 
     def skip_frame_bytes(self) -> bytes:
         """A cached all-uncoded P-frame at this bucket's dims.
@@ -364,23 +400,35 @@ class BatchedStreamDecoder:
     def parse_batch_packed_standard(self, buffers: Sequence[bytes],
                                     packed: "_PackedBatch",
                                     mask=None) -> None:
-        """Packed-transport batch parse for standard (non-Sorenson) H.263:
-        picture headers parse in Python (PTYPE/PLUSPTYPE and followers are
-        stateful and rare-branchy), macroblock data parses natively straight
-        into the packed buffers.  Header state commits only after every
-        stream parsed (whole-batch atomicity, matching the Sorenson path).
+        """Packed-transport batch parse for standard (non-Sorenson) H.263.
+
+        Fast path: plain-PTYPE headers + macroblock data all parse in ONE
+        native call (h263_standard_decode_batch), same as the Sorenson
+        path.  Any header outside that shape (PLUSPTYPE chain, PB frames,
+        reserved formats, malformed bits) aborts the native call before
+        any commit and the batch replays below through the exact Python
+        header parser — error classes and option semantics are identical.
         """
-        from ..native.bindings import parse_frame_native_packed
+        from ..native.bindings import (NeedsPythonHeader,
+                                       parse_frame_native_packed)
+
+        bufs = []
+        for i, b in enumerate(buffers):
+            live = mask is None or mask[i]
+            bufs.append((b if type(b) is bytes else bytes(b)) if live
+                        else self.skip_frame_bytes())
+        try:
+            return self._parse_std_native(bufs, packed, mask)
+        except NeedsPythonHeader:
+            pass
 
         cap = packed.u32.shape[1]
         sentinel = 6 * self.mb_w * self.mb_h * 64
         pad = sentinel if packed.split else (sentinel << 12)
         staged = []
-        for i, b in enumerate(buffers):
+        for i, b in enumerate(bufs):
             live = mask is None or mask[i]
-            if not live:
-                b = self.skip_frame_bytes()
-            r = BitReader(b if type(b) is bytes else bytes(b))
+            r = BitReader(b)
             pic, running = self._parse_header(i, r)
             count, _ = parse_frame_native_packed(
                 r.data, r.pos, pic, self.decoder_options, running,
@@ -399,6 +447,74 @@ class BatchedStreamDecoder:
         for i, st in enumerate(staged):
             if st is not None:
                 self._commit_header(i, *st)
+
+    _STD_KIND_BY_BITS = None
+
+    def _parse_std_native(self, bufs, packed: "_PackedBatch", mask) -> None:
+        """One-FFI-call standard batch (PTYPE-only headers).
+
+        Raises NeedsPythonHeader (atomically, nothing committed) when any
+        stream's header needs the full Python parser."""
+        from ..native.bindings import StandardBatchParser
+
+        if packed.std_parser is None:
+            packed.std_parser = StandardBatchParser(
+                self.n, self.w, self.h, packed.u32, packed.mvs,
+                packed.inter, self._pred_scratch, pack_val=packed.val)
+        p = packed.std_parser
+        has_ref = [True] * self.n
+        for i, st in enumerate(self.states):
+            live = mask is None or mask[i]
+            if live:
+                has_ref[i] = st.has_reference
+            p.prev_running[i] = int(st.running_options)
+            p.prev_fmt[i] = self._std_prev_fmt[i]
+        hdr, counts, flags = p.parse(bufs, has_ref)
+        packed.counts[:] = counts
+        packed.varied_mvs[:] = (flags & 2) != 0
+
+        if BatchedStreamDecoder._STD_KIND_BY_BITS is None:
+            from ..types import SourceFormatKind as K
+
+            BatchedStreamDecoder._STD_KIND_BY_BITS = {
+                1: K.SUB_QCIF, 2: K.QUARTER_CIF, 3: K.FULL_CIF,
+                4: K.FOUR_CIF, 5: K.SIXTEEN_CIF}
+        from ..types import SourceFormat
+
+        rows = hdr.tobytes()
+        rowlen = hdr.shape[1] * hdr.itemsize
+        pic_cache, po_cache, states = self._pic_cache, self._po_cache, self.states
+        for i in range(self.n):
+            if mask is not None and not mask[i]:
+                continue  # padded slot: no header-state commit
+            key = rows[i * rowlen:(i + 1) * rowlen]
+            ent = pic_cache.get(key)
+            if ent is None:
+                row = hdr[i]
+                pic = Picture(
+                    version=None,
+                    temporal_reference=int(row[0]),
+                    format=SourceFormat.standard(
+                        BatchedStreamDecoder._STD_KIND_BY_BITS[int(row[8])]),
+                    options=PictureOption(int(row[4])),
+                    has_plusptype=False,
+                    has_opptype=False,
+                    picture_type=(PictureTypeCode.I_FRAME if row[3] == 0
+                                  else PictureTypeCode.P_FRAME),
+                    quantizer=int(row[5]),
+                    multiplex_bitstream=(int(row[7]) if row[6] else None),
+                )
+                ent = (pic, int(row[9]), int(row[8]))
+                pic_cache[key] = ent
+            pic, running, fmt_bits = ent
+            st = states[i]
+            st.last_header = pic
+            st.has_reference = True  # standard has no disposable frames
+            po = po_cache.get(running)
+            if po is None:
+                po = po_cache[running] = PictureOption(running)
+            st.running_options = po
+            self._std_prev_fmt[i] = fmt_bits
 
     def parse_batch_packed(self, buffers: Sequence[bytes],
                            packed: "_PackedBatch", mask=None) -> None:

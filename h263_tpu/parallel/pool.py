@@ -135,10 +135,7 @@ class StreamPool:
 
     def _reset_slot(self, dec: BatchedStreamDecoder, slot: int,
                     running: Optional[PictureOption] = None) -> None:
-        st = dec.states[slot]
-        st.running_options = running if running is not None else PictureOption.NONE
-        st.last_header = None
-        st.has_reference = False
+        dec.reset_slot_state(slot, running)
 
     def _join(self, key, stream_id,
               running: Optional[PictureOption] = None) -> int:
@@ -174,6 +171,7 @@ class StreamPool:
                                    self.decoder_options, **self.decoder_kwargs)
         for i, st in enumerate(old.dec.states):
             dec.states[i] = st
+        dec._std_prev_fmt[:old.dec.n] = old.dec._std_prev_fmt
         pad = [(0, n_new - old.dec.n)] + [(0, 0)] * (old.dec.ref_y.ndim - 1)
         dec.ref_y = jnp.pad(old.dec.ref_y, pad)
         dec.ref_cb = jnp.pad(old.dec.ref_cb, pad)

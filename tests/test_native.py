@@ -208,3 +208,18 @@ class TestThreadedBatchParse:
             with pytest.raises(H263Error) as ei:
                 dec.parse_batch_packed(bufs, dec._packed[0])
             assert "stream 4" in str(ei.value)
+
+
+def test_option_constants_match_python():
+    """The OPPTYPE/MPPTYPE carry-forward masks compiled into entropy.cpp
+    must equal types.py's (the native standard header path replicates the
+    running-option merge)."""
+    from h263_tpu.native import ensure_built
+    if not ensure_built():
+        pytest.skip("native front-end unavailable")
+    from h263_tpu.native.bindings import native_option_masks
+    from h263_tpu.types import MPPTYPE_OPTIONS, OPPTYPE_OPTIONS
+
+    opp, mpp = native_option_masks()
+    assert opp == int(OPPTYPE_OPTIONS)
+    assert mpp == int(MPPTYPE_OPTIONS)
