@@ -189,8 +189,54 @@ def reconstruct_frame_packed_split(pack_pos, pack_val, mvs, inter,
                                     ref_y, ref_cb, ref_cr, pallas)
 
 
+def reconstruct_frame_packed_d24(pack_u8, mvs, inter,
+                                 ref_y, ref_cb, ref_cr, pallas="off"):
+    """Batched reconstruction from the delta24 transport (3 B/coefficient,
+    any picture size).
+
+    pack_u8 uint8 [S, 3K]: big-endian 24-bit entries (delta << 12) |
+    (value & 0xFFF).  `delta` advances an ordinal cursor over
+    (macroblock, block, zigzag) emission space (cursor starts at -1);
+    value == 0 entries are advance-only escapes / padding — real
+    dequantized coefficients are never zero — so the scatter runs in
+    add-mode and they are no-ops.  The ordinal->rowmajor mapping is pure
+    vector math plus one 64-entry dezigzag gather.  Native emitter:
+    entropy.cpp F_PACK_DELTA24.
+    """
+    import jax.numpy as jnp
+
+    from ..vlc_tables import ZIGZAG_TO_ROWMAJOR
+
+    s, mbh, mbw = inter.shape
+    nmb = mbh * mbw
+    e = pack_u8.reshape(s, -1, 3).astype(jnp.uint32)
+    w = (e[..., 0] << 16) | (e[..., 1] << 8) | e[..., 2]
+    delta = (w >> 12).astype(jnp.int32)
+    v = (w & 0xFFF).astype(jnp.int32)
+    val = (v - ((v & 0x800) << 1)).astype(jnp.int16)
+    ordpos = jnp.cumsum(delta, axis=1) - 1
+
+    mb = ordpos // 384           # 6 blocks * 64 coefficients per MB
+    rem = ordpos - mb * 384
+    b = rem >> 6                 # block within MB (0-3 luma, 4 Cb, 5 Cr)
+    zz = rem & 63
+    rm = jnp.asarray(ZIGZAG_TO_ROWMAJOR, dtype=jnp.int32)[zz]
+    r_ = mb // mbw
+    c_ = mb - r_ * mbw
+    luma_blk = (2 * r_ + (b >> 1)) * (2 * mbw) + 2 * c_ + (b & 1)
+    chroma_blk = 4 * nmb + (b - 4) * nmb + r_ * mbw + c_
+    blk = jnp.where(b < 4, luma_blk, chroma_blk)
+    # Entries before the first real coefficient (ordpos < 0) scatter to an
+    # out-of-range sentinel and drop.
+    pos = jnp.where(ordpos >= 0, blk * 64 + rm, 6 * nmb * 64)
+    return _reconstruct_from_posval(pos, val, mvs, inter,
+                                    ref_y, ref_cb, ref_cr, pallas,
+                                    scatter_add=True)
+
+
 def _reconstruct_from_posval(pos, val, mvs, inter,
-                             ref_y, ref_cb, ref_cr, pallas="off"):
+                             ref_y, ref_cb, ref_cr, pallas="off",
+                             scatter_add=False):
     import jax
     import jax.numpy as jnp
 
@@ -201,8 +247,14 @@ def _reconstruct_from_posval(pos, val, mvs, inter,
     nblk = 6 * nmb
 
     dense = jnp.zeros((s, nblk * 64), jnp.int16)
-    dense = jax.vmap(lambda d, p, vv: d.at[p].set(vv, mode="drop"))(
-        dense, pos, val)
+    if scatter_add:
+        # delta24: escape/padding entries carry value 0 (real coefficients
+        # are never 0) and positions never collide with real ones.
+        dense = jax.vmap(lambda d, p, vv: d.at[p].add(vv, mode="drop"))(
+            dense, pos, val)
+    else:
+        dense = jax.vmap(lambda d, p, vv: d.at[p].set(vv, mode="drop"))(
+            dense, pos, val)
     dense = dense.reshape(s, nblk, 64)
 
     if mvs.ndim == 4:  # slim [S, mbh, mbw, 2] -> broadcast to 4 blocks
@@ -270,4 +322,12 @@ def get_packed_split_reconstruct_fn(h: int, w: int, pallas: str = "off"):
     import jax
 
     return jax.jit(functools.partial(reconstruct_frame_packed_split,
+                                     pallas=pallas))
+
+
+@functools.lru_cache(maxsize=16)
+def get_packed_d24_reconstruct_fn(h: int, w: int, pallas: str = "off"):
+    import jax
+
+    return jax.jit(functools.partial(reconstruct_frame_packed_d24,
                                      pallas=pallas))

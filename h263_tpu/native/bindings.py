@@ -66,6 +66,7 @@ F_SORENSON = 1
 F_HAS_PLUSPTYPE = 2
 F_UMV_OPTION = 4
 F_MV_RANGE_EXTENDED = 8
+F_PACK_DELTA24 = 16
 
 
 def _build() -> bool:
@@ -105,7 +106,7 @@ def ensure_built() -> bool:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.h263_parse_frame.restype = ctypes.c_int
             lib.h263_abi_version.restype = ctypes.c_int
-            assert lib.h263_abi_version() == 2
+            assert lib.h263_abi_version() == 3
             _lib = lib
             NATIVE_AVAILABLE = True
         except Exception:
@@ -241,7 +242,8 @@ def parse_frame_native_packed(data: bytes, start_bit: int, picture: Picture,
                               width: int, height: int,
                               pack_pos: np.ndarray, mvs: np.ndarray,
                               inter: np.ndarray, pred_scratch: np.ndarray,
-                              pack_val: Optional[np.ndarray] = None):
+                              pack_val: Optional[np.ndarray] = None,
+                              transport: str = "u32"):
     """Like parse_frame_native, but emits the packed coefficient transport
     (combined-u32 into pack_pos when pack_val is None, else split int32
     positions + int16 values) for any header flavor — used by the batched
@@ -265,6 +267,12 @@ def parse_frame_native_packed(data: bytes, start_bit: int, picture: Picture,
         flags |= F_UMV_OPTION
     if picture.motion_vector_range is MotionVectorRange.EXTENDED:
         flags |= F_MV_RANGE_EXTENDED
+    if transport == "d24":
+        assert pack_val is None and pack_pos.dtype == np.uint8
+        flags |= F_PACK_DELTA24
+        cap = pack_pos.shape[0] // 3
+    else:
+        cap = pack_pos.shape[0]
 
     ptype = _PICTURE_TYPE_CODE.get(picture.picture_type, 3)
     rx, ry = _mv_ranges(picture, width, height)
@@ -287,7 +295,7 @@ def parse_frame_native_packed(data: bytes, start_bit: int, picture: Picture,
         pack_pos.ctypes.data_as(ctypes.c_void_p),
         pack_val.ctypes.data_as(ctypes.c_void_p)
         if pack_val is not None else None,
-        ctypes.c_int32(pack_pos.shape[0]),
+        ctypes.c_int32(cap),
         ctypes.byref(count),
         ctypes.byref(end_bit),
     )
@@ -312,6 +320,7 @@ def _setup_fast_sig(lib):
     lib.h263_sorenson_decode_frame.argtypes = [
         C.c_char_p, C.c_uint64,            # data, nbytes
         C.c_int32, C.c_int32,              # expected w, h
+        C.c_int32,                         # xflags (transport)
         C.c_void_p,                        # hdr_fields
         C.c_void_p, C.c_void_p, C.c_void_p,  # mvs, inter, pred_scratch
         C.c_void_p, C.c_void_p, C.c_int32,   # pack_pos, pack_val, cap
@@ -350,7 +359,7 @@ class SorensonFastParser:
         self._cap = int(pack_u32.shape[0])
         self._w, self._h = width, height
         self._args = (
-            width, height,
+            width, height, 0,  # xflags: the slot parser stays u32
             self._hdr.ctypes.data,
             mvs.ctypes.data, inter.ctypes.data, pred_scratch.ctypes.data,
             pack_u32.ctypes.data, None, self._cap,
@@ -385,6 +394,7 @@ def _setup_batch_sig(lib):
     lib.h263_sorenson_decode_batch.argtypes = [
         C.POINTER(C.c_char_p), C.c_void_p,   # buffers, lengths
         C.c_int32, C.c_int32, C.c_int32,     # n, w, h
+        C.c_int32,                           # xflags (transport)
         C.c_void_p,                          # has_reference
         C.c_void_p, C.c_void_p, C.c_void_p,  # hdr_all, mvs_all, inter_all
         C.c_void_p,                          # pred_scratch
@@ -397,28 +407,35 @@ def _setup_batch_sig(lib):
 class SorensonBatchParser:
     """One-FFI-call-per-step batch parser bound to a _PackedBatch's buffers."""
 
-    __slots__ = ("_n", "_w", "_h", "_cap", "_hdr", "_counts", "_flags",
-                 "_failed", "_lengths", "_has_ref", "_fixed_args")
+    __slots__ = ("_n", "_w", "_h", "_cap", "_xflags", "_hdr", "_counts",
+                 "_flags", "_failed", "_lengths", "_has_ref", "_fixed_args")
 
     def __init__(self, n: int, width: int, height: int, pack_pos: np.ndarray,
                  mvs: np.ndarray, inter: np.ndarray, pred_scratch: np.ndarray,
-                 pack_val: np.ndarray = None):
-        """pack_val None => combined-u32 transport (position<<12 | value,
-        needs 6*mb_w*mb_h*64 < 2^20); pack_val given => split transport
-        (int32 position + int16 value arrays, any picture size)."""
+                 pack_val: np.ndarray = None, transport: str = "u32"):
+        """transport "u32": pack_pos int32 [n, cap], combined
+        (position<<12 | value), needs 6*mb_w*mb_h*64 < 2^20.
+        transport "split" (pack_val given): int32 positions + int16 values.
+        transport "d24": pack_pos uint8 [n, 3*cap], delta-coded 24-bit
+        entries (any picture size)."""
         assert _lib is not None
         if not hasattr(_lib, "_batch_sig_done"):
             _setup_batch_sig(_lib)
             _lib._batch_sig_done = True
         mb_w, mb_h = -(-width // 16), -(-height // 16)
-        if pack_val is None:
+        if transport == "d24":
+            assert pack_val is None
+            assert pack_pos.dtype == np.uint8 and pack_pos.shape[1] % 3 == 0
+        elif pack_val is None:
             assert 6 * mb_w * mb_h * 64 < (1 << 20)
         else:
+            transport = "split"
             assert pack_val.shape == pack_pos.shape
             assert pack_val.dtype == np.int16
         assert pack_pos.shape[0] == n and mvs.shape[0] == n
         self._n, self._w, self._h = n, width, height
-        self._cap = int(pack_pos.shape[1])
+        self._cap = int(pack_pos.shape[1] // (3 if transport == "d24" else 1))
+        self._xflags = F_PACK_DELTA24 if transport == "d24" else 0
         self._hdr = np.zeros((n, 8), dtype=np.int32)
         self._counts = np.zeros(n, dtype=np.int32)
         self._flags = np.zeros(n, dtype=np.int32)
@@ -426,7 +443,7 @@ class SorensonBatchParser:
         self._lengths = np.zeros(n, dtype=np.uint64)
         self._has_ref = np.zeros(n, dtype=np.uint8)
         self._fixed_args = (
-            self._n, self._w, self._h,
+            self._n, self._w, self._h, self._xflags,
             self._has_ref.ctypes.data,
             self._hdr.ctypes.data, mvs.ctypes.data, inter.ctypes.data,
             pred_scratch.ctypes.data,
@@ -475,6 +492,7 @@ def _setup_std_batch_sig(lib):
     lib.h263_standard_decode_batch.argtypes = [
         C.POINTER(C.c_char_p), C.c_void_p,   # buffers, lengths
         C.c_int32, C.c_int32, C.c_int32,     # n, w, h
+        C.c_int32,                           # xflags (transport)
         C.c_void_p, C.c_void_p, C.c_void_p,  # has_ref, prev_running, prev_fmt
         C.c_void_p, C.c_void_p, C.c_void_p,  # hdr_all, mvs_all, inter_all
         C.c_void_p,                          # pred_scratch
@@ -504,23 +522,28 @@ class StandardBatchParser:
     with plain PTYPE headers.  Raises NeedsPythonHeader (nothing committed)
     when any stream's header needs the full Python parser."""
 
-    __slots__ = ("_n", "_w", "_h", "_cap", "hdr", "_counts", "_flags",
-                 "_failed", "_lengths", "_has_ref", "prev_running",
+    __slots__ = ("_n", "_w", "_h", "_cap", "_xflags", "hdr", "_counts",
+                 "_flags", "_failed", "_lengths", "_has_ref", "prev_running",
                  "prev_fmt", "_fixed_args")
 
     def __init__(self, n: int, width: int, height: int, pack_pos: np.ndarray,
                  mvs: np.ndarray, inter: np.ndarray, pred_scratch: np.ndarray,
-                 pack_val: np.ndarray = None):
+                 pack_val: np.ndarray = None, transport: str = "u32"):
         assert _lib is not None
         if not hasattr(_lib, "_std_sig_done"):
             _setup_std_batch_sig(_lib)
             _lib._std_sig_done = True
-        if pack_val is not None:
+        if transport == "d24":
+            assert pack_val is None
+            assert pack_pos.dtype == np.uint8 and pack_pos.shape[1] % 3 == 0
+        elif pack_val is not None:
+            transport = "split"
             assert pack_val.shape == pack_pos.shape
             assert pack_val.dtype == np.int16
         assert pack_pos.shape[0] == n and mvs.shape[0] == n
         self._n, self._w, self._h = n, width, height
-        self._cap = int(pack_pos.shape[1])
+        self._cap = int(pack_pos.shape[1] // (3 if transport == "d24" else 1))
+        self._xflags = F_PACK_DELTA24 if transport == "d24" else 0
         self.hdr = np.zeros((n, 10), dtype=np.int32)
         self._counts = np.zeros(n, dtype=np.int32)
         self._flags = np.zeros(n, dtype=np.int32)
@@ -530,7 +553,7 @@ class StandardBatchParser:
         self.prev_running = np.zeros(n, dtype=np.uint32)
         self.prev_fmt = np.full(n, -1, dtype=np.int32)
         self._fixed_args = (
-            self._n, self._w, self._h,
+            self._n, self._w, self._h, self._xflags,
             self._has_ref.ctypes.data,
             self.prev_running.ctypes.data, self.prev_fmt.ctypes.data,
             self.hdr.ctypes.data, mvs.ctypes.data, inter.ctypes.data,

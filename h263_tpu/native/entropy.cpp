@@ -48,6 +48,14 @@ enum {
   F_HAS_PLUSPTYPE = 2,
   F_UMV_OPTION = 4,
   F_MV_RANGE_EXTENDED = 8,
+  // Coefficient transport: emit 3-byte delta-coded entries instead of
+  // 4-byte combined u32 / 6-byte split pairs.  Entry = (delta << 12) |
+  // (value & 0xFFF), big-endian 24-bit, where delta advances an ordinal
+  // position cursor over (macroblock, block, zigzag) space (initial
+  // cursor -1).  value == 0 marks an advance-only escape (real
+  // dequantized coefficients are never 0); gaps > 4095 emit escapes.
+  // Works for any picture size (no 20-bit position limit).
+  F_PACK_DELTA24 = 16,
 };
 
 // ---- block classes (types.py BLOCK_CLASS_*) ----
@@ -264,6 +272,9 @@ struct Sink {
   int32_t cap;
   int32_t* count;
   int32_t base;        // global_block_index * 64
+  uint8_t* pd24;       // delta24 transport output (or nullptr)
+  int32_t* lastp;      // delta24 running ordinal cursor (frame-level)
+  int32_t base24;      // (mb_index*6 + block)*64 ordinal base
 };
 
 // ---- block decode fused with inverse RLE (block.rs:670-755 + rle.rs) ----
@@ -275,8 +286,9 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
                         bool sorenson_v1, const Sink& sink, bool write) {
   int16_t* out = sink.dense;
   int8_t* cls = sink.cls;
-  const bool packed = sink.ppos != nullptr;
+  const bool packed = sink.ppos != nullptr || sink.pd24 != nullptr;
   const int32_t pack_start = packed ? *sink.count : 0;
+  const int32_t d24_start = sink.lastp ? *sink.lastp : 0;
   int32_t cnt = pack_start;          // register-resident pack cursor
   const int32_t base = sink.base;
   int32_t intradc = -1;
@@ -293,6 +305,24 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   int zz = 0;
 
   auto emit = [&](int rm, int32_t value) {
+    if (sink.pd24) {
+      int32_t pos = sink.base24 + zz;
+      int32_t gap = pos - *sink.lastp;
+      while (gap > 4095) {
+        if (cnt >= sink.cap) { overflow = true; return; }
+        uint8_t* p = sink.pd24 + 3 * (size_t)cnt;
+        p[0] = 0xFF; p[1] = 0xF0; p[2] = 0;  // (4095 << 12) | 0: advance
+        cnt++;
+        gap -= 4095;
+      }
+      if (cnt >= sink.cap) { overflow = true; return; }
+      uint32_t e = ((uint32_t)gap << 12) | ((uint32_t)value & 0xFFF);
+      uint8_t* p = sink.pd24 + 3 * (size_t)cnt;
+      p[0] = (uint8_t)(e >> 16); p[1] = (uint8_t)(e >> 8); p[2] = (uint8_t)e;
+      cnt++;
+      *sink.lastp = pos;
+      return;
+    }
     if (packed) {
       if (cnt >= sink.cap) { overflow = true; return; }
       if (sink.pval) {
@@ -375,6 +405,7 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
     // Whole block discarded: rewind packed emission / clear dense.
     if (packed) {
       *sink.count = pack_start;
+      if (sink.lastp) *sink.lastp = d24_start;
     } else if (write) {
       std::memset(out, 0, 64 * sizeof(int16_t));
       *cls = CLS_ZERO;
@@ -532,6 +563,13 @@ int h263_parse_frame(
   // nbits = logical stream length; nbytes field = padded size (load bound).
   BitReader r{tl_padded.data(), nbytes * 8, nbytes + PAD, start_bit};
 
+  uint8_t* pack_d24 = nullptr;
+  if (flags & F_PACK_DELTA24) {
+    pack_d24 = reinterpret_cast<uint8_t*>(pack_pos);
+    pack_pos = nullptr;
+  }
+  int32_t d24_cursor = -1;
+
   const bool sorenson = flags & F_SORENSON;
   const bool is_iframe = picture_type == 0;
   const bool umv = flags & F_UMV_OPTION;
@@ -547,6 +585,14 @@ int h263_parse_frame(
   const int mb_w = (width + 15) / 16;
   const int mb_h = (height + 15) / 16;
   const int nmb = mb_w * mb_h;
+
+  // Missing-tail semantics (state.rs:419-427): macroblocks the bitstream
+  // never reaches are empty INTER with MV (0,0).  The output buffers are
+  // reused across steps in the batch path, so they MUST be re-initialized
+  // here — a legally truncated frame otherwise reuses a previous step's
+  // motion vectors (stale-buffer bug found in round 2).
+  if (mvs) std::memset(mvs, 0, (size_t)nmb * 8 * sizeof(int16_t));
+  if (inter) std::memset(inter, 1, (size_t)nmb);
 
   PredCtx pctx;
   pctx.preds = reinterpret_cast<int16_t (*)[4][2]>(pred_scratch);
@@ -702,8 +748,9 @@ int h263_parse_frame(
       // [0, 4*nmb) luma, [4*nmb, 5*nmb) Cb, [5*nmb, 6*nmb) Cr.
       for (int k = 0; k < 6; k++) {
         Sink sink{nullptr, nullptr, pack_pos, pack_val, pack_cap,
-                  pack_count, 0};
+                  pack_count, 0, pack_d24, &d24_cursor, 0};
         if (in_range) {
+          sink.base24 = (int32_t)((((size_t)(mby * mb_w + mbx)) * 6 + k) * 64);
           if (k < 4) {
             int by = 2 * mby + (k >> 1);
             int bx = 2 * mbx + (k & 1);
@@ -720,9 +767,11 @@ int h263_parse_frame(
             sink.base = (int32_t)(((size_t)(4 + (k - 4)) * nmb + ci) * 64);
           }
         }
-        if (pack_pos == nullptr) {
+        if (pack_pos == nullptr && pack_d24 == nullptr) {
           sink.ppos = nullptr;
           sink.pval = nullptr;
+          sink.pd24 = nullptr;
+          sink.lastp = nullptr;
         }
         int err = decode_block(r, intra, cbp[k], quant, sorenson_v1, sink,
                                in_range);
@@ -758,7 +807,7 @@ int h263_parse_frame(
   return OK;
 }
 
-int h263_abi_version() { return 2; }
+int h263_abi_version() { return 3; }
 
 }  // extern "C"
 
@@ -854,6 +903,7 @@ extern "C" {
 int h263_sorenson_decode_frame(
     const uint8_t* data, uint64_t nbytes,
     int32_t expected_width, int32_t expected_height,
+    int32_t xflags,
     int32_t* hdr_fields,
     int16_t* mvs, uint8_t* inter, int16_t* pred_scratch,
     int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
@@ -870,7 +920,7 @@ int h263_sorenson_decode_frame(
   *pack_count = 0;
   rc = h263_parse_frame(
       data, nbytes, pos, width, height,
-      /*picture_type=*/hdr_fields[4], /*flags=*/F_SORENSON,
+      /*picture_type=*/hdr_fields[4], /*flags=*/F_SORENSON | xflags,
       /*version=*/hdr_fields[0], /*pquant=*/hdr_fields[6],
       /*range_x=*/64, /*range_y=*/64,
       nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
@@ -894,11 +944,18 @@ int h263_sorenson_decode_frame(
   }
   *any_inter_out = any | (varied << 1);
 
-  // Pad unused pack entries with an out-of-range sentinel (dropped by the
-  // device scatter).
-  const int32_t sentinel = 6 * mb_w * mb_h * 64;
-  const int32_t pad = pack_val ? sentinel : (int32_t)((uint32_t)sentinel << 12);
-  for (int32_t k = *pack_count; k < pack_cap; k++) pack_pos[k] = pad;
+  // Pad unused pack entries: delta24 pads zero bytes (delta 0, value 0 —
+  // a no-op add at the final cursor); u32/split pad an out-of-range
+  // sentinel (dropped by the device scatter).
+  if (xflags & F_PACK_DELTA24) {
+    std::memset(reinterpret_cast<uint8_t*>(pack_pos) + 3 * (size_t)*pack_count,
+                0, 3 * (size_t)(pack_cap - *pack_count));
+  } else {
+    const int32_t sentinel = 6 * mb_w * mb_h * 64;
+    const int32_t pad =
+        pack_val ? sentinel : (int32_t)((uint32_t)sentinel << 12);
+    for (int32_t k = *pack_count; k < pack_cap; k++) pack_pos[k] = pad;
+  }
   return OK;
 }
 
@@ -918,12 +975,21 @@ extern "C" {
 int h263_sorenson_decode_batch(
     const uint8_t* const* buffers, const uint64_t* lengths,
     int32_t n_streams, int32_t expected_w, int32_t expected_h,
+    int32_t xflags,
     const uint8_t* has_reference,
     int32_t* hdr_all, int16_t* mvs_all, uint8_t* inter_all,
     int16_t* pred_scratch,
     int32_t* pack_all, int16_t* packval_all,  // packval_all null => combined
     int32_t pack_cap, int32_t* counts, int32_t* flags,
     int32_t* failed_stream) {
+  // delta24: pack_all is a uint8 buffer, 3*pack_cap bytes per stream.
+  const bool d24 = (xflags & F_PACK_DELTA24) != 0;
+  auto stream_pack = [&](int32_t i) -> int32_t* {
+    if (d24)
+      return reinterpret_cast<int32_t*>(
+          reinterpret_cast<uint8_t*>(pack_all) + (size_t)i * pack_cap * 3);
+    return pack_all + (size_t)i * pack_cap;
+  };
   const int mb_w = (expected_w + 15) / 16;
   const int mb_h = (expected_h + 15) / 16;
   const size_t nmb = (size_t)mb_w * mb_h;
@@ -946,12 +1012,12 @@ int h263_sorenson_decode_batch(
       uint64_t end_bit = 0;
       int32_t any = 0;
       int rc = h263_sorenson_decode_frame(
-          buffers[i], lengths[i], expected_w, expected_h,
+          buffers[i], lengths[i], expected_w, expected_h, xflags,
           hdr_all + (size_t)i * 8,
           mvs_all + (size_t)i * nmb * 8,
           inter_all + (size_t)i * nmb,
           pred_scratch,
-          pack_all + (size_t)i * pack_cap,
+          stream_pack(i),
           packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
           pack_cap, counts + i, &any, &end_bit);
       if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
@@ -981,12 +1047,12 @@ int h263_sorenson_decode_batch(
       uint64_t end_bit = 0;
       int32_t any = 0;
       int rc = h263_sorenson_decode_frame(
-          buffers[i], lengths[i], expected_w, expected_h,
+          buffers[i], lengths[i], expected_w, expected_h, xflags,
           hdr_all + (size_t)i * 8,
           mvs_all + (size_t)i * nmb * 8,
           inter_all + (size_t)i * nmb,
           scratch.data(),
-          pack_all + (size_t)i * pack_cap,
+          stream_pack(i),
           packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
           pack_cap, counts + i, &any, &end_bit);
       if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
@@ -1162,6 +1228,7 @@ int h263_standard_header(const uint8_t* data, uint64_t nbytes,
 int h263_standard_decode_frame(
     const uint8_t* data, uint64_t nbytes,
     int32_t expected_width, int32_t expected_height,
+    int32_t xflags,
     uint32_t prev_running, int32_t prev_fmt_bits,
     int32_t* hdr_fields,
     int16_t* mvs, uint8_t* inter, int16_t* pred_scratch,
@@ -1180,7 +1247,7 @@ int h263_standard_decode_frame(
                      | (prev_running & (OPPTYPE_MASK | MPPTYPE_MASK));
   hdr_fields[9] = (int32_t)running;
 
-  int32_t mb_flags = 0;
+  int32_t mb_flags = xflags;
   if (running & OPT_UNRESTRICTED_MOTION_VECTORS) mb_flags |= F_UMV_OPTION;
   // No PLUSPTYPE => motion_vector_range is never Extended here; the
   // rx/ry band table is therefore unused (umv_extended false).
@@ -1209,9 +1276,15 @@ int h263_standard_decode_frame(
   }
   *any_inter_out = any | (varied << 1);
 
-  const int32_t sentinel = 6 * mb_w * mb_h * 64;
-  const int32_t pad = pack_val ? sentinel : (int32_t)((uint32_t)sentinel << 12);
-  for (int32_t k = *pack_count; k < pack_cap; k++) pack_pos[k] = pad;
+  if (xflags & F_PACK_DELTA24) {
+    std::memset(reinterpret_cast<uint8_t*>(pack_pos) + 3 * (size_t)*pack_count,
+                0, 3 * (size_t)(pack_cap - *pack_count));
+  } else {
+    const int32_t sentinel = 6 * mb_w * mb_h * 64;
+    const int32_t pad =
+        pack_val ? sentinel : (int32_t)((uint32_t)sentinel << 12);
+    for (int32_t k = *pack_count; k < pack_cap; k++) pack_pos[k] = pad;
+  }
   return OK;
 }
 
@@ -1224,6 +1297,7 @@ int h263_standard_decode_frame(
 int h263_standard_decode_batch(
     const uint8_t* const* buffers, const uint64_t* lengths,
     int32_t n_streams, int32_t expected_w, int32_t expected_h,
+    int32_t xflags,
     const uint8_t* has_reference, const uint32_t* prev_running,
     const int32_t* prev_fmt,
     int32_t* hdr_all, int16_t* mvs_all, uint8_t* inter_all,
@@ -1242,17 +1316,22 @@ int h263_standard_decode_batch(
   if (threads < 1) threads = 1;
   if (threads > n_streams) threads = n_streams;
 
+  const bool d24 = (xflags & F_PACK_DELTA24) != 0;
   auto decode_one = [&](int32_t i, int16_t* scratch) -> int {
     uint64_t end_bit = 0;
     int32_t any = 0;
+    int32_t* pk = d24
+        ? reinterpret_cast<int32_t*>(
+              reinterpret_cast<uint8_t*>(pack_all) + (size_t)i * pack_cap * 3)
+        : pack_all + (size_t)i * pack_cap;
     int rc = h263_standard_decode_frame(
-        buffers[i], lengths[i], expected_w, expected_h,
+        buffers[i], lengths[i], expected_w, expected_h, xflags,
         prev_running[i], prev_fmt[i],
         hdr_all + (size_t)i * 10,
         mvs_all + (size_t)i * nmb * 8,
         inter_all + (size_t)i * nmb,
         scratch,
-        pack_all + (size_t)i * pack_cap,
+        pk,
         packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
         pack_cap, counts + i, &any, &end_bit);
     if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;

@@ -20,6 +20,7 @@ from ..bitio import BitReader
 from ..utils.trace import trace_stage
 from ..decoder.reconstruct import (
     get_batched_reconstruct_fn,
+    get_packed_d24_reconstruct_fn,
     get_packed_split_reconstruct_fn,
     get_packed_u32_reconstruct_fn,
 )
@@ -118,12 +119,17 @@ class _PackedBatch:
     streams.  Per-stream coefficient counts let the step slice the transfer
     to a bucketed maximum instead of shipping the full capacity."""
 
-    def __init__(self, n, mb_w, mb_h, cap, split=False):
-        # split=False: combined-u32 transport (4 B/coeff, needs 20-bit
-        # positions).  split=True: int32 position + int16 value arrays
-        # (6 B/coeff, any picture size).
+    def __init__(self, n, mb_w, mb_h, cap, split=False, transport="u32"):
+        # transport "u32": combined-u32 (4 B/coeff, needs 20-bit positions).
+        # "split": int32 position + int16 value arrays (6 B/coeff, any
+        # picture size).  "d24": delta-coded 24-bit entries (3 B/coeff, any
+        # picture size) — self.u32 is then a uint8 [n, 3*cap] buffer.
+        self.transport = "split" if split else transport
         self.split = split
-        self.u32 = np.zeros((n, cap), dtype=np.int32)
+        if self.transport == "d24":
+            self.u32 = np.zeros((n, 3 * cap), dtype=np.uint8)
+        else:
+            self.u32 = np.zeros((n, cap), dtype=np.int32)
         self.val = np.zeros((n, cap), dtype=np.int16) if split else None
         self.mvs = np.zeros((n, mb_h, mb_w, 4, 2), dtype=np.int16)
         self.inter = np.ones((n, mb_h, mb_w), dtype=np.uint8)
@@ -144,7 +150,8 @@ class BatchedStreamDecoder:
     def __init__(self, n_streams: int, width: int, height: int,
                  decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
                  reconstruct_fn=None, packed_reconstruct_fn=None,
-                 pack_cap: Optional[int] = None, pallas: str = "auto"):
+                 pack_cap: Optional[int] = None, pallas: str = "auto",
+                 coef_transport: str = "auto"):
         import jax
         import jax.numpy as jnp
 
@@ -204,12 +211,24 @@ class BatchedStreamDecoder:
         # the per-stream commit loop is dict lookups + int arithmetic.
         self._pic_cache: dict = {}
         self._po_cache: dict = {}
-        # Combined-u32 packed transport needs 20-bit coefficient positions;
-        # larger pictures (> ~2730 macroblocks, e.g. 1280x720) use the split
-        # transport (int32 position + int16 value) instead.
-        self._split = 6 * mb_w * mb_h * 64 >= (1 << 20)
+        # Coefficient transport: "u32" combined 4 B/coeff (20-bit position
+        # limit, < ~2730 macroblocks), "split" 6 B/coeff (any size), "d24"
+        # delta-coded 3 B/coeff (any size).  "auto" picks u32 for small
+        # pictures and split beyond the position limit.
+        if coef_transport == "auto":
+            coef_transport = ("split" if 6 * mb_w * mb_h * 64 >= (1 << 20)
+                              else "u32")
+        if coef_transport not in ("u32", "split", "d24"):
+            raise ValueError(f"coef_transport must be 'auto', 'u32', "
+                             f"'split', or 'd24'; got {coef_transport!r}")
+        if coef_transport == "u32" and 6 * mb_w * mb_h * 64 >= (1 << 20):
+            raise ValueError("picture too large for the combined-u32 "
+                             "transport; use 'split' or 'd24'")
+        self.coef_transport = coef_transport
+        self._split = coef_transport == "split"
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap,
-                                     split=self._split)
+                                     split=self._split,
+                                     transport=coef_transport)
                         for _ in range(2)]
         self._packed_idx = 0
         # pallas: "off" (XLA ops), "tpu" (Mosaic kernels), or "interpret"
@@ -217,6 +236,9 @@ class BatchedStreamDecoder:
         self.pallas = pallas
         if packed_reconstruct_fn is not None:
             self._packed_fn = packed_reconstruct_fn
+        elif coef_transport == "d24":
+            self._packed_fn = get_packed_d24_reconstruct_fn(
+                self.h, self.w, pallas)
         elif self._split:
             self._packed_fn = get_packed_split_reconstruct_fn(
                 self.h, self.w, pallas)
@@ -370,6 +392,8 @@ class BatchedStreamDecoder:
         """
         assert self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM, \
             "packed transport is the Sorenson hot path; use dense otherwise"
+        assert packed.transport == "u32", \
+            "the per-slot fast parser supports the u32 transport only"
         st = self.states[stream_idx]
         data = bytes(buf)
 
@@ -434,12 +458,16 @@ class BatchedStreamDecoder:
                 r.data, r.pos, pic, self.decoder_options, running,
                 self.w, self.h, packed.u32[i], packed.mvs[i],
                 packed.inter[i], self._pred_scratch,
-                pack_val=packed.val[i] if packed.split else None)
+                pack_val=packed.val[i] if packed.split else None,
+                transport=packed.transport)
             if (live and not self.states[i].has_reference
                     and packed.inter[i].any()):
                 # gather.rs:149 — INTER macroblocks with no reference picture
                 raise UncodedIFrameBlocks(f"stream {i}: no reference picture")
-            packed.u32[i, count:cap] = pad
+            if packed.transport == "d24":
+                packed.u32[i, 3 * count:cap] = 0  # advance-0/value-0 padding
+            else:
+                packed.u32[i, count:cap] = pad
             packed.counts[i] = count
             staged.append((pic, running) if live else None)
         m = packed.mvs
@@ -460,7 +488,8 @@ class BatchedStreamDecoder:
         if packed.std_parser is None:
             packed.std_parser = StandardBatchParser(
                 self.n, self.w, self.h, packed.u32, packed.mvs,
-                packed.inter, self._pred_scratch, pack_val=packed.val)
+                packed.inter, self._pred_scratch, pack_val=packed.val,
+                transport=packed.transport)
         p = packed.std_parser
         has_ref = [True] * self.n
         for i, st in enumerate(self.states):
@@ -534,7 +563,8 @@ class BatchedStreamDecoder:
         if packed.batch_parser is None:
             packed.batch_parser = SorensonBatchParser(
                 self.n, self.w, self.h, packed.u32, packed.mvs,
-                packed.inter, self._pred_scratch, pack_val=packed.val)
+                packed.inter, self._pred_scratch, pack_val=packed.val,
+                transport=packed.transport)
         if mask is None:
             has_ref = [st.has_reference for st in self.states]
             buffers = [b if type(b) is bytes else bytes(b) for b in buffers]
@@ -646,6 +676,9 @@ class BatchedStreamDecoder:
             vals = (np.ascontiguousarray(packed.val[:, :cut])
                     if small else packed.val)
             coef = (pos, vals)
+        elif packed.transport == "d24":
+            coef = (np.ascontiguousarray(packed.u32[:, :3 * cut])
+                    if small else packed.u32,)
         else:
             coef = (np.ascontiguousarray(packed.u32[:, :cut])
                     if small else packed.u32,)

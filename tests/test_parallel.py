@@ -526,3 +526,116 @@ class TestStandardNativeBatch:
         for t in range(2):
             pic = ref.decode_next_picture(streams[0][t])
         np.testing.assert_array_equal(np.asarray(dec.ref_y)[0], pic.as_luma())
+
+
+class TestDelta24Transport:
+    """The delta-coded 3-byte coefficient transport must match the u32 and
+    dense transports bit-exactly, including advance-escapes over long
+    uncoded gaps and the zigzag-overflow block-discard rewind."""
+
+    def _decode_all(self, frames, S, W, H, **kw):
+        dec = BatchedStreamDecoder(S, W, H, **kw)
+        outs = []
+        for f in frames:
+            outs.extend(np.asarray(a) for a in dec.decode_step([f] * S))
+        return outs, dec
+
+    def _gop(self, seed=9, w=96, h=64, sparse_tail=True):
+        rng = np.random.default_rng(seed)
+        nmb = (w // 16) * (h // 16)
+        frames = [encode_sorenson_picture(
+            w, h, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[int(rng.integers(1, 128)) * 8] * 6,
+                    blocks=[[(0, 7), (3, -2)], [], [(1, 4)], [], [], []])
+             for _ in range(nmb)], temporal_reference=0)]
+        # P-frame with ONE coded MB at the end: the ordinal gap spans
+        # ~ nmb*384 units and forces a run of 4095-advance escapes.
+        mbs = [MBSpec(kind="uncoded")] * (nmb - 1) + [
+            MBSpec(kind="inter", mvd=[(2, -2)],
+                   blocks=[[(0, 5)], [], [], [], [], [(2, -6)]])]
+        frames.append(encode_sorenson_picture(
+            w, h, PictureTypeCode.P_FRAME, mbs, temporal_reference=1))
+        # Dense-ish P-frame.
+        frames.append(encode_sorenson_picture(
+            w, h, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(0, 2)],
+                    blocks=[[(0, int(rng.integers(1, 9)))], [], [], [], [], []])
+             for _ in range(nmb)], temporal_reference=2))
+        return frames
+
+    def test_d24_equals_u32_and_dense(self):
+        from h263_tpu.native import ensure_built
+        if not ensure_built():
+            pytest.skip("native front-end unavailable")
+        frames = self._gop()
+        a, da = self._decode_all(frames, 2, 96, 64, coef_transport="d24")
+        b, _ = self._decode_all(frames, 2, 96, 64, coef_transport="u32")
+        c, _ = self._decode_all(frames, 2, 96, 64)
+        for x, y, z in zip(a, b, c):
+            np.testing.assert_array_equal(x, y)
+            np.testing.assert_array_equal(x, z)
+        assert da.coef_transport == "d24"
+
+    def test_d24_discard_block_quirk(self):
+        """Zigzag overflow discards the whole block; the d24 cursor rewinds
+        with the pack cursor (native emit rewind)."""
+        from h263_tpu.native import ensure_built
+        if not ensure_built():
+            pytest.skip("native front-end unavailable")
+        # run 62 from zz=1 (intra) lands at 63; a second coefficient
+        # overflows -> whole block discarded (rle.rs:125-127).
+        mbs = [MBSpec(kind="intra", intradc=[800] * 6,
+                      blocks=[[(62, 5), (0, 3)], [(0, 4)], [], [], [], []])]
+        mbs += [MBSpec(kind="intra", intradc=[640] * 6)] * 3
+        f = encode_sorenson_picture(32, 32, PictureTypeCode.I_FRAME, mbs)
+        a, _ = self._decode_all([f], 1, 32, 32, coef_transport="d24")
+        b, _ = self._decode_all([f], 1, 32, 32, coef_transport="u32")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_d24_large_picture_equals_split(self):
+        """d24 has no 20-bit position limit: 720p decodes identically to
+        the split transport."""
+        from h263_tpu.native import ensure_built
+        if not ensure_built():
+            pytest.skip("native front-end unavailable")
+        W, H, nmb = 1280, 720, 80 * 45
+        rng = np.random.default_rng(12)
+        f0 = encode_sorenson_picture(
+            W, H, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[int(rng.integers(1, 120)) * 8] * 6)
+             for _ in range(nmb)], quantizer=7)
+        f1 = encode_sorenson_picture(
+            W, H, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(1, -3)],
+                    blocks=[[(0, 8)], [], [], [], [], []]
+                    if k % 11 == 0 else [[], [], [], [], [], []])
+             for k in range(nmb)], quantizer=7, temporal_reference=1)
+        a, dd = self._decode_all([f0, f1], 1, W, H, coef_transport="d24")
+        b, ds = self._decode_all([f0, f1], 1, W, H)
+        assert ds._split and not dd._split
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_d24_standard_h263(self):
+        from h263_tpu.native import ensure_built
+        if not ensure_built():
+            pytest.skip("native front-end unavailable")
+        from h263_tpu.testing.encoder import encode_standard_picture
+
+        nmb = 8 * 6
+        frames = [encode_standard_picture(
+            128, 96, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[720] * 6)] * nmb),
+            encode_standard_picture(
+            128, 96, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(2, -1)],
+                    blocks=[[(0, 4)], [], [], [], [], []])] * nmb,
+            temporal_reference=1)]
+        a, _ = self._decode_all(frames, 2, 128, 96,
+                                decoder_options=DecoderOption.NONE,
+                                coef_transport="d24")
+        b, _ = self._decode_all(frames, 2, 128, 96,
+                                decoder_options=DecoderOption.NONE)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)

@@ -201,3 +201,42 @@ class TestStandardBatchedRobustness:
                 dec.decode_step([f0, junk], transport="packed")
             except H263Error:
                 pass
+
+
+def test_truncated_tail_fill_no_stale_state_packed():
+    """Regression (round 2): a legally truncated frame (EOF tail-fill,
+    state.rs:419-427) must synthesize empty INTER MV(0,0) tail macroblocks
+    — not reuse the motion vectors a previous step left in the reused
+    packed-batch buffers."""
+    from h263_tpu.native import ensure_built
+    if not ensure_built():
+        pytest.skip("native front-end unavailable")
+    from h263_tpu.parallel.batch import BatchedStreamDecoder
+
+    W = H = 48
+    nmb = 9
+    f0 = encode_sorenson_picture(
+        W, H, PictureTypeCode.I_FRAME,
+        [MBSpec(kind="intra", intradc=[200 + i * 40] * 6)
+         for i in range(nmb)])
+    f1 = encode_sorenson_picture(  # fills the MV buffers with +/-8s
+        W, H, PictureTypeCode.P_FRAME,
+        [MBSpec(kind="inter", mvd=[(8, -8)],
+                blocks=[[(0, 5)], [], [], [], [], []])] * nmb,
+        temporal_reference=1)
+    f2 = encode_sorenson_picture(  # only 3 of 9 MBs present
+        W, H, PictureTypeCode.P_FRAME,
+        [MBSpec(kind="inter", mvd=[(2, 2)])] * 3,
+        temporal_reference=2)
+
+    ref = H263Decoder(SORENSON, backend="numpy")
+    for f in (f0, f1, f2):
+        pic = ref.decode_next_picture(f)
+    want = np.asarray(pic.as_luma())
+
+    for tr in ("u32", "d24"):
+        dec = BatchedStreamDecoder(1, W, H, SORENSON, coef_transport=tr)
+        for f in (f0, f1):
+            dec.decode_step([f])
+        got = np.asarray(dec.decode_step([f2])[0])[0]
+        np.testing.assert_array_equal(got, want, err_msg=tr)
