@@ -106,7 +106,7 @@ def ensure_built() -> bool:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.h263_parse_frame.restype = ctypes.c_int
             lib.h263_abi_version.restype = ctypes.c_int
-            assert lib.h263_abi_version() == 3
+            assert lib.h263_abi_version() == 4
             _lib = lib
             NATIVE_AVAILABLE = True
         except Exception:
@@ -220,7 +220,7 @@ def parse_frame_native(data: bytes, start_bit: int, picture: Picture,
         inter.ctypes.data_as(ctypes.c_void_p),
         pred_scratch.ctypes.data_as(ctypes.c_void_p),
         None, None, ctypes.c_int32(0), None,
-        ctypes.byref(end_bit),
+        ctypes.byref(end_bit), None,
     )
     if rc != 0:
         exc = _ERROR_MAP.get(rc, InternalDecoderError)
@@ -243,7 +243,8 @@ def parse_frame_native_packed(data: bytes, start_bit: int, picture: Picture,
                               pack_pos: np.ndarray, mvs: np.ndarray,
                               inter: np.ndarray, pred_scratch: np.ndarray,
                               pack_val: Optional[np.ndarray] = None,
-                              transport: str = "u32"):
+                              transport: str = "u32",
+                              mvs_slim: Optional[np.ndarray] = None):
     """Like parse_frame_native, but emits the packed coefficient transport
     (combined-u32 into pack_pos when pack_val is None, else split int32
     positions + int16 values) for any header flavor — used by the batched
@@ -298,6 +299,8 @@ def parse_frame_native_packed(data: bytes, start_bit: int, picture: Picture,
         ctypes.c_int32(cap),
         ctypes.byref(count),
         ctypes.byref(end_bit),
+        mvs_slim.ctypes.data_as(ctypes.c_void_p)
+        if mvs_slim is not None else None,
     )
     if rc != 0:
         exc = _ERROR_MAP.get(rc, InternalDecoderError)
@@ -322,7 +325,8 @@ def _setup_fast_sig(lib):
         C.c_int32, C.c_int32,              # expected w, h
         C.c_int32,                         # xflags (transport)
         C.c_void_p,                        # hdr_fields
-        C.c_void_p, C.c_void_p, C.c_void_p,  # mvs, inter, pred_scratch
+        C.c_void_p, C.c_void_p,            # mvs, mvs_slim
+        C.c_void_p, C.c_void_p,            # inter, pred_scratch
         C.c_void_p, C.c_void_p, C.c_int32,   # pack_pos, pack_val, cap
         C.c_void_p, C.c_void_p,              # pack_count, any_inter
         C.c_void_p,                          # end_bit
@@ -361,7 +365,7 @@ class SorensonFastParser:
         self._args = (
             width, height, 0,  # xflags: the slot parser stays u32
             self._hdr.ctypes.data,
-            mvs.ctypes.data, inter.ctypes.data, pred_scratch.ctypes.data,
+            mvs.ctypes.data, None, inter.ctypes.data, pred_scratch.ctypes.data,
             pack_u32.ctypes.data, None, self._cap,
             ctypes.addressof(self._count), ctypes.addressof(self._any_inter),
             ctypes.addressof(self._end),
@@ -396,7 +400,8 @@ def _setup_batch_sig(lib):
         C.c_int32, C.c_int32, C.c_int32,     # n, w, h
         C.c_int32,                           # xflags (transport)
         C.c_void_p,                          # has_reference
-        C.c_void_p, C.c_void_p, C.c_void_p,  # hdr_all, mvs_all, inter_all
+        C.c_void_p, C.c_void_p,              # hdr_all, mvs_all
+        C.c_void_p, C.c_void_p,              # mvs_slim_all, inter_all
         C.c_void_p,                          # pred_scratch
         C.c_void_p, C.c_void_p, C.c_int32,   # pack_all, packval_all, cap
         C.c_void_p, C.c_void_p,              # counts, flags
@@ -412,7 +417,8 @@ class SorensonBatchParser:
 
     def __init__(self, n: int, width: int, height: int, pack_pos: np.ndarray,
                  mvs: np.ndarray, inter: np.ndarray, pred_scratch: np.ndarray,
-                 pack_val: np.ndarray = None, transport: str = "u32"):
+                 pack_val: np.ndarray = None, transport: str = "u32",
+                 mvs_slim: np.ndarray = None):
         """transport "u32": pack_pos int32 [n, cap], combined
         (position<<12 | value), needs 6*mb_w*mb_h*64 < 2^20.
         transport "split" (pack_val given): int32 positions + int16 values.
@@ -445,7 +451,9 @@ class SorensonBatchParser:
         self._fixed_args = (
             self._n, self._w, self._h, self._xflags,
             self._has_ref.ctypes.data,
-            self._hdr.ctypes.data, mvs.ctypes.data, inter.ctypes.data,
+            self._hdr.ctypes.data, mvs.ctypes.data,
+            mvs_slim.ctypes.data if mvs_slim is not None else None,
+            inter.ctypes.data,
             pred_scratch.ctypes.data,
             pack_pos.ctypes.data,
             pack_val.ctypes.data if pack_val is not None else None,
@@ -494,7 +502,8 @@ def _setup_std_batch_sig(lib):
         C.c_int32, C.c_int32, C.c_int32,     # n, w, h
         C.c_int32,                           # xflags (transport)
         C.c_void_p, C.c_void_p, C.c_void_p,  # has_ref, prev_running, prev_fmt
-        C.c_void_p, C.c_void_p, C.c_void_p,  # hdr_all, mvs_all, inter_all
+        C.c_void_p, C.c_void_p,              # hdr_all, mvs_all
+        C.c_void_p, C.c_void_p,              # mvs_slim_all, inter_all
         C.c_void_p,                          # pred_scratch
         C.c_void_p, C.c_void_p, C.c_int32,   # pack_all, packval_all, cap
         C.c_void_p, C.c_void_p,              # counts, flags
@@ -528,7 +537,8 @@ class StandardBatchParser:
 
     def __init__(self, n: int, width: int, height: int, pack_pos: np.ndarray,
                  mvs: np.ndarray, inter: np.ndarray, pred_scratch: np.ndarray,
-                 pack_val: np.ndarray = None, transport: str = "u32"):
+                 pack_val: np.ndarray = None, transport: str = "u32",
+                 mvs_slim: np.ndarray = None):
         assert _lib is not None
         if not hasattr(_lib, "_std_sig_done"):
             _setup_std_batch_sig(_lib)
@@ -556,7 +566,9 @@ class StandardBatchParser:
             self._n, self._w, self._h, self._xflags,
             self._has_ref.ctypes.data,
             self.prev_running.ctypes.data, self.prev_fmt.ctypes.data,
-            self.hdr.ctypes.data, mvs.ctypes.data, inter.ctypes.data,
+            self.hdr.ctypes.data, mvs.ctypes.data,
+            mvs_slim.ctypes.data if mvs_slim is not None else None,
+            inter.ctypes.data,
             pred_scratch.ctypes.data,
             pack_pos.ctypes.data,
             pack_val.ctypes.data if pack_val is not None else None,

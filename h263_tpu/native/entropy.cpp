@@ -551,7 +551,8 @@ int h263_parse_frame(
     int16_t* pred_scratch,  // int16[nmb][4][2] workspace (callee-owned ok)
     int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
     int32_t* pack_count,
-    uint64_t* end_bit_out) {
+    uint64_t* end_bit_out,
+    int16_t* mvs_slim) {  // optional contiguous [nmb][2] first-block MVs
   // Copy the frame into a zero-padded scratch buffer so the hot loop can
   // use branch-free reads; reads past the logical end return zero bits and
   // the overrun is detected per macroblock / per block (see below).
@@ -592,6 +593,7 @@ int h263_parse_frame(
   // here — a legally truncated frame otherwise reuses a previous step's
   // motion vectors (stale-buffer bug found in round 2).
   if (mvs) std::memset(mvs, 0, (size_t)nmb * 8 * sizeof(int16_t));
+  if (mvs_slim) std::memset(mvs_slim, 0, (size_t)nmb * 4);
   if (inter) std::memset(inter, 1, (size_t)nmb);
 
   PredCtx pctx;
@@ -800,6 +802,10 @@ int h263_parse_frame(
         mvs[((size_t)(mby * mb_w + mbx) * 4 + k) * 2 + 0] = cur_mvs[k][0];
         mvs[((size_t)(mby * mb_w + mbx) * 4 + k) * 2 + 1] = cur_mvs[k][1];
       }
+      if (mvs_slim) {
+        mvs_slim[(size_t)(mby * mb_w + mbx) * 2 + 0] = cur_mvs[0][0];
+        mvs_slim[(size_t)(mby * mb_w + mbx) * 2 + 1] = cur_mvs[0][1];
+      }
     }
   }
 
@@ -807,7 +813,7 @@ int h263_parse_frame(
   return OK;
 }
 
-int h263_abi_version() { return 3; }
+int h263_abi_version() { return 4; }
 
 }  // extern "C"
 
@@ -905,7 +911,7 @@ int h263_sorenson_decode_frame(
     int32_t expected_width, int32_t expected_height,
     int32_t xflags,
     int32_t* hdr_fields,
-    int16_t* mvs, uint8_t* inter, int16_t* pred_scratch,
+    int16_t* mvs, int16_t* mvs_slim, uint8_t* inter, int16_t* pred_scratch,
     int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
     int32_t* pack_count, int32_t* any_inter_out,
     uint64_t* end_bit_out) {
@@ -925,7 +931,7 @@ int h263_sorenson_decode_frame(
       /*range_x=*/64, /*range_y=*/64,
       nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
       mvs, inter, pred_scratch,
-      pack_pos, pack_val, pack_cap, pack_count, end_bit_out);
+      pack_pos, pack_val, pack_cap, pack_count, end_bit_out, mvs_slim);
   if (rc != OK) return rc;
 
   const int mb_w = (width + 15) / 16;
@@ -977,7 +983,8 @@ int h263_sorenson_decode_batch(
     int32_t n_streams, int32_t expected_w, int32_t expected_h,
     int32_t xflags,
     const uint8_t* has_reference,
-    int32_t* hdr_all, int16_t* mvs_all, uint8_t* inter_all,
+    int32_t* hdr_all, int16_t* mvs_all, int16_t* mvs_slim_all,
+    uint8_t* inter_all,
     int16_t* pred_scratch,
     int32_t* pack_all, int16_t* packval_all,  // packval_all null => combined
     int32_t pack_cap, int32_t* counts, int32_t* flags,
@@ -1015,6 +1022,7 @@ int h263_sorenson_decode_batch(
           buffers[i], lengths[i], expected_w, expected_h, xflags,
           hdr_all + (size_t)i * 8,
           mvs_all + (size_t)i * nmb * 8,
+          mvs_slim_all ? mvs_slim_all + (size_t)i * nmb * 2 : nullptr,
           inter_all + (size_t)i * nmb,
           pred_scratch,
           stream_pack(i),
@@ -1050,6 +1058,7 @@ int h263_sorenson_decode_batch(
           buffers[i], lengths[i], expected_w, expected_h, xflags,
           hdr_all + (size_t)i * 8,
           mvs_all + (size_t)i * nmb * 8,
+          mvs_slim_all ? mvs_slim_all + (size_t)i * nmb * 2 : nullptr,
           inter_all + (size_t)i * nmb,
           scratch.data(),
           stream_pack(i),
@@ -1231,7 +1240,7 @@ int h263_standard_decode_frame(
     int32_t xflags,
     uint32_t prev_running, int32_t prev_fmt_bits,
     int32_t* hdr_fields,
-    int16_t* mvs, uint8_t* inter, int16_t* pred_scratch,
+    int16_t* mvs, int16_t* mvs_slim, uint8_t* inter, int16_t* pred_scratch,
     int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
     int32_t* pack_count, int32_t* any_inter_out,
     uint64_t* end_bit_out) {
@@ -1260,7 +1269,7 @@ int h263_standard_decode_frame(
       /*range_x=*/64, /*range_y=*/64,
       nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
       mvs, inter, pred_scratch,
-      pack_pos, pack_val, pack_cap, pack_count, end_bit_out);
+      pack_pos, pack_val, pack_cap, pack_count, end_bit_out, mvs_slim);
   if (rc != OK) return rc;
 
   const int mb_w = (width + 15) / 16;
@@ -1300,7 +1309,8 @@ int h263_standard_decode_batch(
     int32_t xflags,
     const uint8_t* has_reference, const uint32_t* prev_running,
     const int32_t* prev_fmt,
-    int32_t* hdr_all, int16_t* mvs_all, uint8_t* inter_all,
+    int32_t* hdr_all, int16_t* mvs_all, int16_t* mvs_slim_all,
+    uint8_t* inter_all,
     int16_t* pred_scratch,
     int32_t* pack_all, int16_t* packval_all,
     int32_t pack_cap, int32_t* counts, int32_t* flags,
@@ -1329,6 +1339,7 @@ int h263_standard_decode_batch(
         prev_running[i], prev_fmt[i],
         hdr_all + (size_t)i * 10,
         mvs_all + (size_t)i * nmb * 8,
+        mvs_slim_all ? mvs_slim_all + (size_t)i * nmb * 2 : nullptr,
         inter_all + (size_t)i * nmb,
         scratch,
         pk,

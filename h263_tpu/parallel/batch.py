@@ -132,6 +132,9 @@ class _PackedBatch:
             self.u32 = np.zeros((n, cap), dtype=np.int32)
         self.val = np.zeros((n, cap), dtype=np.int16) if split else None
         self.mvs = np.zeros((n, mb_h, mb_w, 4, 2), dtype=np.int16)
+        # Contiguous first-block MVs, filled natively: the slim transport
+        # ships this directly (no per-step strided gather).
+        self.mvs_slim = np.zeros((n, mb_h, mb_w, 2), dtype=np.int16)
         self.inter = np.ones((n, mb_h, mb_w), dtype=np.uint8)
         self.counts = np.zeros(n, dtype=np.int64)
         self.varied_mvs = np.zeros(n, dtype=np.bool_)
@@ -194,11 +197,17 @@ class BatchedStreamDecoder:
         # defaults to 16 coefficients per macroblock (typical streams use
         # 2-8); PackOverflow falls back to the dense transport per step.
         self.pack_cap = pack_cap or max(1024, 16 * mb_w * mb_h)
-        # Small transfer bucket for sparse (typical P) frames; frames whose
-        # coefficient count exceeds it ship the full capacity instead.
+        # Transfer-size ladder: typical P frames fit the tiny bucket
+        # (~1.5 coefficients/MB incl. delta24 escapes), busier frames the
+        # small one, everything else ships full capacity.  Three fixed
+        # signatures keep the jit cache bounded; each compiles lazily on
+        # first use.
         self.pack_cap_small = max(512, 4 * mb_w * mb_h)
         if self.pack_cap_small >= self.pack_cap:
             self.pack_cap_small = self.pack_cap
+        self.pack_cap_tiny = max(256, (3 * mb_w * mb_h) // 2)
+        if self.pack_cap_tiny >= self.pack_cap_small:
+            self.pack_cap_tiny = self.pack_cap_small
         self._mv_full = False  # sticky: set on first frame with varied MVs
         self._executor = None  # lazy pipeline worker (submit_step)
         self._skip_frame: Optional[bytes] = None  # lazy all-uncoded P-frame
@@ -459,7 +468,7 @@ class BatchedStreamDecoder:
                 self.w, self.h, packed.u32[i], packed.mvs[i],
                 packed.inter[i], self._pred_scratch,
                 pack_val=packed.val[i] if packed.split else None,
-                transport=packed.transport)
+                transport=packed.transport, mvs_slim=packed.mvs_slim[i])
             if (live and not self.states[i].has_reference
                     and packed.inter[i].any()):
                 # gather.rs:149 — INTER macroblocks with no reference picture
@@ -489,7 +498,7 @@ class BatchedStreamDecoder:
             packed.std_parser = StandardBatchParser(
                 self.n, self.w, self.h, packed.u32, packed.mvs,
                 packed.inter, self._pred_scratch, pack_val=packed.val,
-                transport=packed.transport)
+                transport=packed.transport, mvs_slim=packed.mvs_slim)
         p = packed.std_parser
         has_ref = [True] * self.n
         for i, st in enumerate(self.states):
@@ -564,7 +573,7 @@ class BatchedStreamDecoder:
             packed.batch_parser = SorensonBatchParser(
                 self.n, self.w, self.h, packed.u32, packed.mvs,
                 packed.inter, self._pred_scratch, pack_val=packed.val,
-                transport=packed.transport)
+                transport=packed.transport, mvs_slim=packed.mvs_slim)
         if mask is None:
             has_ref = [st.has_reference for st in self.states]
             buffers = [b if type(b) is bytes else bytes(b) for b in buffers]
@@ -651,9 +660,10 @@ class BatchedStreamDecoder:
     def step_packed(self, packed: "_PackedBatch"):
         """Reconstruct from the packed transport (one small transfer).
 
-        Shape stability: only TWO coefficient-transfer signatures exist —
-        the full capacity and a small bucket (typical P-frames) — so the
-        jit cache stays tiny while sparse steps ship ~4x fewer bytes.  The
+        Shape stability: only THREE coefficient-transfer signatures exist —
+        full capacity, a small bucket, and a tiny bucket (typical
+        P-frames) — so the jit cache stays bounded while sparse steps ship
+        up to ~7x fewer bytes.  The
         slim one-MV-per-MB transport sticks until the first frame with
         differing block MVs flips the decoder to the full transport
         permanently (one recompile, not per-step churn).
@@ -662,14 +672,16 @@ class BatchedStreamDecoder:
 
         if packed.varied_mvs.any():
             self._mv_full = True
-        if self._mv_full:
-            mvs = packed.mvs
-        else:
-            mvs = np.ascontiguousarray(packed.mvs[:, :, :, 0, :])
+        mvs = packed.mvs if self._mv_full else packed.mvs_slim
 
         k = int(packed.counts.max()) if self.n else 0
-        small = k <= self.pack_cap_small
-        cut = self.pack_cap_small if small else None
+        if k <= self.pack_cap_tiny:
+            cut = self.pack_cap_tiny
+        elif k <= self.pack_cap_small:
+            cut = self.pack_cap_small
+        else:
+            cut = None
+        small = cut is not None
         if packed.split:
             pos = (np.ascontiguousarray(packed.u32[:, :cut])
                    if small else packed.u32)
