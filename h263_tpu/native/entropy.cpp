@@ -749,6 +749,10 @@ int h263_parse_frame(
       // 4 luma + Cb + Cr blocks.  Global packed block index space:
       // [0, 4*nmb) luma, [4*nmb, 5*nmb) Cb, [5*nmb, 6*nmb) Cr.
       for (int k = 0; k < 6; k++) {
+        // An uncoded INTER block consumes no bits and writes nothing
+        // (buffers are pre-initialized): skip the call.  Sparse P frames
+        // are mostly such blocks, so this skips most decode_block calls.
+        if (!intra && !cbp[k]) continue;
         Sink sink{nullptr, nullptr, pack_pos, pack_val, pack_cap,
                   pack_count, 0, pack_d24, &d24_cursor, 0};
         if (in_range) {

@@ -38,6 +38,7 @@ def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off"):
 
     from ..decoder.reconstruct import (
         reconstruct_frame_batched,
+        reconstruct_frame_packed_d24,
         reconstruct_frame_packed_split,
         reconstruct_frame_packed_u32,
     )
@@ -46,6 +47,9 @@ def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off"):
     if packed == "split":
         fn = functools.partial(reconstruct_frame_packed_split, pallas=pallas)
         n_in = 7
+    elif packed == "d24":
+        fn = functools.partial(reconstruct_frame_packed_d24, pallas=pallas)
+        n_in = 6
     elif packed:
         fn = functools.partial(reconstruct_frame_packed_u32, pallas=pallas)
         n_in = 6
