@@ -220,13 +220,13 @@ class BatchedStreamDecoder:
         # the per-stream commit loop is dict lookups + int arithmetic.
         self._pic_cache: dict = {}
         self._po_cache: dict = {}
-        # Coefficient transport: "u32" combined 4 B/coeff (20-bit position
-        # limit, < ~2730 macroblocks), "split" 6 B/coeff (any size), "d24"
-        # delta-coded 3 B/coeff (any size).  "auto" picks u32 for small
-        # pictures and split beyond the position limit.
+        # Coefficient transport: "d24" delta-coded 3 B/coeff (any picture
+        # size — the production default: fewest transfer bytes, measured
+        # fastest and tightest-variance on hardware), "u32" combined
+        # 4 B/coeff (20-bit position limit, < ~2730 macroblocks), "split"
+        # 6 B/coeff (any size).
         if coef_transport == "auto":
-            coef_transport = ("split" if 6 * mb_w * mb_h * 64 >= (1 << 20)
-                              else "u32")
+            coef_transport = "d24"
         if coef_transport not in ("u32", "split", "d24"):
             raise ValueError(f"coef_transport must be 'auto', 'u32', "
                              f"'split', or 'd24'; got {coef_transport!r}")

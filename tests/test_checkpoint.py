@@ -111,10 +111,11 @@ def test_batched_roundtrip_split_transport():
                 if k % 9 == 0 else [[], [], [], [], [], []])
          for k in range(mbw * mbh)], quantizer=7, temporal_reference=1)
 
-    dec = BatchedStreamDecoder(2, W, H)
+    dec = BatchedStreamDecoder(2, W, H, coef_transport="split")
     assert dec._split
     dec.decode_step([f0, f0])
-    resumed = load_batched_state(save_batched_state(dec))
+    resumed = load_batched_state(save_batched_state(dec),
+                                 coef_transport="split")
     assert resumed._split
     ya = np.asarray(dec.decode_step([f1, f1])[0])
     yb = np.asarray(resumed.decode_step([f1, f1])[0])

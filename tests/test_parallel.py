@@ -58,7 +58,9 @@ class TestSharding:
         assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
         mesh = make_stream_mesh()
         fn = shard_reconstruct_fn(mesh, 32, 32)
-        pfn = shard_reconstruct_fn(mesh, 32, 32, packed=True)
+        # d24 is the decoder's default transport; the injected sharded
+        # program must match it.
+        pfn = shard_reconstruct_fn(mesh, 32, 32, packed="d24")
 
         n = 8
         per_stream = [_stream_frames(seed, n_p=2) for seed in range(n)]
@@ -277,7 +279,7 @@ class TestSplitPackedTransport:
             pytest.skip("native front-end unavailable")
         W, H, corpus = self._corpus()
         S = 2
-        d1 = BatchedStreamDecoder(S, W, H)
+        d1 = BatchedStreamDecoder(S, W, H, coef_transport="split")
         assert d1._split
         outs_split = [np.asarray(a) for f in corpus
                       for a in d1.decode_step([f] * S)]
@@ -325,7 +327,8 @@ class TestSplitPackedTransport:
             pytest.skip("native front-end unavailable")
         W, H, corpus = self._corpus()
         S = 2
-        dec = BatchedStreamDecoder(S, W, H, pack_cap=8)  # absurdly small
+        dec = BatchedStreamDecoder(S, W, H, pack_cap=8,  # absurdly small
+                                   coef_transport="split")
         assert dec._split
         y1 = np.asarray(dec.decode_step([corpus[0]] * S)[0])
         ref = BatchedStreamDecoder(S, W, H)
@@ -612,7 +615,7 @@ class TestDelta24Transport:
                     if k % 11 == 0 else [[], [], [], [], [], []])
              for k in range(nmb)], quantizer=7, temporal_reference=1)
         a, dd = self._decode_all([f0, f1], 1, W, H, coef_transport="d24")
-        b, ds = self._decode_all([f0, f1], 1, W, H)
+        b, ds = self._decode_all([f0, f1], 1, W, H, coef_transport="split")
         assert ds._split and not dd._split
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)

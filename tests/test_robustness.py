@@ -87,7 +87,7 @@ class TestBatchedIsolation:
         malformed batch to the device (SURVEY §7 hard part 5)."""
         n = 3
         frames = [_valid_stream() for _ in range(n)]
-        dec = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        dec = BatchedStreamDecoder(n, 32, 32, SORENSON, coef_transport="u32")
         dec.decode_step([frames[i][0] for i in range(n)])
 
         bufs = [frames[0][1], b"\x00\x01\x02\x03", frames[2][1]]
