@@ -100,6 +100,9 @@ class _HostBatch:
         self.class_cr = np.zeros((n, mb_h, mb_w), dtype=np.int8)
         self.mvs = np.zeros((n, mb_h, mb_w, 4, 2), dtype=np.int16)
         self.inter = np.ones((n, mb_h, mb_w), dtype=np.uint8)
+        # Device outputs of the step that last consumed these buffers (see
+        # BatchedStreamDecoder.next_host_batch).
+        self.in_flight = None
 
     def slice_of(self, i):
         return (self.coeffs_y[i], self.class_y[i], self.coeffs_cb[i],
@@ -141,6 +144,11 @@ class _PackedBatch:
         self.fast_parsers = None  # lazily bound SorensonFastParser per slot
         self.batch_parser = None  # lazily bound SorensonBatchParser
         self.std_parser = None    # lazily bound StandardBatchParser
+        # Device outputs of the step that last consumed these buffers, and
+        # the pipeline future that will produce them (see next_packed_batch
+        # / submit_step).
+        self.in_flight = None
+        self.fut = None
 
 
 class BatchedStreamDecoder:
@@ -255,13 +263,38 @@ class BatchedStreamDecoder:
             self._packed_fn = get_packed_u32_reconstruct_fn(
                 self.h, self.w, pallas)
 
+    # Host transport buffers are handed to jax.device_put, which may READ
+    # THEM ASYNCHRONOUSLY (TPU: the transfer completes after the call
+    # returns) or ALIAS THEM OUTRIGHT (CPU: zero-copy of aligned numpy
+    # arrays).  Reusing a buffer before the step that consumed it has
+    # executed therefore corrupts that step's input — observed as
+    # nondeterministic decodes on the CPU backend whenever several steps
+    # queue up behind a slow compile with no intervening readback.  The
+    # ping-pong rotation below blocks on the consuming step's OUTPUTS
+    # (outputs ready ⇒ inputs fully consumed) before handing a buffer out
+    # again; steady-state that wait is long resolved and costs nothing.
+
+    @staticmethod
+    def _reclaim(buf):
+        if buf.in_flight is not None:
+            for a in buf.in_flight:
+                a.block_until_ready()
+            buf.in_flight = None
+
     def next_host_batch(self) -> _HostBatch:
         self._batch_idx ^= 1
-        return self._batches[self._batch_idx]
+        batch = self._batches[self._batch_idx]
+        self._reclaim(batch)
+        return batch
 
     def next_packed_batch(self) -> "_PackedBatch":
         self._packed_idx ^= 1
-        return self._packed[self._packed_idx]
+        packed = self._packed[self._packed_idx]
+        if packed.fut is not None:
+            packed.fut.result()  # pipeline: the consuming step may not have
+            packed.fut = None    # dispatched yet; wait for its dispatch
+        self._reclaim(packed)
+        return packed
 
     # -- host stage -----------------------------------------------------------
 
@@ -655,7 +688,9 @@ class BatchedStreamDecoder:
 
         One device transfer for the whole batch; the zero-copy fast path.
         """
-        return self._run(batch.tensors())
+        out = self._run(batch.tensors())
+        batch.in_flight = out  # buffer reuse gate, see next_host_batch
+        return out
 
     def step_packed(self, packed: "_PackedBatch"):
         """Reconstruct from the packed transport (one small transfer).
@@ -701,6 +736,7 @@ class BatchedStreamDecoder:
             y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb,
                                         self.ref_cr)
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
+        packed.in_flight = (y, cb, cr)  # buffer reuse gate, next_packed_batch
         return y, cb, cr
 
     def submit_step(self, buffers: Sequence[bytes]):
@@ -722,7 +758,9 @@ class BatchedStreamDecoder:
         packed = self.next_packed_batch()
         with trace_stage("host_parse"):
             self.parse_batch_packed(buffers, packed)
-        return self._executor.submit(self.step_packed, packed)
+        fut = self._executor.submit(self.step_packed, packed)
+        packed.fut = fut  # reuse gate: the consuming step dispatches async
+        return fut
 
     def decode_stream_pipelined(self, frame_iter):
         """Generator driving the two-stage pipeline over an iterator of

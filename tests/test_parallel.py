@@ -642,3 +642,56 @@ class TestDelta24Transport:
                                 decoder_options=DecoderOption.NONE)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+
+class TestHostBufferReuseSafety:
+    """The transport hands reused ping-pong host buffers to jax.device_put,
+    which may read them asynchronously (TPU) or alias them outright (CPU
+    zero-copy).  Reusing a buffer before the consuming step executed
+    corrupted that step's input — observed as nondeterministic decodes
+    whenever several steps queued up behind a slow compile with no
+    intervening readback (regression: round 2).  The decoder must block on
+    a buffer's consuming step before recycling it."""
+
+    def test_no_readback_run_matches_per_step_readback(self):
+        frames = _stream_frames(11, n_p=7)
+        n = 3
+
+        def run(readback_each_step):
+            dec = BatchedStreamDecoder(n, 32, 32, SORENSON)
+            y = cb = cr = None
+            for f in frames:
+                y, cb, cr = dec.decode_step([f] * n)
+                if readback_each_step:
+                    np.asarray(y)
+            return np.asarray(y), np.asarray(cb), np.asarray(cr)
+
+        golden = run(readback_each_step=True)
+        free_running = run(readback_each_step=False)
+        for a, b in zip(golden, free_running):
+            np.testing.assert_array_equal(a, b)
+
+    def test_reuse_gate_is_set_and_cleared(self):
+        frames = _stream_frames(12, n_p=3)
+        dec = BatchedStreamDecoder(2, 32, 32, SORENSON)
+        dec.decode_step([frames[0]] * 2)
+        used = dec._packed[dec._packed_idx]
+        assert used.in_flight is not None  # outputs gate the buffer
+        dec.decode_step([frames[1]] * 2)
+        dec.decode_step([frames[2]] * 2)  # recycles the first buffer
+        assert used.in_flight is not None and used is dec._packed[dec._packed_idx]
+
+    def test_pipelined_matches_sequential(self):
+        frames = _stream_frames(13, n_p=9)
+        n = 2
+        dec_seq = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        golden = None
+        for f in frames:
+            golden = dec_seq.decode_step([f] * n)
+
+        dec_pipe = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        last = None
+        for last in dec_pipe.decode_stream_pipelined([f] * n for f in frames):
+            pass
+        for a, b in zip(golden, last):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
