@@ -260,6 +260,11 @@ static inline bool read_umv(BitReader& r, int16_t* out, int* err) {
   return true;
 }
 
+// Coefficient transport selector for decode_block's template dispatch —
+// hoists the per-coefficient "which transport" branches out of the TCOEF
+// hot loop (each instantiation's emit path is straight-line).
+enum { T_DENSE = 0, T_PACKED = 1, T_D24 = 2 };
+
 // Coefficient sink: either a dense int16[64] block, or a packed
 // (position, value) stream shared by the whole frame.  Packed mode is the
 // low-transfer-byte transport; the device scatters it back to dense and
@@ -282,14 +287,16 @@ struct Sink {
 // Returns OK / error.  `write` disables stores for out-of-frame blocks
 // while still consuming the exact bit count.
 
+template <int T>
 static int decode_block(BitReader& r, bool intra, bool present, int quant,
                         bool sorenson_v1, const Sink& sink, bool write) {
   int16_t* out = sink.dense;
   int8_t* cls = sink.cls;
-  const bool packed = sink.ppos != nullptr || sink.pd24 != nullptr;
+  constexpr bool packed = T != T_DENSE;
   const int32_t pack_start = packed ? *sink.count : 0;
-  const int32_t d24_start = sink.lastp ? *sink.lastp : 0;
+  const int32_t d24_start = (T == T_D24) ? *sink.lastp : 0;
   int32_t cnt = pack_start;          // register-resident pack cursor
+  int32_t lastp = d24_start;         // register-resident d24 cursor
   const int32_t base = sink.base;
   int32_t intradc = -1;
   if (intra) {
@@ -305,9 +312,9 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   int zz = 0;
 
   auto emit = [&](int rm, int32_t value) {
-    if (sink.pd24) {
+    if (T == T_D24) {
       int32_t pos = sink.base24 + zz;
-      int32_t gap = pos - *sink.lastp;
+      int32_t gap = pos - lastp;
       while (gap > 4095) {
         if (cnt >= sink.cap) { overflow = true; return; }
         uint8_t* p = sink.pd24 + 3 * (size_t)cnt;
@@ -320,10 +327,10 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
       uint8_t* p = sink.pd24 + 3 * (size_t)cnt;
       p[0] = (uint8_t)(e >> 16); p[1] = (uint8_t)(e >> 8); p[2] = (uint8_t)e;
       cnt++;
-      *sink.lastp = pos;
+      lastp = pos;
       return;
     }
-    if (packed) {
+    if (T == T_PACKED) {
       if (cnt >= sink.cap) { overflow = true; return; }
       if (sink.pval) {
         // two-array transport: int32 position + int16 value
@@ -349,63 +356,86 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   }
   int parity = (quant % 2 == 1) ? 0 : -1;
 
-  while (present) {
-    uint32_t sign_bit;
-    int32_t sym = read_vlc_peek1_fast(r, TCOEF_LUT, TCOEF_LUT_BITS,
-                                      &sign_bit);
-    int kind = sym >> 12;
-    if (kind == 2) return E_SHORT_COEF;
-    int last, run;
-    int32_t level;
-    if (kind == 1) {  // ESCAPE
-      int width = 8;
-      if (sorenson_v1) {
-        r.pos += 1;  // the peeked bit was the escape-width flag
-        width = sign_bit ? 11 : 7;
+  // TCOEF hot loop over a cached 64-bit window: one load covers several
+  // coefficients (short code + sign <= 13 bits; escape fields <= 19 more),
+  // flushed only when the remaining valid bits (>= 57 per load) run short.
+  if (present) {
+    uint64_t w = r.window_fast() << (r.pos & 7);
+    unsigned o = 0;  // bits consumed since the window was loaded
+    auto flush = [&]() {
+      r.pos += o;
+      o = 0;
+      w = r.window_fast() << (r.pos & 7);
+    };
+    do {
+      if (o > 44) flush();  // code(<=12) + sign/flag fit: 44+13 <= 57
+      uint64_t wo = w << o;
+      uint32_t e = TCOEF_LUT[(uint32_t)(wo >> (64 - TCOEF_LUT_BITS))];
+      uint32_t len = e & 0xFF;
+      uint32_t sign_bit = (uint32_t)((wo >> (63 - len)) & 1);
+      int32_t sym = (int32_t)(e >> 8);
+      o += len;
+      int kind = sym >> 12;
+      if (kind == 2) { r.pos += o; return E_SHORT_COEF; }
+      int last, run;
+      int32_t level;
+      if (kind == 1) {  // ESCAPE
+        int width = 8;
+        if (sorenson_v1) {
+          o += 1;  // the peeked bit was the escape-width flag
+          width = sign_bit ? 11 : 7;
+        }
+        if (o > 39) flush();  // last(1) + run(6) + level(<=11): 39+19 <= 57
+        wo = w << o;
+        last = (int)(wo >> 63);
+        run = (int)((wo << 1) >> (64 - 6));
+        uint32_t lv = (uint32_t)((wo << 7) >> (64 - width));
+        o += 7 + width;
+        level = (lv & (1u << (width - 1))) ? (int32_t)lv - (1 << width)
+                                           : (int32_t)lv;
+        if (level == 0) { r.pos += o; return E_LONG_COEF; }
+      } else {
+        o += 1;  // the peeked bit was the sign bit
+        last = (sym >> 11) & 1;
+        run = (sym >> 5) & 0x3F;
+        level = sym & 0x1F;
+        if (sign_bit) level = -level;
       }
-      last = (int)r.rd(1);
-      run = (int)r.rd(6);
-      level = r.rds(width);
-      if (level == 0) return E_LONG_COEF;
-    } else {
-      r.pos += 1;  // the peeked bit was the sign bit
-      last = (sym >> 11) & 1;
-      run = (sym >> 5) & 0x3F;
-      level = sym & 0x1F;
-      if (sign_bit) level = -level;
-    }
 
-    zz += run;
-    if (zz >= 64) {
-      // rle.rs:125-127: the whole block is discarded, but the remaining
-      // TCOEF events still occupy bits — keep consuming until LAST.
-      discard = true;
-    }
-    if (!discard) {
-      int mag = level >= 0 ? level : -level;
-      int32_t deq = quant * (2 * mag + 1);
-      int32_t value = (level > 0 ? 1 : -1) * (deq + parity);
-      if (value < -2048) value = -2048;
-      if (value > 2047) value = 2047;
-      int rm = ZIGZAG_RM[zz];
-      if (write) emit(rm, value);
-      if (value != 0) {
-        if (rm >= 8) is_horiz = false;   // y > 0
-        if (rm % 8 != 0) is_vert = false; // x > 0
+      zz += run;
+      if (zz >= 64) {
+        // rle.rs:125-127: the whole block is discarded, but the remaining
+        // TCOEF events still occupy bits — keep consuming until LAST.
+        discard = true;
       }
-      zz += 1;
-    }
-    present = last == 0;
+      if (!discard) {
+        int mag = level >= 0 ? level : -level;
+        int32_t deq = quant * (2 * mag + 1);
+        int32_t value = (level > 0 ? 1 : -1) * (deq + parity);
+        if (value < -2048) value = -2048;
+        if (value > 2047) value = 2047;
+        int rm = ZIGZAG_RM[zz];
+        if (write) emit(rm, value);
+        if (value != 0) {
+          if (rm >= 8) is_horiz = false;   // y > 0
+          if (rm % 8 != 0) is_vert = false; // x > 0
+        }
+        zz += 1;
+      }
+      present = last == 0;
+    } while (present);
+    r.pos += o;
   }
 
   if (overflow) return E_PACK_OVERFLOW;
   if (packed) *sink.count = cnt;
+  if (T == T_D24) *sink.lastp = lastp;
 
   if (discard) {
     // Whole block discarded: rewind packed emission / clear dense.
     if (packed) {
       *sink.count = pack_start;
-      if (sink.lastp) *sink.lastp = d24_start;
+      if (T == T_D24) *sink.lastp = d24_start;
     } else if (write) {
       std::memset(out, 0, 64 * sizeof(int16_t));
       *cls = CLS_ZERO;
@@ -623,62 +653,99 @@ int h263_parse_frame(
     int16_t mvds[4][2] = {{0, 0}, {0, 0}, {0, 0}, {0, 0}};
     int n_mvs = 0;
 
-    do {
-      uint32_t cod = 0;
-      if (!is_iframe) cod = r.rd(1);
-      if (cod) { is_uncoded = true; got_mb = true; break; }
+    // The whole common-case macroblock header decodes from cached 64-bit
+    // window loads: COD(1) + MCBPC(<=13) + CBPY(<=6) + DQUANT(2) +
+    // MVDx(<=13) + MVDy(<=13) = 48 bits, within the >=57 valid bits one
+    // window load provides — one load + bswap instead of six.  Extra
+    // INTER4V MV pairs (<=26 bits each) reload the window per pair; the
+    // rare UMV path commits the cursor and falls back to per-read loads.
+    {
+      uint64_t w = r.window_fast() << (r.pos & 7);
+      unsigned o = 0;  // bits consumed since the window was loaded
+      auto take = [&](int n) -> uint32_t {
+        uint32_t v = (uint32_t)((w << o) >> (64 - n));
+        o += n;
+        return v;
+      };
+      auto vlc = [&](const uint32_t* lut, int bits) -> int32_t {
+        uint32_t e = lut[(uint32_t)((w << o) >> (64 - bits))];
+        o += e & 0xFF;
+        return (int32_t)(e >> 8);
+      };
+      auto reload = [&]() {
+        r.pos += o;
+        o = 0;
+        w = r.window_fast() << (r.pos & 7);
+      };
 
-      if (picture_type != 0 && picture_type != 1) {
-        // Only IFrame/PFrame macroblocks decode (macroblock.rs:461-464).
-        mb_err = E_UNIMPLEMENTED;
-        break;
-      }
-      int32_t mc = read_vlc_fast(r, mcbpc_lut, mcbpc_bits);
-      int kind = (mc >> 5) & 3;
-      if (kind == 1) { is_stuffing = true; got_mb = true; break; }
-      if (kind == 2) { mb_err = E_MB_HEADER; break; }
-      mb_type = (mc >> 2) & 7;
-      cbp[4] = (mc >> 1) & 1;
-      cbp[5] = mc & 1;
+      do {
+        uint32_t cod = 0;
+        if (!is_iframe) cod = take(1);
+        if (cod) { is_uncoded = true; got_mb = true; break; }
 
-      int32_t cy = read_vlc_fast(r, CBPY_LUT, CBPY_LUT_BITS);
-      if (cy & 0x10) { mb_err = E_MB_CODED_BITS; break; }
-      bool intra = mb_type == 3 || mb_type == 4;  // INTRA, INTRA_Q
-      int pattern = intra ? cy : (~cy & 0xF);
-      cbp[0] = (pattern >> 3) & 1;
-      cbp[1] = (pattern >> 2) & 1;
-      cbp[2] = (pattern >> 1) & 1;
-      cbp[3] = pattern & 1;
+        if (picture_type != 0 && picture_type != 1) {
+          // Only IFrame/PFrame macroblocks decode (macroblock.rs:461-464).
+          mb_err = E_UNIMPLEMENTED;
+          break;
+        }
+        int32_t mc = vlc(mcbpc_lut, mcbpc_bits);
+        int kind = (mc >> 5) & 3;
+        if (kind == 1) { is_stuffing = true; got_mb = true; break; }
+        if (kind == 2) { mb_err = E_MB_HEADER; break; }
+        mb_type = (mc >> 2) & 7;
+        cbp[4] = (mc >> 1) & 1;
+        cbp[5] = mc & 1;
 
-      bool has_q = mb_type == 1 || mb_type == 4 || mb_type == 5;
-      if (has_q) {
-        static const int dq_map[4] = {-1, -2, 1, 2};
-        dquant = dq_map[r.rd(2)];
-      }
+        int32_t cy = vlc(CBPY_LUT, CBPY_LUT_BITS);
+        if (cy & 0x10) { mb_err = E_MB_CODED_BITS; break; }
+        bool intra = mb_type == 3 || mb_type == 4;  // INTRA, INTRA_Q
+        int pattern = intra ? cy : (~cy & 0xF);
+        cbp[0] = (pattern >> 3) & 1;
+        cbp[1] = (pattern >> 2) & 1;
+        cbp[2] = (pattern >> 1) & 1;
+        cbp[3] = pattern & 1;
 
-      bool is_inter = mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5;
-      bool fourv = mb_type == 2 || mb_type == 5;
-      if (is_inter) {
-        n_mvs = fourv ? 4 : 1;
-        for (int k = 0; k < n_mvs; k++) {
+        bool has_q = mb_type == 1 || mb_type == 4 || mb_type == 5;
+        if (has_q) {
+          static const int dq_map[4] = {-1, -2, 1, 2};
+          dquant = dq_map[take(2)];
+        }
+
+        bool is_inter = mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5;
+        bool fourv = mb_type == 2 || mb_type == 5;
+        if (is_inter) {
+          n_mvs = fourv ? 4 : 1;
           if (umv && has_plusptype) {
-            int err = read_umv_fast(r, &mvds[k][0]);
-            if (err) { mb_err = err; break; }
-            err = read_umv_fast(r, &mvds[k][1]);
-            if (err) { mb_err = err; break; }
+            reload();  // commit the cursor; UMV reads load per symbol
+            for (int k = 0; k < n_mvs; k++) {
+              int err = read_umv_fast(r, &mvds[k][0]);
+              if (err) { mb_err = err; break; }
+              err = read_umv_fast(r, &mvds[k][1]);
+              if (err) { mb_err = err; break; }
+            }
+            if (mb_err) break;
           } else {
-            int32_t x = read_vlc_fast(r, MVD_LUT, MVD_LUT_BITS);
-            if (x & 0x80) { mb_err = E_MVD; break; }
-            int32_t y = read_vlc_fast(r, MVD_LUT, MVD_LUT_BITS);
-            if (y & 0x80) { mb_err = E_MVD; break; }
-            mvds[k][0] = (int16_t)(x - 64);
-            mvds[k][1] = (int16_t)(y - 64);
+            for (int k = 0; k < n_mvs; k++) {
+              if (k) reload();  // 26 more bits per extra INTER4V pair
+              int32_t x = vlc(MVD_LUT, MVD_LUT_BITS);
+              if (x & 0x80) { mb_err = E_MVD; break; }
+              int32_t y = vlc(MVD_LUT, MVD_LUT_BITS);
+              if (y & 0x80) { mb_err = E_MVD; break; }
+              mvds[k][0] = (int16_t)(x - 64);
+              mvds[k][1] = (int16_t)(y - 64);
+            }
+            if (mb_err) break;
           }
         }
-        if (mb_err) break;
-      }
-      got_mb = true;
-    } while (false);
+        got_mb = true;
+      } while (false);
+
+      // Commit consumed bits for success AND error paths alike: the
+      // rollback below resets to mb_start, and the overrun check needs the
+      // true post-read position (reads past the logical end must end the
+      // picture exactly as the reference's read-time EOF would).
+      r.pos += o;
+    }
 
     // A read crossing the logical end means the reference would have hit
     // EOF mid-macroblock: the transaction rolls back and the picture ends
@@ -779,8 +846,14 @@ int h263_parse_frame(
           sink.pd24 = nullptr;
           sink.lastp = nullptr;
         }
-        int err = decode_block(r, intra, cbp[k], quant, sorenson_v1, sink,
-                               in_range);
+        int err = pack_d24 != nullptr
+            ? decode_block<T_D24>(r, intra, cbp[k], quant, sorenson_v1, sink,
+                                  in_range)
+            : pack_pos != nullptr
+                ? decode_block<T_PACKED>(r, intra, cbp[k], quant, sorenson_v1,
+                                         sink, in_range)
+                : decode_block<T_DENSE>(r, intra, cbp[k], quant, sorenson_v1,
+                                        sink, in_range);
         if (err != OK) return r.overrun() ? E_EOF : err;
       }
       // A block "completing" on padding bits means the reference hit EOF
