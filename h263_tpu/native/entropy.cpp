@@ -145,7 +145,45 @@ struct BitReader {
     return (int32_t)v;
   }
 
-  inline bool overrun() const { return pos > nbits; }
+  // ---- persistent cached window (unchecked fast path only) ----
+  //
+  // One 64-bit load serves many reads: `cw` holds the window aligned so
+  // bit 63 is the bit at `pos`, `co` counts bits consumed beyond `pos`.
+  // A load provides >= 57 valid bits (pos & 7 <= 7); ensure(n) reloads
+  // when fewer than n remain.  Raw rd()/read()/pos-assignment bypasses the
+  // cache, so callers must commit() before and refill() after any such
+  // section (co == 0 is the "cache quiescent" invariant there).
+
+  uint64_t cw = 0;
+  unsigned co = 0;
+
+  inline void refill() {
+    cw = window_fast() << (pos & 7);
+    co = 0;
+  }
+  inline void commit() {
+    pos += co;
+    co = 0;
+  }
+  inline void ensure(unsigned n) {
+    if (co + n > 57) {
+      pos += co;
+      refill();
+    }
+  }
+  inline uint32_t ctake(int n) {
+    uint32_t v = (uint32_t)((cw << co) >> (64 - n));
+    co += n;
+    return v;
+  }
+  inline int32_t cvlc(const uint32_t* lut, int bits) {
+    uint32_t e = lut[(uint32_t)((cw << co) >> (64 - bits))];
+    co += e & 0xFF;
+    return (int32_t)(e >> 8);
+  }
+
+  // Effective position accounting the cached cursor.
+  inline bool overrun() const { return pos + co > nbits; }
 };
 
 // Unchecked VLC decode over the padded copy.
@@ -300,7 +338,8 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   const int32_t base = sink.base;
   int32_t intradc = -1;
   if (intra) {
-    uint32_t b = r.rd(8);
+    r.ensure(8);
+    uint32_t b = r.ctake(8);
     if (b == 0 || b == 128) return E_INTRADC;
     intradc = (b == 0xFF) ? 1024 : (int32_t)(b << 3);
   }
@@ -356,46 +395,40 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
   }
   int parity = (quant % 2 == 1) ? 0 : -1;
 
-  // TCOEF hot loop over a cached 64-bit window: one load covers several
-  // coefficients (short code + sign <= 13 bits; escape fields <= 19 more),
-  // flushed only when the remaining valid bits (>= 57 per load) run short.
+  // TCOEF hot loop over the reader's persistent cached window: one load
+  // covers several coefficients (short code + sign <= 13 bits; escape
+  // fields <= 18 more) and leftover bits carry across blocks and into the
+  // next macroblock header.
   if (present) {
-    uint64_t w = r.window_fast() << (r.pos & 7);
-    unsigned o = 0;  // bits consumed since the window was loaded
-    auto flush = [&]() {
-      r.pos += o;
-      o = 0;
-      w = r.window_fast() << (r.pos & 7);
-    };
     do {
-      if (o > 44) flush();  // code(<=12) + sign/flag fit: 44+13 <= 57
-      uint64_t wo = w << o;
+      r.ensure(13);  // code(<=12) + sign/flag bit
+      uint64_t wo = r.cw << r.co;
       uint32_t e = TCOEF_LUT[(uint32_t)(wo >> (64 - TCOEF_LUT_BITS))];
       uint32_t len = e & 0xFF;
       uint32_t sign_bit = (uint32_t)((wo >> (63 - len)) & 1);
       int32_t sym = (int32_t)(e >> 8);
-      o += len;
+      r.co += len;
       int kind = sym >> 12;
-      if (kind == 2) { r.pos += o; return E_SHORT_COEF; }
+      if (kind == 2) return E_SHORT_COEF;
       int last, run;
       int32_t level;
       if (kind == 1) {  // ESCAPE
         int width = 8;
         if (sorenson_v1) {
-          o += 1;  // the peeked bit was the escape-width flag
+          r.co += 1;  // the peeked bit was the escape-width flag
           width = sign_bit ? 11 : 7;
         }
-        if (o > 39) flush();  // last(1) + run(6) + level(<=11): 39+19 <= 57
-        wo = w << o;
+        r.ensure(18);  // last(1) + run(6) + level(<=11)
+        wo = r.cw << r.co;
         last = (int)(wo >> 63);
         run = (int)((wo << 1) >> (64 - 6));
         uint32_t lv = (uint32_t)((wo << 7) >> (64 - width));
-        o += 7 + width;
+        r.co += 7 + width;
         level = (lv & (1u << (width - 1))) ? (int32_t)lv - (1 << width)
                                            : (int32_t)lv;
-        if (level == 0) { r.pos += o; return E_LONG_COEF; }
+        if (level == 0) return E_LONG_COEF;
       } else {
-        o += 1;  // the peeked bit was the sign bit
+        r.co += 1;  // the peeked bit was the sign bit
         last = (sym >> 11) & 1;
         run = (sym >> 5) & 0x3F;
         level = sym & 0x1F;
@@ -424,7 +457,6 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
       }
       present = last == 0;
     } while (present);
-    r.pos += o;
   }
 
   if (overflow) return E_PACK_OVERFLOW;
@@ -593,6 +625,7 @@ int h263_parse_frame(
   std::memset(tl_padded.data() + nbytes, 0, PAD);
   // nbits = logical stream length; nbytes field = padded size (load bound).
   BitReader r{tl_padded.data(), nbytes * 8, nbytes + PAD, start_bit};
+  r.refill();  // prime the persistent cached window (see BitReader)
 
   uint8_t* pack_d24 = nullptr;
   if (flags & F_PACK_DELTA24) {
@@ -643,7 +676,7 @@ int h263_parse_frame(
 
   for (;;) {
     // ---- decode_macroblock (transactional: roll back on error) ----
-    uint64_t mb_start = r.pos;
+    const uint64_t mb_start = r.pos + r.co;  // effective (cache-inclusive)
     int mb_err = 0;        // error from macroblock header decode
     bool got_mb = false;
     bool is_stuffing = false, is_uncoded = false;
@@ -653,34 +686,18 @@ int h263_parse_frame(
     int16_t mvds[4][2] = {{0, 0}, {0, 0}, {0, 0}, {0, 0}};
     int n_mvs = 0;
 
-    // The whole common-case macroblock header decodes from cached 64-bit
-    // window loads: COD(1) + MCBPC(<=13) + CBPY(<=6) + DQUANT(2) +
-    // MVDx(<=13) + MVDy(<=13) = 48 bits, within the >=57 valid bits one
-    // window load provides — one load + bswap instead of six.  Extra
-    // INTER4V MV pairs (<=26 bits each) reload the window per pair; the
-    // rare UMV path commits the cursor and falls back to per-read loads.
+    // The whole common-case macroblock header decodes from the reader's
+    // persistent cached window: COD(1) + MCBPC(<=13) + CBPY(<=6) +
+    // DQUANT(2) + MVDx(<=13) + MVDy(<=13) = 48 bits, within the >=57
+    // valid bits one window load provides — leftover bits carry in from
+    // the previous macroblock's blocks and out into this one's.  Extra
+    // INTER4V MV pairs (<=26 bits each) ensure() per pair; the rare UMV
+    // path commits the cursor and falls back to per-read loads.
     {
-      uint64_t w = r.window_fast() << (r.pos & 7);
-      unsigned o = 0;  // bits consumed since the window was loaded
-      auto take = [&](int n) -> uint32_t {
-        uint32_t v = (uint32_t)((w << o) >> (64 - n));
-        o += n;
-        return v;
-      };
-      auto vlc = [&](const uint32_t* lut, int bits) -> int32_t {
-        uint32_t e = lut[(uint32_t)((w << o) >> (64 - bits))];
-        o += e & 0xFF;
-        return (int32_t)(e >> 8);
-      };
-      auto reload = [&]() {
-        r.pos += o;
-        o = 0;
-        w = r.window_fast() << (r.pos & 7);
-      };
-
+      r.ensure(48);
       do {
         uint32_t cod = 0;
-        if (!is_iframe) cod = take(1);
+        if (!is_iframe) cod = r.ctake(1);
         if (cod) { is_uncoded = true; got_mb = true; break; }
 
         if (picture_type != 0 && picture_type != 1) {
@@ -688,7 +705,7 @@ int h263_parse_frame(
           mb_err = E_UNIMPLEMENTED;
           break;
         }
-        int32_t mc = vlc(mcbpc_lut, mcbpc_bits);
+        int32_t mc = r.cvlc(mcbpc_lut, mcbpc_bits);
         int kind = (mc >> 5) & 3;
         if (kind == 1) { is_stuffing = true; got_mb = true; break; }
         if (kind == 2) { mb_err = E_MB_HEADER; break; }
@@ -696,7 +713,7 @@ int h263_parse_frame(
         cbp[4] = (mc >> 1) & 1;
         cbp[5] = mc & 1;
 
-        int32_t cy = vlc(CBPY_LUT, CBPY_LUT_BITS);
+        int32_t cy = r.cvlc(CBPY_LUT, CBPY_LUT_BITS);
         if (cy & 0x10) { mb_err = E_MB_CODED_BITS; break; }
         bool intra = mb_type == 3 || mb_type == 4;  // INTRA, INTRA_Q
         int pattern = intra ? cy : (~cy & 0xF);
@@ -708,7 +725,7 @@ int h263_parse_frame(
         bool has_q = mb_type == 1 || mb_type == 4 || mb_type == 5;
         if (has_q) {
           static const int dq_map[4] = {-1, -2, 1, 2};
-          dquant = dq_map[take(2)];
+          dquant = dq_map[r.ctake(2)];
         }
 
         bool is_inter = mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5;
@@ -716,20 +733,21 @@ int h263_parse_frame(
         if (is_inter) {
           n_mvs = fourv ? 4 : 1;
           if (umv && has_plusptype) {
-            reload();  // commit the cursor; UMV reads load per symbol
+            r.commit();  // UMV reads bypass the cache (raw loads)
             for (int k = 0; k < n_mvs; k++) {
               int err = read_umv_fast(r, &mvds[k][0]);
               if (err) { mb_err = err; break; }
               err = read_umv_fast(r, &mvds[k][1]);
               if (err) { mb_err = err; break; }
             }
+            r.refill();  // raw reads moved pos; re-sync the cache
             if (mb_err) break;
           } else {
             for (int k = 0; k < n_mvs; k++) {
-              if (k) reload();  // 26 more bits per extra INTER4V pair
-              int32_t x = vlc(MVD_LUT, MVD_LUT_BITS);
+              if (k) r.ensure(26);  // 26 more bits per extra INTER4V pair
+              int32_t x = r.cvlc(MVD_LUT, MVD_LUT_BITS);
               if (x & 0x80) { mb_err = E_MVD; break; }
-              int32_t y = vlc(MVD_LUT, MVD_LUT_BITS);
+              int32_t y = r.cvlc(MVD_LUT, MVD_LUT_BITS);
               if (y & 0x80) { mb_err = E_MVD; break; }
               mvds[k][0] = (int16_t)(x - 64);
               mvds[k][1] = (int16_t)(y - 64);
@@ -739,24 +757,20 @@ int h263_parse_frame(
         }
         got_mb = true;
       } while (false);
-
-      // Commit consumed bits for success AND error paths alike: the
-      // rollback below resets to mb_start, and the overrun check needs the
-      // true post-read position (reads past the logical end must end the
-      // picture exactly as the reference's read-time EOF would).
-      r.pos += o;
     }
 
     // A read crossing the logical end means the reference would have hit
     // EOF mid-macroblock: the transaction rolls back and the picture ends
     // (state.rs:410-412) — for every header outcome, success or error.
     if (r.overrun()) {
-      r.pos = mb_start;
+      r.pos = mb_start;  // rollback; the loop ends, no refill needed
+      r.co = 0;
       break;
     }
 
     if (!got_mb) {
       r.pos = mb_start;  // transaction rollback
+      r.refill();        // re-sync the cached window to the rolled-back pos
       bool is_mb_error = mb_err == E_MB_HEADER || mb_err == E_MB_CODED_BITS;
       if (is_mb_error && !sorenson) {
         int res = gob_resync(r);
@@ -886,6 +900,7 @@ int h263_parse_frame(
     }
   }
 
+  r.commit();  // fold the cached cursor into pos for the final position
   *end_bit_out = r.pos;
   return OK;
 }
