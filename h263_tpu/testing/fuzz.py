@@ -1,0 +1,168 @@
+"""Differential fuzzing of the two entropy front-ends.
+
+Generates structured Sorenson frames (mixed I/P, INTER4V, both escape
+widths, random quantizers), applies byte flips, truncations, cross-frame
+splices, and garbage tails, and asserts the C++ front-end
+(native/entropy.cpp) and the Python front-end (parser/frame.py) agree on
+the outcome — identical dense tensors on success, identical error class on
+failure.  This is the repo's strongest guard on the invariant that the two
+parsers stay symbol-for-symbol identical (CLAUDE.md), exercised beyond the
+fixed cases in tests/test_native.py.
+
+Library form of the round-2 fuzz campaign (8,250 cases, 0 mismatches);
+tests run a small budget, `python -m h263_tpu.testing.fuzz [seed] [n]`
+runs a long one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitio import BitReader
+from ..parser.frame import parse_frame
+from ..parser.picture import decode_picture
+from ..types import (
+    DecoderOption,
+    H263Error,
+    PictureOption,
+    PictureTypeCode,
+)
+from .encoder import MBSpec, encode_sorenson_picture
+
+_OPTS = DecoderOption.SORENSON_SPARK_BITSTREAM
+
+
+def _rand_frame(rng: np.random.Generator, width: int, height: int) -> bytes:
+    nmb = (-(-width // 16)) * (-(-height // 16))
+    ptype = (PictureTypeCode.I_FRAME if rng.random() < 0.4
+             else PictureTypeCode.P_FRAME)
+    mbs = []
+    for _ in range(nmb):
+        if ptype is PictureTypeCode.P_FRAME and rng.random() < 0.25:
+            mbs.append(MBSpec(kind="uncoded"))
+            continue
+        blocks = []
+        for _ in range(6):
+            acs = []
+            if rng.random() < 0.5:
+                for _ in range(int(rng.integers(0, 6))):
+                    lvl = int(rng.integers(1, 40))
+                    acs.append((int(rng.integers(0, 8)),
+                                lvl if rng.random() < 0.5 else -lvl))
+            blocks.append(acs)
+        if ptype is PictureTypeCode.I_FRAME:
+            dc = int(rng.integers(1, 255)) * 8 % 2048 or 8
+            mbs.append(MBSpec(kind="intra", intradc=[dc] * 6, blocks=blocks))
+        elif rng.random() < 0.2:
+            mvd = [(int(rng.integers(-8, 9)), int(rng.integers(-8, 9)))
+                   for _ in range(4)]
+            mbs.append(MBSpec(kind="inter4v", mvd=mvd, blocks=blocks))
+        else:
+            mvd = [(int(rng.integers(-8, 9)), int(rng.integers(-8, 9)))]
+            mbs.append(MBSpec(kind="inter", mvd=mvd, blocks=blocks))
+    return encode_sorenson_picture(
+        width, height, ptype, mbs,
+        quantizer=int(rng.integers(1, 32)),
+        temporal_reference=int(rng.integers(0, 256)),
+        version=1 if rng.random() < 0.5 else 0)
+
+
+def _mutate(rng: np.random.Generator, base: bytes,
+            other_frame) -> bytes:
+    mut = bytearray(base)
+    op = rng.random()
+    if op < 0.4 and len(mut) > 6:  # byte flip past the start code
+        j = int(rng.integers(4, len(mut)))
+        mut[j] ^= int(rng.integers(1, 256))
+    elif op < 0.7:  # truncate (legal EOF tail-fill or mid-symbol EOF)
+        mut = mut[: int(rng.integers(4, len(mut) + 1))]
+    elif op < 0.85 and len(mut) > 8:  # splice another frame's tail on
+        other = other_frame()
+        j = int(rng.integers(4, len(mut)))
+        mut = mut[:j] + other[int(rng.integers(0, min(8, len(other)))):]
+    else:  # garbage tail
+        mut = mut + bytes(rng.integers(0, 256,
+                                       size=int(rng.integers(1, 32)),
+                                       dtype=np.uint8))
+    return bytes(mut)
+
+
+def _outcome_python(buf: bytes, width: int, height: int):
+    r = BitReader(buf)
+    pic = decode_picture(r, _OPTS, None)
+    return parse_frame(r, pic, _OPTS, PictureOption.NONE, width, height)
+
+
+def _outcome_native(buf: bytes, width: int, height: int):
+    from ..native.bindings import parse_frame_native
+
+    r = BitReader(buf)
+    pic = decode_picture(r, _OPTS, None)
+    fd, _ = parse_frame_native(buf, r.pos, pic, _OPTS, PictureOption.NONE,
+                               width, height)
+    return fd
+
+
+_TENSORS = ("coeffs_y", "class_y", "coeffs_cb", "class_cb",
+            "coeffs_cr", "class_cr", "mvs", "inter")
+
+
+def _agree(buf: bytes, width: int, height: int) -> tuple[bool, str]:
+    try:
+        a, ea = _outcome_python(buf, width, height), None
+    except H263Error as e:
+        a, ea = None, type(e).__name__
+    try:
+        b, eb = _outcome_native(buf, width, height), None
+    except H263Error as e:
+        b, eb = None, type(e).__name__
+    if (a is None) != (b is None):
+        return False, f"python={ea or 'ok'} native={eb or 'ok'}"
+    if a is None:
+        return (ea == eb), f"python={ea} native={eb}"
+    for name in _TENSORS:
+        if not np.array_equal(getattr(a, name), getattr(b, name)):
+            return False, f"tensor {name} differs"
+    return True, ""
+
+
+def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
+                 height: int = 80, mutations_per_base: int = 10,
+                 on_fail=None) -> tuple[int, int]:
+    """Run a differential campaign; returns (total_cases, mismatches).
+
+    Each base frame is checked as-is plus `mutations_per_base` mutants.
+    `on_fail(tag, detail)` is called per mismatch (default: print).
+    """
+    from ..native import ensure_built
+
+    if not ensure_built():
+        raise RuntimeError("native front-end unavailable")
+    rng = np.random.default_rng(seed)
+    report = on_fail or (lambda tag, why: print(f"MISMATCH {tag}: {why}"))
+    total = fails = 0
+    for i in range(n_base):
+        base = _rand_frame(rng, width, height)
+        ok, why = _agree(base, width, height)
+        total += 1
+        if not ok:
+            fails += 1
+            report(f"base[{i}]", why)
+        for m in range(mutations_per_base):
+            mut = _mutate(rng, base, lambda: _rand_frame(rng, width, height))
+            ok, why = _agree(mut, width, height)
+            total += 1
+            if not ok:
+                fails += 1
+                report(f"mut[{i}.{m}]", why)
+    return total, fails
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    total, fails = run_campaign(seed=seed, n_base=n)
+    print(f"fuzz campaign: {total} cases, {fails} mismatches")
+    sys.exit(1 if fails else 0)

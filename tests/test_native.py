@@ -223,3 +223,17 @@ def test_option_constants_match_python():
     opp, mpp = native_option_masks()
     assert opp == int(OPPTYPE_OPTIONS)
     assert mpp == int(MPPTYPE_OPTIONS)
+
+
+def test_differential_fuzz_campaign():
+    """Structured-mutation differential fuzz (byte flips, truncations,
+    splices, garbage tails) between the C++ and Python front-ends — a
+    bounded run of the campaign in h263_tpu.testing.fuzz (the long form
+    ran 8,250 cases / 0 mismatches in round 2)."""
+    from h263_tpu.testing.fuzz import run_campaign
+
+    failures = []
+    total, fails = run_campaign(seed=20260816, n_base=15,
+                                on_fail=lambda tag, why: failures.append((tag, why)))
+    assert fails == 0, failures[:5]
+    assert total == 15 * 11
