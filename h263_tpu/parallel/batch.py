@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..bitio import BitReader
-from ..utils.trace import trace_stage
+from ..utils.trace import incr, trace_stage
 from ..decoder.reconstruct import (
     get_batched_reconstruct_fn,
     get_packed_d24_reconstruct_fn,
@@ -688,8 +688,12 @@ class BatchedStreamDecoder:
 
         One device transfer for the whole batch; the zero-copy fast path.
         """
-        out = self._run(batch.tensors())
+        tensors = batch.tensors()
+        out = self._run(tensors)
         batch.in_flight = out  # buffer reuse gate, see next_host_batch
+        incr("frames_decoded", self.n)
+        incr("steps_dense")
+        incr("transfer_bytes", sum(a.nbytes for a in tensors))
         return out
 
     def step_packed(self, packed: "_PackedBatch"):
@@ -730,13 +734,17 @@ class BatchedStreamDecoder:
             coef = (np.ascontiguousarray(packed.u32[:, :cut])
                     if small else packed.u32,)
 
+        host = (*coef, mvs, packed.inter)
         with trace_stage("transfer"):
-            dev = jax.device_put((*coef, mvs, packed.inter))
+            dev = jax.device_put(host)
         with trace_stage("reconstruct_dispatch"):
             y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb,
                                         self.ref_cr)
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         packed.in_flight = (y, cb, cr)  # buffer reuse gate, next_packed_batch
+        incr("frames_decoded", self.n)
+        incr("steps")
+        incr("transfer_bytes", sum(a.nbytes for a in host))
         return y, cb, cr
 
     def submit_step(self, buffers: Sequence[bytes]):
@@ -827,6 +835,7 @@ class BatchedStreamDecoder:
                     raise
                 # No state was committed (the native batch call fails
                 # atomically before any commit); replay on the dense path.
+                incr("pack_overflow_fallbacks")
 
         batch = self.next_host_batch()
         for i, b in enumerate(buffers):

@@ -36,6 +36,7 @@ from ..types import (
     PictureTypeCode,
 )
 from .batch import BatchedStreamDecoder
+from ..utils.trace import incr
 
 
 class _Bucket:
@@ -116,6 +117,7 @@ class StreamPool:
             raise RuntimeError(f"duplicate stream id {stream_id!r}")
         key = (width, height)
         self._dims[stream_id] = key
+        incr("pool_joins")
         if key in self._buckets:
             self._join(key, stream_id)
         else:
@@ -124,6 +126,7 @@ class StreamPool:
     def remove_stream(self, stream_id) -> None:
         """Unregister a stream; its slot pads until recycled by a join."""
         key = self._dims.pop(stream_id)
+        incr("pool_leaves")
         pend = self._pending.get(key)
         if pend and stream_id in pend:
             pend.remove(stream_id)
@@ -211,6 +214,7 @@ class StreamPool:
 
     def _rebucket(self, stream_id, new_key, is_iframe: bool) -> None:
         old_key = self._dims[stream_id]
+        incr("pool_rebuckets")
         if not is_iframe:
             raise PictureFormatInvalid(
                 f"stream {stream_id!r}: {old_key} -> {new_key} resolution "

@@ -246,8 +246,45 @@ class TestTracing:
             assert m["transfer"]["count"] == 2
             assert m["reconstruct_dispatch"]["count"] == 2
             assert m["host_parse"]["total_s"] > 0
+            assert 0 < m["host_parse"]["min_ms"] <= m["host_parse"]["max_ms"]
         finally:
             trace_enabled(False)
+            reset_metrics()
+
+    def test_event_counters_always_on(self):
+        """Counters record without tracing enabled: frames, steps, bytes."""
+        from h263_tpu.utils.trace import get_counters, reset_metrics
+
+        reset_metrics()
+        try:
+            per = [_stream_frames(s, n_p=2) for s in range(2)]
+            dec = BatchedStreamDecoder(2, 32, 32, SORENSON)
+            for t in range(3):
+                dec.decode_step([per[0][t], per[1][t]])
+            c = get_counters()
+            assert c["frames_decoded"] == 6
+            assert c["steps"] == 3
+            assert c["transfer_bytes"] > 0
+        finally:
+            reset_metrics()
+
+    def test_pool_churn_counters(self):
+        from h263_tpu.parallel.pool import StreamPool
+        from h263_tpu.utils.trace import get_counters, reset_metrics
+
+        reset_metrics()
+        try:
+            frames = _stream_frames(3, n_p=2)
+            pool = StreamPool(SORENSON)
+            pool.add_stream("a", 32, 32)
+            pool.add_stream("b", 32, 32)
+            pool.decode_step({"a": frames[0], "b": frames[0]})
+            pool.remove_stream("b")
+            pool.decode_step({"a": frames[1]})
+            c = get_counters()
+            assert c["pool_joins"] == 2
+            assert c["pool_leaves"] == 1
+        finally:
             reset_metrics()
 
 
