@@ -159,3 +159,91 @@ def test_pool_resolution_switch_on_pframe_rejected():
     pool.decode_step({"s": a[0]})
     with pytest.raises(PictureFormatInvalid):
         pool.decode_step({"s": b[1]})  # P-frame at foreign dims
+
+
+def test_pool_randomized_churn_vs_singles():
+    """Long randomized serving schedule — joins, leaves, skipped steps,
+    corrupt frames, slot recycling — stays bit-exact against independent
+    single-stream decoders, and a corrupt frame fails loudly without
+    moving any other stream's state (batch atomicity)."""
+    import pytest
+    from h263_tpu.types import H263Error
+
+    rng = np.random.default_rng(99)
+    pool = StreamPool(SORENSON)
+    live = {}     # sid -> (ref decoder, frames, next_t)
+    next_id = 0
+
+    def join():
+        nonlocal next_id
+        sid = f"s{next_id}"
+        next_id += 1
+        w, h = (32, 32) if rng.random() < 0.7 else (48, 32)
+        frames = _frames(int(rng.integers(1, 10_000)), w, h,
+                         n=int(rng.integers(4, 9)))
+        pool.add_stream(sid, w, h)
+        live[sid] = [H263Decoder(SORENSON, backend="numpy"), frames, 0]
+        return sid
+
+    for _ in range(3):
+        join()
+
+    corrupt_seen = 0
+    for step in range(40):
+        roll = rng.random()
+        if roll < 0.15 and len(live) < 7:
+            join()
+        elif roll < 0.25 and len(live) > 2:
+            sid = sorted(live)[int(rng.integers(0, len(live)))]
+            pool.remove_stream(sid)
+            del live[sid]
+
+        # pick this step's participants (some streams sit out); streams
+        # whose GOP ran out loop back via leave+rejoin
+        feed = {}
+        for sid, st in list(live.items()):
+            dec, frames, t = st
+            if t >= len(frames):
+                pool.remove_stream(sid)
+                del live[sid]
+                continue
+            if rng.random() < 0.2:
+                continue  # sits out this step
+            feed[sid] = frames[t]
+        if not feed:
+            continue
+
+        if corrupt_seen < 3 and rng.random() < 0.15:
+            # corrupt one participant's frame body: the step must raise,
+            # and NO stream's state may advance (atomicity)
+            victim = sorted(feed)[int(rng.integers(0, len(feed)))]
+            bad = bytearray(feed[victim])
+            if len(bad) > 8:
+                bad[int(rng.integers(6, len(bad)))] ^= 0xFF
+            bad = bad[: max(5, len(bad) // 3)]  # truncate into the header
+            feed2 = dict(feed)
+            feed2[victim] = bytes(bad)
+            try:
+                pool.decode_step(feed2)
+            except H263Error:
+                corrupt_seen += 1
+                continue  # nothing committed; retry cleanly next step
+            # Some mutations decode legally (EOF tail-fill) — then the
+            # victim's oracle must consume the same bytes.
+            live[victim][0].decode_next_picture(bytes(bad))
+            live[victim][2] += 1
+            for sid in feed:
+                if sid != victim:
+                    live[sid][0].decode_next_picture(feed[sid])
+                    live[sid][2] += 1
+            continue
+
+        out = pool.decode_step(feed)
+        assert set(out) == set(feed)
+        for sid, buf in feed.items():
+            dec, frames, t = live[sid]
+            pic = dec.decode_next_picture(buf)
+            np.testing.assert_array_equal(
+                out[sid][0], pic.as_luma(), err_msg=f"{sid} step {step}")
+            live[sid][2] += 1
+    assert corrupt_seen >= 1, "schedule never exercised a corrupt frame"
