@@ -27,12 +27,13 @@ from ..types import (
     PictureOption,
     PictureTypeCode,
 )
-from .encoder import MBSpec, encode_sorenson_picture
+from .encoder import MBSpec, encode_sorenson_picture, encode_standard_picture
 
 _OPTS = DecoderOption.SORENSON_SPARK_BITSTREAM
 
 
-def _rand_frame(rng: np.random.Generator, width: int, height: int) -> bytes:
+def _rand_frame(rng: np.random.Generator, width: int, height: int,
+                flavor: str = "sorenson") -> bytes:
     nmb = (-(-width // 16)) * (-(-height // 16))
     ptype = (PictureTypeCode.I_FRAME if rng.random() < 0.4
              else PictureTypeCode.P_FRAME)
@@ -60,6 +61,12 @@ def _rand_frame(rng: np.random.Generator, width: int, height: int) -> bytes:
         else:
             mvd = [(int(rng.integers(-8, 9)), int(rng.integers(-8, 9)))]
             mbs.append(MBSpec(kind="inter", mvd=mvd, blocks=blocks))
+    if flavor == "standard":
+        return encode_standard_picture(
+            width, height, ptype, mbs,
+            quantizer=int(rng.integers(1, 32)),
+            temporal_reference=int(rng.integers(0, 256)),
+            umv=rng.random() < 0.5)
     return encode_sorenson_picture(
         width, height, ptype, mbs,
         quantizer=int(rng.integers(1, 32)),
@@ -87,18 +94,18 @@ def _mutate(rng: np.random.Generator, base: bytes,
     return bytes(mut)
 
 
-def _outcome_python(buf: bytes, width: int, height: int):
+def _outcome_python(buf: bytes, width: int, height: int, opts, running):
     r = BitReader(buf)
-    pic = decode_picture(r, _OPTS, None)
-    return parse_frame(r, pic, _OPTS, PictureOption.NONE, width, height)
+    pic = decode_picture(r, opts, None)
+    return parse_frame(r, pic, opts, running, width, height)
 
 
-def _outcome_native(buf: bytes, width: int, height: int):
+def _outcome_native(buf: bytes, width: int, height: int, opts, running):
     from ..native.bindings import parse_frame_native
 
     r = BitReader(buf)
-    pic = decode_picture(r, _OPTS, None)
-    fd, _ = parse_frame_native(buf, r.pos, pic, _OPTS, PictureOption.NONE,
+    pic = decode_picture(r, opts, None)
+    fd, _ = parse_frame_native(buf, r.pos, pic, opts, running,
                                width, height)
     return fd
 
@@ -107,13 +114,13 @@ _TENSORS = ("coeffs_y", "class_y", "coeffs_cb", "class_cb",
             "coeffs_cr", "class_cr", "mvs", "inter")
 
 
-def _agree(buf: bytes, width: int, height: int) -> tuple[bool, str]:
+def _agree(buf: bytes, width: int, height: int, opts, running) -> tuple[bool, str]:
     try:
-        a, ea = _outcome_python(buf, width, height), None
+        a, ea = _outcome_python(buf, width, height, opts, running), None
     except H263Error as e:
         a, ea = None, type(e).__name__
     try:
-        b, eb = _outcome_native(buf, width, height), None
+        b, eb = _outcome_native(buf, width, height, opts, running), None
     except H263Error as e:
         b, eb = None, type(e).__name__
     if (a is None) != (b is None):
@@ -128,29 +135,45 @@ def _agree(buf: bytes, width: int, height: int) -> tuple[bool, str]:
 
 def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
                  height: int = 80, mutations_per_base: int = 10,
-                 on_fail=None) -> tuple[int, int]:
+                 on_fail=None, flavor: str = "sorenson") -> tuple[int, int]:
     """Run a differential campaign; returns (total_cases, mismatches).
 
     Each base frame is checked as-is plus `mutations_per_base` mutants.
     `on_fail(tag, detail)` is called per mismatch (default: print).
+
+    flavor "sorenson" (default) covers both Sorenson escape widths and
+    DisposableP; "standard" uses plain-PTYPE pictures (8-bit escapes) at a
+    CIF-family size and randomly injects carried UNRESTRICTED_MOTION_VECTORS
+    running options (plain-PTYPE headers alone never activate UMV — their
+    OPPTYPE-class bits are discarded by the carry-forward rule, so the
+    wraparound path is reachable only via carried state).
     """
     from ..native import ensure_built
 
     if not ensure_built():
         raise RuntimeError("native front-end unavailable")
+    if flavor == "standard":
+        opts = DecoderOption.NONE
+        width, height = 128, 96  # SUB_QCIF: smallest CIF-family dims
+    else:
+        opts = _OPTS
     rng = np.random.default_rng(seed)
     report = on_fail or (lambda tag, why: print(f"MISMATCH {tag}: {why}"))
     total = fails = 0
     for i in range(n_base):
-        base = _rand_frame(rng, width, height)
-        ok, why = _agree(base, width, height)
+        running = (PictureOption.UNRESTRICTED_MOTION_VECTORS
+                   if flavor == "standard" and rng.random() < 0.5
+                   else PictureOption.NONE)
+        base = _rand_frame(rng, width, height, flavor)
+        ok, why = _agree(base, width, height, opts, running)
         total += 1
         if not ok:
             fails += 1
             report(f"base[{i}]", why)
         for m in range(mutations_per_base):
-            mut = _mutate(rng, base, lambda: _rand_frame(rng, width, height))
-            ok, why = _agree(mut, width, height)
+            mut = _mutate(rng, base,
+                          lambda: _rand_frame(rng, width, height, flavor))
+            ok, why = _agree(mut, width, height, opts, running)
             total += 1
             if not ok:
                 fails += 1
@@ -163,6 +186,7 @@ if __name__ == "__main__":  # pragma: no cover
 
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 300
-    total, fails = run_campaign(seed=seed, n_base=n)
-    print(f"fuzz campaign: {total} cases, {fails} mismatches")
+    flavor = sys.argv[3] if len(sys.argv) > 3 else "sorenson"
+    total, fails = run_campaign(seed=seed, n_base=n, flavor=flavor)
+    print(f"fuzz campaign ({flavor}): {total} cases, {fails} mismatches")
     sys.exit(1 if fails else 0)

@@ -237,3 +237,15 @@ def test_differential_fuzz_campaign():
                                 on_fail=lambda tag, why: failures.append((tag, why)))
     assert fails == 0, failures[:5]
     assert total == 15 * 11
+
+
+def test_differential_fuzz_campaign_standard():
+    """Standard (plain-PTYPE) flavor: 8-bit escapes + carried-UMV
+    wraparound path, native vs Python front-ends."""
+    from h263_tpu.testing.fuzz import run_campaign
+
+    failures = []
+    total, fails = run_campaign(seed=8, n_base=12, flavor="standard",
+                                on_fail=lambda tag, why: failures.append((tag, why)))
+    assert fails == 0, failures[:5]
+    assert total == 12 * 11
