@@ -125,8 +125,33 @@ def _encode_mvd_component(w: BitWriter, hp: int) -> None:
     w.write_code(_MVD_MAP[hp])
 
 
+def _encode_umv_component(w: BitWriter, hp: int) -> None:
+    """UMV fixed code, table D.3 (reader.rs:298-324 inverse).
+
+    0 -> "1"; else "0", then one (mantissa-bit, 1) pair per mantissa bit
+    MSB-first, then the (sign-bit, 0) terminator — magnitude = 2^k +
+    mantissa, k = number of continuation pairs, valid 1..4095."""
+    if hp == 0:
+        w.write_bits(1, 1)
+        return
+    m = abs(hp)
+    assert 1 <= m <= 4095, f"UMV halfpel {hp} out of table D.3 range"
+    w.write_bits(0, 1)
+    k = m.bit_length() - 1
+    mantissa = m - (1 << k)
+    for i in range(k - 1, -1, -1):
+        w.write_bits((mantissa >> i) & 1, 1)
+        w.write_bits(1, 1)
+    w.write_bits(1 if hp < 0 else 0, 1)
+    w.write_bits(0, 1)
+
+
 def encode_macroblock(w: BitWriter, mb: MBSpec, picture_type: PictureTypeCode,
-                      sorenson_version: Optional[int]) -> None:
+                      sorenson_version: Optional[int],
+                      umv_d3: bool = False) -> None:
+    """umv_d3: emit MVD components in the UMV fixed code (table D.3)
+    instead of the MVD VLC — the coding used when the picture has
+    PLUSPTYPE and UNRESTRICTED_MOTION_VECTORS is active."""
     is_iframe = picture_type is PictureTypeCode.I_FRAME
     if mb.kind == "uncoded":
         assert not is_iframe
@@ -170,8 +195,9 @@ def encode_macroblock(w: BitWriter, mb: MBSpec, picture_type: PictureTypeCode,
         if not fourv:
             mvds = mvds[:1]
         for mx, my in mvds:
-            _encode_mvd_component(w, mx)
-            _encode_mvd_component(w, my)
+            enc = _encode_umv_component if umv_d3 else _encode_mvd_component
+            enc(w, mx)
+            enc(w, my)
 
     for k in range(6):
         if intra:

@@ -94,17 +94,66 @@ def _mutate(rng: np.random.Generator, base: bytes,
     return bytes(mut)
 
 
-def _outcome_python(buf: bytes, width: int, height: int, opts, running):
+def _rand_umv_case(rng: np.random.Generator, width: int, height: int):
+    """MB-layer-only bitstream + synthetic PLUSPTYPE picture exercising the
+    UMV table-D.3 path (read_umv / read_umv_fast) with both UNLIMITED and
+    EXTENDED motion-vector ranges."""
+    from ..types import MotionVectorRange, Picture, SourceFormat
+    from .encoder import BitWriter, encode_macroblock
+
+    nmb = (-(-width // 16)) * (-(-height // 16))
+    ptype = (PictureTypeCode.I_FRAME if rng.random() < 0.2
+             else PictureTypeCode.P_FRAME)
+
+    def mv():
+        if rng.random() < 0.3:  # large magnitudes stress the D.3 mantissa
+            return int(rng.integers(-700, 701))
+        return int(rng.integers(-31, 32))
+
+    w = BitWriter()
+    for _ in range(nmb):
+        if ptype is PictureTypeCode.P_FRAME and rng.random() < 0.25:
+            mbs = MBSpec(kind="uncoded")
+        elif ptype is PictureTypeCode.I_FRAME:
+            mbs = MBSpec(kind="intra", intradc=[800] * 6)
+        else:
+            nmv = 4 if rng.random() < 0.25 else 1
+            kind = "inter4v" if nmv == 4 else "inter"
+            mbs = MBSpec(kind=kind, mvd=[(mv(), mv()) for _ in range(nmv)],
+                         blocks=[[(0, int(rng.integers(1, 9)))],
+                                 [], [], [], [], []])
+        encode_macroblock(w, mbs, ptype, None, umv_d3=True)
+    pic = Picture(
+        version=None,
+        temporal_reference=0,
+        format=SourceFormat.extended(width, height),
+        options=PictureOption.UNRESTRICTED_MOTION_VECTORS,
+        has_plusptype=True,
+        has_opptype=True,
+        picture_type=ptype,
+        quantizer=int(rng.integers(1, 32)),
+        motion_vector_range=(MotionVectorRange.EXTENDED
+                             if rng.random() < 0.5
+                             else MotionVectorRange.UNLIMITED),
+    )
+    return w.to_bytes(), pic
+
+
+def _outcome_python(buf: bytes, width: int, height: int, opts, running,
+                    pic=None):
     r = BitReader(buf)
-    pic = decode_picture(r, opts, None)
+    if pic is None:
+        pic = decode_picture(r, opts, None)
     return parse_frame(r, pic, opts, running, width, height)
 
 
-def _outcome_native(buf: bytes, width: int, height: int, opts, running):
+def _outcome_native(buf: bytes, width: int, height: int, opts, running,
+                    pic=None):
     from ..native.bindings import parse_frame_native
 
     r = BitReader(buf)
-    pic = decode_picture(r, opts, None)
+    if pic is None:
+        pic = decode_picture(r, opts, None)
     fd, _ = parse_frame_native(buf, r.pos, pic, opts, running,
                                width, height)
     return fd
@@ -114,13 +163,14 @@ _TENSORS = ("coeffs_y", "class_y", "coeffs_cb", "class_cb",
             "coeffs_cr", "class_cr", "mvs", "inter")
 
 
-def _agree(buf: bytes, width: int, height: int, opts, running) -> tuple[bool, str]:
+def _agree(buf: bytes, width: int, height: int, opts, running,
+           pic=None) -> tuple[bool, str]:
     try:
-        a, ea = _outcome_python(buf, width, height, opts, running), None
+        a, ea = _outcome_python(buf, width, height, opts, running, pic), None
     except H263Error as e:
         a, ea = None, type(e).__name__
     try:
-        b, eb = _outcome_native(buf, width, height, opts, running), None
+        b, eb = _outcome_native(buf, width, height, opts, running, pic), None
     except H263Error as e:
         b, eb = None, type(e).__name__
     if (a is None) != (b is None):
@@ -155,25 +205,32 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
     if flavor == "standard":
         opts = DecoderOption.NONE
         width, height = 128, 96  # SUB_QCIF: smallest CIF-family dims
+    elif flavor == "umv":
+        opts = DecoderOption.NONE
     else:
         opts = _OPTS
     rng = np.random.default_rng(seed)
     report = on_fail or (lambda tag, why: print(f"MISMATCH {tag}: {why}"))
     total = fails = 0
     for i in range(n_base):
-        running = (PictureOption.UNRESTRICTED_MOTION_VECTORS
-                   if flavor == "standard" and rng.random() < 0.5
-                   else PictureOption.NONE)
-        base = _rand_frame(rng, width, height, flavor)
-        ok, why = _agree(base, width, height, opts, running)
+        if flavor == "umv":
+            running = PictureOption.UNRESTRICTED_MOTION_VECTORS
+            base, pic = _rand_umv_case(rng, width, height)
+            make = lambda: _rand_umv_case(rng, width, height)[0]  # noqa: E731
+        else:
+            running = (PictureOption.UNRESTRICTED_MOTION_VECTORS
+                       if flavor == "standard" and rng.random() < 0.5
+                       else PictureOption.NONE)
+            base, pic = _rand_frame(rng, width, height, flavor), None
+            make = lambda: _rand_frame(rng, width, height, flavor)  # noqa: E731
+        ok, why = _agree(base, width, height, opts, running, pic)
         total += 1
         if not ok:
             fails += 1
             report(f"base[{i}]", why)
         for m in range(mutations_per_base):
-            mut = _mutate(rng, base,
-                          lambda: _rand_frame(rng, width, height, flavor))
-            ok, why = _agree(mut, width, height, opts, running)
+            mut = _mutate(rng, base, make)
+            ok, why = _agree(mut, width, height, opts, running, pic)
             total += 1
             if not ok:
                 fails += 1

@@ -249,3 +249,16 @@ def test_differential_fuzz_campaign_standard():
                                 on_fail=lambda tag, why: failures.append((tag, why)))
     assert fails == 0, failures[:5]
     assert total == 12 * 11
+
+
+def test_differential_fuzz_campaign_umv():
+    """UMV table-D.3 flavor: PLUSPTYPE pictures with D.3-coded MVDs
+    (large mantissas, INTER4V, EXTENDED and UNLIMITED ranges) through
+    read_umv / read_umv_fast differentially."""
+    from h263_tpu.testing.fuzz import run_campaign
+
+    failures = []
+    total, fails = run_campaign(seed=17, n_base=12, flavor="umv",
+                                on_fail=lambda tag, why: failures.append((tag, why)))
+    assert fails == 0, failures[:5]
+    assert total == 12 * 11
