@@ -116,6 +116,10 @@ def main():
     rgba = pool.present_rgba(deblock=False)
     shapes = {sid: a.shape for sid, a in sorted(rgba.items())}
     print(f"present_rgba shapes: {shapes}")
+
+    from h263_tpu.utils import get_counters
+
+    print(f"serving counters: {get_counters()}")
     print(f"OK: {checked} frames decoded through the pool, "
           f"bit-exact vs single-stream decoders")
 
