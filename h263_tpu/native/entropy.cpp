@@ -83,20 +83,6 @@ struct BitReader {
     return w;
   }
 
-  // Peek up to 32 bits, zero-padded past EOF; *avail = bits actually present.
-  inline uint32_t peek_padded(int n, int* avail) const {
-    uint64_t w = window() << (pos & 7);
-    int64_t rem = (int64_t)(nbits - pos);
-    *avail = rem >= n ? n : (rem < 0 ? 0 : (int)rem);
-    uint32_t v = (uint32_t)(w >> (64 - n));
-    if (*avail < n) {
-      // zero out bits beyond EOF (window may contain trailing buffer bytes
-      // beyond nbits — nbits is always a multiple of 8 here, so none).
-      ;
-    }
-    return v;
-  }
-
   inline bool can(int n) const { return pos + (uint64_t)n <= nbits; }
 
   // Read n (<=32) bits; returns false on EOF (pos unchanged).
@@ -185,40 +171,6 @@ struct BitReader {
   // Effective position accounting the cached cursor.
   inline bool overrun() const { return pos + co > nbits; }
 };
-
-// Unchecked VLC decode over the padded copy.
-static inline int32_t read_vlc_fast(BitReader& r, const uint32_t* lut,
-                                    int bits) {
-  uint64_t w = r.window_fast() << (r.pos & 7);
-  uint32_t e = lut[(uint32_t)(w >> (64 - bits))];
-  r.pos += e & 0xFF;
-  return (int32_t)(e >> 8);
-}
-
-// VLC decode + a peek at the single bit following the code, from the SAME
-// 64-bit window load (the TCOEF hot loop's sign bit; bits+1 <= 57 always
-// holds).  The peeked bit is NOT consumed — the caller advances r.pos by 1
-// only on the code paths where a sign bit actually follows.
-static inline int32_t read_vlc_peek1_fast(BitReader& r, const uint32_t* lut,
-                                          int bits, uint32_t* next_bit) {
-  uint64_t w = r.window_fast() << (r.pos & 7);
-  uint32_t e = lut[(uint32_t)(w >> (64 - bits))];
-  uint32_t len = e & 0xFF;
-  *next_bit = (uint32_t)((w >> (63 - len)) & 1);
-  r.pos += len;
-  return (int32_t)(e >> 8);
-}
-
-// Decode one VLC; returns payload or -1 on EOF.
-static inline int32_t read_vlc(BitReader& r, const uint32_t* lut, int bits) {
-  int avail;
-  uint32_t w = r.peek_padded(bits, &avail);
-  uint32_t e = lut[w];
-  int len = (int)(e & 0xFF);
-  if (len > avail) return -1;
-  r.pos += len;
-  return (int32_t)(e >> 8);
-}
 
 // ---- half-pel MV math (types.rs:691-823 semantics) ----
 

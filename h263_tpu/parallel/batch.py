@@ -291,8 +291,17 @@ class BatchedStreamDecoder:
         self._packed_idx ^= 1
         packed = self._packed[self._packed_idx]
         if packed.fut is not None:
-            packed.fut.result()  # pipeline: the consuming step may not have
-            packed.fut = None    # dispatched yet; wait for its dispatch
+            # Pipeline ordering: the consuming step may not have dispatched
+            # yet; wait for it.  Its exception (if any) was already
+            # delivered to the submitter through this same future — swallow
+            # it here so a once-failed step can't poison its buffer (a
+            # failed step sets no in_flight and the next parse refills the
+            # buffer from scratch).
+            fut, packed.fut = packed.fut, None
+            try:
+                fut.result()
+            except Exception:
+                pass
         self._reclaim(packed)
         return packed
 

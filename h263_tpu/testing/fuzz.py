@@ -204,7 +204,13 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
         raise RuntimeError("native front-end unavailable")
     if flavor == "standard":
         opts = DecoderOption.NONE
-        width, height = 128, 96  # SUB_QCIF: smallest CIF-family dims
+        cif_family = {(128, 96), (176, 144), (352, 288), (704, 576),
+                      (1408, 1152)}
+        if (width, height) == (96, 80):  # the generic default: pick SUB_QCIF
+            width, height = 128, 96
+        elif (width, height) not in cif_family:
+            raise ValueError(
+                f"standard flavor needs CIF-family dims, got {(width, height)}")
     elif flavor == "umv":
         opts = DecoderOption.NONE
     else:

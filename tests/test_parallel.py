@@ -732,3 +732,41 @@ class TestHostBufferReuseSafety:
             pass
         for a, b in zip(golden, last):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPipelineFailureRecovery:
+    def test_failed_step_does_not_poison_its_buffer(self):
+        """A step that raises on the pipeline worker delivers its exception
+        to the submitter exactly once; two submits later the same ping-pong
+        buffer must recycle cleanly instead of re-raising the stale
+        exception forever (regression: round 2 review)."""
+        frames = _stream_frames(21, n_p=6)
+        n = 2
+        dec = BatchedStreamDecoder(n, 32, 32, SORENSON)
+        golden = BatchedStreamDecoder(n, 32, 32, SORENSON)
+
+        real_fn = dec._packed_fn
+        calls = {"n": 0}
+
+        def flaky(*args):
+            calls["n"] += 1
+            if calls["n"] == 2:  # fail the second step's device stage
+                raise RuntimeError("transient device failure")
+            return real_fn(*args)
+
+        dec._packed_fn = flaky
+        fut0 = dec.submit_step([frames[0]] * n)
+        fut1 = dec.submit_step([frames[1]] * n)
+        np.asarray(fut0.result()[0])
+        with pytest.raises(RuntimeError):
+            fut1.result()
+
+        # The decoder's reference state for frame 1 is lost (the failed
+        # step never ran), so re-submit frame 1 and continue the GOP: every
+        # later step must succeed and match a clean decoder.
+        outs = [golden.decode_step([f] * n) for f in frames]
+        for t in (1, 2, 3, 4):
+            y, cb, cr = dec.submit_step([frames[t]] * n).result()
+            np.testing.assert_array_equal(np.asarray(y),
+                                          np.asarray(outs[t][0]),
+                                          err_msg=f"frame {t} after recovery")
