@@ -765,6 +765,13 @@ class BatchedStreamDecoder:
         transfer is tunnel/DMA I/O), so host entropy decode of frame t+1
         overlaps the device stage of frame t.  Steps execute in submission
         order (single worker), preserving reference-plane state.
+
+        Failure contract: a step's exception is delivered through the
+        returned Future exactly once (buffer rotation waits on the future
+        but swallows its error).  A parse failure raises here, synchronously,
+        with no state committed; a device-stage failure means that frame's
+        reference planes were never updated — the caller may re-submit the
+        same frame or continue from the next I-frame.
         """
         import concurrent.futures
 
