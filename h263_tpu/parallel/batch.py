@@ -461,9 +461,13 @@ class BatchedStreamDecoder:
         return n
 
     def _fast_parser(self, packed: "_PackedBatch", stream_idx: int):
+        from ..native import ensure_built
         from ..native.bindings import SorensonFastParser
 
         if packed.fast_parsers is None:
+            if not ensure_built():
+                raise RuntimeError(
+                    "packed transport requires the native front-end")
             packed.fast_parsers = [
                 SorensonFastParser(self.w, self.h, packed.u32[i],
                                    packed.mvs[i],
@@ -534,9 +538,13 @@ class BatchedStreamDecoder:
 
         Raises NeedsPythonHeader (atomically, nothing committed) when any
         stream's header needs the full Python parser."""
+        from ..native import ensure_built
         from ..native.bindings import StandardBatchParser
 
         if packed.std_parser is None:
+            if not ensure_built():
+                raise RuntimeError(
+                    "packed transport requires the native front-end")
             packed.std_parser = StandardBatchParser(
                 self.n, self.w, self.h, packed.u32, packed.mvs,
                 packed.inter, self._pred_scratch, pack_val=packed.val,
@@ -609,9 +617,13 @@ class BatchedStreamDecoder:
         empty or this-step-absent slots without shape churn."""
         if not (self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
             return self.parse_batch_packed_standard(buffers, packed, mask)
+        from ..native import ensure_built
         from ..native.bindings import SorensonBatchParser
 
         if packed.batch_parser is None:
+            if not ensure_built():
+                raise RuntimeError(
+                    "packed transport requires the native front-end")
             packed.batch_parser = SorensonBatchParser(
                 self.n, self.w, self.h, packed.u32, packed.mvs,
                 packed.inter, self._pred_scratch, pack_val=packed.val,
