@@ -29,8 +29,15 @@ import numpy as np
 
 
 def build_corpus(width: int, height: int, n_frames: int, seed: int = 7):
-    """One I-frame + P-frames with mixed MVs/coefficients (shared across
-    streams; device work is content-independent)."""
+    """One I-frame + P-frames with mixed MVs/coefficients.
+
+    NB: sharing ONE buffer across all streams lets the branch predictor
+    memorize the exact symbol sequence and keeps the frame bytes in L1 —
+    measured ~1.6x faster host parse than realistic distinct-content
+    streams.  The benchmark therefore measures BOTH regimes: the shared
+    corpus keeps the headline comparable across rounds, and the
+    distinct-content numbers (a pool of corpora cycled over streams) are
+    reported alongside as the realistic-serving figures."""
     from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
     from h263_tpu.types import PictureTypeCode
 
@@ -125,6 +132,17 @@ def main():
                          "backends (the Mosaic IDCT benches ~10%% faster "
                          "end-to-end), off on CPU")
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--corpus", default="shared",
+                    choices=["shared", "distinct"],
+                    help="headline corpus: 'shared' (one buffer for all "
+                         "streams — round-comparable but predictor-warm, "
+                         "~1.6x optimistic on the host stage) or "
+                         "'distinct' (per-stream content — realistic "
+                         "serving).  Both regimes are measured and "
+                         "reported either way")
+    ap.add_argument("--distinct-corpora", type=int, default=24,
+                    help="number of distinct stream corpora cycled over "
+                         "the batch for the distinct-content measurements")
     ap.add_argument("--budget", type=float, default=380.0,
                     help="soft wall-clock budget (s); extra best-of passes "
                          "are skipped once exceeded")
@@ -154,6 +172,14 @@ def main():
     corpus = build_corpus(W, H, F)
     log(f"corpus: {F} frames encoded in {time.perf_counter() - t0:.2f}s "
         f"({sum(len(b) for b in corpus)} bytes)")
+    t0 = time.perf_counter()
+    n_corp = max(2, args.distinct_corpora)
+    distinct = [build_corpus(W, H, F, seed=100 + c) for c in range(n_corp)]
+    log(f"distinct corpora: {n_corp} encoded in "
+        f"{time.perf_counter() - t0:.2f}s")
+
+    def distinct_frames(t):
+        return [distinct[s % n_corp][t] for s in range(S)]
 
     from h263_tpu.native import ensure_built
 
@@ -182,7 +208,18 @@ def main():
         host_dt = time.perf_counter() - t0
         host_fps = max(host_fps, S * (F - 1) / host_dt)
     log(f"host entropy decode: {host_fps:.1f} frames/s/core "
-        f"(best of 3 passes)")
+        f"(best of 3 passes, shared corpus)")
+
+    host_probe.parse_batch_packed(distinct_frames(0), pk)  # warm
+    host_distinct_fps = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for t in range(1, F):
+            host_probe.parse_batch_packed(distinct_frames(t), pk)
+        host_dt = time.perf_counter() - t0
+        host_distinct_fps = max(host_distinct_fps, S * (F - 1) / host_dt)
+    log(f"host entropy decode: {host_distinct_fps:.1f} frames/s/core "
+        f"(best of 3 passes, DISTINCT per-stream content)")
 
     # --- end-to-end (sequential steps) ---------------------------------------
     # Warm-up compiles BOTH transfer signatures (I-frame -> full bucket,
@@ -209,6 +246,27 @@ def main():
     log(f"end-to-end sequential: {seq_fps:.1f} frames/s/chip "
         f"(batch={S}, best of 3 passes; worst {seq_worst:.1f})")
 
+    # --- end-to-end, DISTINCT per-stream content (realistic serving) ---------
+    # Same shapes/signatures — no new compiles; a fresh GOP (I then Ps)
+    # re-establishes per-stream references on the existing decoder.
+    y, cb, cr = dec.decode_step(distinct_frames(0))
+    y, cb, cr = dec.decode_step(distinct_frames(1))
+    y.block_until_ready()
+    seq_distinct_fps = 0.0
+    seq_distinct_worst = float("inf")
+    for rep in range(3):
+        if rep and time.perf_counter() - bench_t0 > args.budget:
+            break
+        t0 = time.perf_counter()
+        for t in range(2, F):
+            y, cb, cr = dec.decode_step(distinct_frames(t))
+        y.block_until_ready()
+        fps = S * (F - 2) / (time.perf_counter() - t0)
+        seq_distinct_fps = max(seq_distinct_fps, fps)
+        seq_distinct_worst = min(seq_distinct_worst, fps)
+    log(f"end-to-end sequential: {seq_distinct_fps:.1f} frames/s/chip "
+        f"(DISTINCT content; worst {seq_distinct_worst:.1f})")
+
     # --- end-to-end (pipelined: host parse overlaps device stage) -----------
     t0 = time.perf_counter()
     last = None
@@ -221,6 +279,8 @@ def main():
     log(f"end-to-end pipelined: {pipe_fps:.1f} frames/s/chip "
         f"({1e3 * pipe_dt / (2 * F):.2f} ms/step)")
     e2e_fps = max(seq_fps, pipe_fps)
+    if args.corpus == "distinct":
+        e2e_fps = seq_distinct_fps
 
     # --- device stage in isolation (packed transfer + reconstruct, reusing
     # the last packed host batch) ---------------------------------------------
@@ -275,12 +335,16 @@ def main():
         "vs_baseline": round(e2e_fps / 30000.0, 4),
         "detail": {
             "host_parse_fps_per_core": round(host_fps, 1),
+            "host_parse_distinct_fps_per_core": round(host_distinct_fps, 1),
             "present_rgba_fps": (round(present_fps, 1)
                                  if present_fps else None),
             "device_stage_fps": round(device_fps, 1),
             "end_to_end_sequential_fps": round(seq_fps, 1),
             "end_to_end_sequential_worst_fps": round(seq_worst, 1),
+            "end_to_end_distinct_fps": round(seq_distinct_fps, 1),
+            "end_to_end_distinct_worst_fps": round(seq_distinct_worst, 1),
             "end_to_end_pipelined_fps": round(pipe_fps, 1),
+            "corpus": args.corpus,
             "transport": args.transport,
             "native_frontend": bool(native),
             "streams": S, "frames": F, "width": W, "height": H,
