@@ -203,11 +203,30 @@ def reconstruct_frame_packed_d24(pack_u8, mvs, inter,
     vector math plus one 64-entry dezigzag gather.  Native emitter:
     entropy.cpp F_PACK_DELTA24.
     """
+    s, mbh, mbw = inter.shape
+    pos, val = d24_to_posval(pack_u8, mbh, mbw)
+    return _reconstruct_from_posval(pos, val, mvs, inter,
+                                    ref_y, ref_cb, ref_cr, pallas,
+                                    scatter_add=True)
+
+
+def d24_to_posval(pack_u8, mbh, mbw):
+    """Decode delta24 transport entries to (scatter position, value).
+
+    pack_u8 uint8 [S, 3K] -> pos int32 [S, K] into the flattened
+    [6*nmb, 64] coefficient space (luma 8x8-block grid row-major, then Cb,
+    then Cr blocks; rowmajor within each block), val int16 [S, K].
+    Padding / advance-only escapes carry value 0 (no-op under scatter-add);
+    entries before the first real coefficient (ordinal cursor still -1)
+    scatter to the out-of-range sentinel 6*nmb*64 and drop.  This is the
+    device-side half of the transport; the emitter is entropy.cpp
+    F_PACK_DELTA24 (fuzzed end-to-end by testing/fuzz.py flavor "d24").
+    """
     import jax.numpy as jnp
 
     from ..vlc_tables import ZIGZAG_TO_ROWMAJOR
 
-    s, mbh, mbw = inter.shape
+    s = pack_u8.shape[0]
     nmb = mbh * mbw
     e = pack_u8.reshape(s, -1, 3).astype(jnp.uint32)
     w = (e[..., 0] << 16) | (e[..., 1] << 8) | e[..., 2]
@@ -226,12 +245,62 @@ def reconstruct_frame_packed_d24(pack_u8, mvs, inter,
     luma_blk = (2 * r_ + (b >> 1)) * (2 * mbw) + 2 * c_ + (b & 1)
     chroma_blk = 4 * nmb + (b - 4) * nmb + r_ * mbw + c_
     blk = jnp.where(b < 4, luma_blk, chroma_blk)
-    # Entries before the first real coefficient (ordpos < 0) scatter to an
-    # out-of-range sentinel and drop.
     pos = jnp.where(ordpos >= 0, blk * 64 + rm, 6 * nmb * 64)
-    return _reconstruct_from_posval(pos, val, mvs, inter,
-                                    ref_y, ref_cb, ref_cr, pallas,
-                                    scatter_add=True)
+    return pos, val
+
+
+def reconstruct_frame_packed_d24_fused(buf, ref_y, ref_cb, ref_cr,
+                                       mv_full=False, mbh=None, mbw=None,
+                                       pallas="off"):
+    """Batched reconstruction from the fused single-leaf transport.
+
+    buf uint8 [S, mv_sz + ib_sz + 3*K] is the one host->device array of a
+    step, laid out per stream row as
+
+        [0, mv_sz)            int8 MVs: 2 B/MB (first-block MV, slim) or
+                              8 B/MB (all four block MVs) when mv_full
+        [mv_sz, mv_sz+ib_sz)  INTER flags, 1 bit/MB, MSB-first per byte
+        [mv_sz+ib_sz, ...)    delta24 coefficient entries (see
+                              reconstruct_frame_packed_d24)
+
+    The sections unpack on device (bitcast to int8, bit-unpack the INTER
+    mask) — trading a few cheap VPU ops for ~30% fewer transfer bytes and
+    two fewer tunnel RPCs per step than the three-leaf d24 transport.
+    Native producer: entropy.cpp h263_sorenson_decode_batch_fused.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    s = buf.shape[0]
+    nmb = mbh * mbw
+    mv_sz = (8 if mv_full else 2) * nmb
+    ib_sz = (nmb + 7) // 8
+
+    mv8 = jax.lax.bitcast_convert_type(buf[:, :mv_sz], jnp.int8)
+    mvs = mv8.astype(jnp.int16)
+    if mv_full:
+        mvs = mvs.reshape(s, mbh, mbw, 4, 2)
+    else:
+        mvs = mvs.reshape(s, mbh, mbw, 2)
+
+    bits = buf[:, mv_sz:mv_sz + ib_sz]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    expanded = (bits[:, :, None] >> shifts[None, None, :]) & 1
+    inter = expanded.reshape(s, ib_sz * 8)[:, :nmb].reshape(s, mbh, mbw)
+
+    return reconstruct_frame_packed_d24(buf[:, mv_sz + ib_sz:], mvs, inter,
+                                        ref_y, ref_cb, ref_cr, pallas=pallas)
+
+
+@functools.lru_cache(maxsize=16)
+def get_packed_d24_fused_reconstruct_fn(h: int, w: int, mv_full: bool,
+                                        pallas: str = "off"):
+    import jax
+
+    mbh, mbw = -(-h // 16), -(-w // 16)
+    return jax.jit(functools.partial(reconstruct_frame_packed_d24_fused,
+                                     mv_full=mv_full, mbh=mbh, mbw=mbw,
+                                     pallas=pallas))
 
 
 def _reconstruct_from_posval(pos, val, mvs, inter,

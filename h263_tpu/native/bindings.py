@@ -117,6 +117,11 @@ def _build_fastcall():
         spec.loader.exec_module(mod)
         return mod
     except Exception:
+        # The ctypes fallback costs ~170 us/step at n=256; make losing the
+        # fast path observable instead of silent (ADVICE r2).
+        from ..utils.trace import incr
+
+        incr("fastcall_build_failed")
         return None
 
 
@@ -133,7 +138,7 @@ def ensure_built() -> bool:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.h263_parse_frame.restype = ctypes.c_int
             lib.h263_abi_version.restype = ctypes.c_int
-            assert lib.h263_abi_version() == 4
+            assert lib.h263_abi_version() == 5
             _lib = lib
             NATIVE_AVAILABLE = True
             if not os.environ.get("H263_TPU_NO_FASTCALL"):
@@ -250,6 +255,7 @@ def parse_frame_native(data: bytes, start_bit: int, picture: Picture,
         pred_scratch.ctypes.data_as(ctypes.c_void_p),
         None, None, ctypes.c_int32(0), None,
         ctypes.byref(end_bit), None,
+        None, None, ctypes.c_int32(0),  # fused outputs unused here
     )
     if rc != 0:
         exc = _ERROR_MAP.get(rc, InternalDecoderError)
@@ -330,6 +336,7 @@ def parse_frame_native_packed(data: bytes, start_bit: int, picture: Picture,
         ctypes.byref(end_bit),
         mvs_slim.ctypes.data_as(ctypes.c_void_p)
         if mvs_slim is not None else None,
+        None, None, ctypes.c_int32(0),  # fused outputs unused here
     )
     if rc != 0:
         exc = _ERROR_MAP.get(rc, InternalDecoderError)
@@ -359,6 +366,7 @@ def _setup_fast_sig(lib):
         C.c_void_p, C.c_void_p, C.c_int32,   # pack_pos, pack_val, cap
         C.c_void_p, C.c_void_p,              # pack_count, any_inter
         C.c_void_p,                          # end_bit
+        C.c_void_p, C.c_void_p, C.c_int32,   # mv8, inter_bits, mv8_stride
     ]
 
 
@@ -398,6 +406,7 @@ class SorensonFastParser:
             pack_u32.ctypes.data, None, self._cap,
             ctypes.addressof(self._count), ctypes.addressof(self._any_inter),
             ctypes.addressof(self._end),
+            None, None, 0,  # fused outputs unused by the slot parser
         )
 
     def parse(self, data: bytes):
@@ -522,6 +531,105 @@ class SorensonBatchParser:
             exc = _ERROR_MAP.get(rc, InternalDecoderError)
             raise exc(f"stream {int(self._failed.value)}: native error {rc}")
         return self._hdr, self._counts, self._flags
+
+
+def _setup_fused_batch_sig(lib):
+    import ctypes as C
+
+    lib.h263_sorenson_decode_batch_fused.restype = C.c_int
+    lib.h263_sorenson_decode_batch_fused.argtypes = [
+        C.c_void_p, C.c_void_p,              # buffers (ptr array), lengths
+        C.c_int32, C.c_int32, C.c_int32,     # n, w, h
+        C.c_int32,                           # xflags
+        C.c_void_p,                          # has_reference
+        C.c_void_p, C.c_void_p, C.c_void_p,  # hdr_all, mvs_all, inter_all
+        C.c_void_p, C.c_int64, C.c_int32,    # fused_base, row_bytes, mv8_stride
+        C.c_void_p,                          # pred_scratch
+        C.c_int32,                           # pack_cap
+        C.c_void_p, C.c_int32,               # ladder, n_ladder
+        C.c_void_p, C.c_void_p, C.c_void_p,  # counts, flags, cut_out
+        C.c_void_p,                          # failed_stream
+    ]
+
+
+class SorensonFusedBatchParser:
+    """One-FFI-call batch parser emitting the fused single-leaf transport.
+
+    The native side writes each stream's int8 MVs + INTER bitmask + delta24
+    coefficients into one row of `fused` (uint8 [n, row]), picks the
+    coefficient transfer bucket from `ladder`, and pads d24 tails only up
+    to it.  `mvs`/`inter` still receive the full int16 MVs / byte flags —
+    the fallback source for the step on which varied block MVs first
+    appear while rows carry slim (2 B/MB) MVs.
+    """
+
+    __slots__ = ("_n", "_w", "_h", "_cap", "_hdr", "_counts", "_flags",
+                 "_failed", "_cut", "_lengths", "_has_ref", "_ptrs",
+                 "_fixed_args")
+
+    def __init__(self, n: int, width: int, height: int, fused: np.ndarray,
+                 mv8_stride: int, mvs: np.ndarray, inter: np.ndarray,
+                 pred_scratch: np.ndarray, pack_cap: int,
+                 ladder: np.ndarray):
+        assert _lib is not None
+        if not hasattr(_lib, "_fused_sig_done"):
+            _setup_fused_batch_sig(_lib)
+            _lib._fused_sig_done = True
+        mb_w, mb_h = -(-width // 16), -(-height // 16)
+        nmb = mb_w * mb_h
+        row = nmb * mv8_stride + (nmb + 7) // 8 + 3 * pack_cap
+        assert fused.dtype == np.uint8 and fused.flags["C_CONTIGUOUS"]
+        assert fused.shape == (n, row), (fused.shape, (n, row))
+        assert mv8_stride in (2, 8)
+        assert ladder.dtype == np.int32 and int(ladder[-1]) == pack_cap
+        self._n, self._w, self._h = n, width, height
+        self._cap = pack_cap
+        self._hdr = np.zeros((n, 8), dtype=np.int32)
+        self._counts = np.zeros(n, dtype=np.int32)
+        self._flags = np.zeros(n, dtype=np.int32)
+        self._failed = ctypes.c_int32(-1)
+        self._cut = ctypes.c_int32(0)
+        self._lengths = np.zeros(n, dtype=np.uint64)
+        self._has_ref = np.zeros(n, dtype=np.uint8)
+        self._ptrs = np.zeros(n, dtype=np.uint64)
+        self._fixed_args = (
+            n, width, height, 0,
+            self._has_ref.ctypes.data,
+            self._hdr.ctypes.data, mvs.ctypes.data, inter.ctypes.data,
+            fused.ctypes.data, int(fused.strides[0]), mv8_stride,
+            pred_scratch.ctypes.data,
+            pack_cap,
+            ladder.ctypes.data, int(ladder.shape[0]),
+            self._counts.ctypes.data, self._flags.ctypes.data,
+            ctypes.addressof(self._cut),
+            ctypes.addressof(self._failed),
+        )
+
+    def parse(self, buffers, has_reference):
+        """Parse all streams' frames into the fused staging rows.
+
+        Returns (hdr int32[n,8], counts, flags, cut) — cut is the chosen
+        coefficient bucket (ship row bytes up to mv_sz + ib_sz + 3*cut).
+        """
+        n = self._n
+        assert len(buffers) == n
+        if _fastcall is not None:
+            _fastcall.gather_ptrs(buffers, self._ptrs.ctypes.data,
+                                  self._lengths.ctypes.data)
+            ptrs_addr = self._ptrs.ctypes.data
+            keepalive = buffers
+        else:
+            keepalive = (ctypes.c_char_p * n)(*buffers)
+            self._lengths[:] = [len(b) for b in buffers]
+            ptrs_addr = ctypes.addressof(keepalive)
+        self._has_ref[:] = has_reference
+        rc = _lib.h263_sorenson_decode_batch_fused(
+            ptrs_addr, self._lengths.ctypes.data, *self._fixed_args)
+        del keepalive
+        if rc != 0:
+            exc = _ERROR_MAP.get(rc, InternalDecoderError)
+            raise exc(f"stream {int(self._failed.value)}: native error {rc}")
+        return self._hdr, self._counts, self._flags, int(self._cut.value)
 
 
 class NeedsPythonHeader(Exception):

@@ -56,6 +56,11 @@ enum {
   // dequantized coefficients are never 0); gaps > 4095 emit escapes.
   // Works for any picture size (no 20-bit position limit).
   F_PACK_DELTA24 = 16,
+  // Skip the frame-level padding of unused pack capacity: the caller (the
+  // fused batch path) pads only up to the chosen transfer bucket, so the
+  // never-shipped tail of the capacity buffer is left untouched instead of
+  // being memset every frame (~10 KB/stream of dead stores at CIF).
+  F_NO_TAIL_PAD = 32,
 };
 
 // ---- block classes (types.py BLOCK_CLASS_*) ----
@@ -566,7 +571,14 @@ int h263_parse_frame(
     int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
     int32_t* pack_count,
     uint64_t* end_bit_out,
-    int16_t* mvs_slim) {  // optional contiguous [nmb][2] first-block MVs
+    int16_t* mvs_slim,   // optional contiguous [nmb][2] first-block MVs
+    // Fused-transport sections (optional; both or neither):
+    //   mv8:        int8 MVs, mv8_stride bytes per MB (2 = first-block MV
+    //               only, 8 = all four block MVs).  Half-pel values are
+    //               guaranteed to fit int8 ([-64, 63]) whenever the UMV
+    //               option is off — the fused transport is only used then.
+    //   inter_bits: 1 bit per MB, MSB-first within each byte; 1 = INTER.
+    uint8_t* mv8, uint8_t* inter_bits, int32_t mv8_stride) {
   // Copy the frame into a zero-padded scratch buffer so the hot loop can
   // use branch-free reads; reads past the logical end return zero bits and
   // the overrun is detected per macroblock / per block (see below).
@@ -610,6 +622,8 @@ int h263_parse_frame(
   if (mvs) std::memset(mvs, 0, (size_t)nmb * 8 * sizeof(int16_t));
   if (mvs_slim) std::memset(mvs_slim, 0, (size_t)nmb * 4);
   if (inter) std::memset(inter, 1, (size_t)nmb);
+  if (mv8) std::memset(mv8, 0, (size_t)nmb * (size_t)mv8_stride);
+  if (inter_bits) std::memset(inter_bits, 0xFF, (size_t)((nmb + 7) / 8));
 
   PredCtx pctx;
   pctx.preds = reinterpret_cast<int16_t (*)[4][2]>(pred_scratch);
@@ -839,15 +853,33 @@ int h263_parse_frame(
     if (abs_col == mb_w) { abs_col = 0; abs_line += 1; }
 
     if (in_range) {
-      inter[mby * mb_w + mbx] =
-          (mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5) ? 1 : 0;
+      const size_t mbi = (size_t)(mby * mb_w + mbx);
+      const bool inter_mb =
+          mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5;
+      inter[mbi] = inter_mb ? 1 : 0;
       for (int k = 0; k < 4; k++) {
-        mvs[((size_t)(mby * mb_w + mbx) * 4 + k) * 2 + 0] = cur_mvs[k][0];
-        mvs[((size_t)(mby * mb_w + mbx) * 4 + k) * 2 + 1] = cur_mvs[k][1];
+        mvs[(mbi * 4 + k) * 2 + 0] = cur_mvs[k][0];
+        mvs[(mbi * 4 + k) * 2 + 1] = cur_mvs[k][1];
       }
       if (mvs_slim) {
-        mvs_slim[(size_t)(mby * mb_w + mbx) * 2 + 0] = cur_mvs[0][0];
-        mvs_slim[(size_t)(mby * mb_w + mbx) * 2 + 1] = cur_mvs[0][1];
+        mvs_slim[mbi * 2 + 0] = cur_mvs[0][0];
+        mvs_slim[mbi * 2 + 1] = cur_mvs[0][1];
+      }
+      if (mv8) {
+        uint8_t* d = mv8 + mbi * (size_t)mv8_stride;
+        d[0] = (uint8_t)(int8_t)cur_mvs[0][0];
+        d[1] = (uint8_t)(int8_t)cur_mvs[0][1];
+        if (mv8_stride == 8) {
+          for (int k = 1; k < 4; k++) {
+            d[2 * k + 0] = (uint8_t)(int8_t)cur_mvs[k][0];
+            d[2 * k + 1] = (uint8_t)(int8_t)cur_mvs[k][1];
+          }
+        }
+      }
+      if (inter_bits) {
+        const uint8_t m = (uint8_t)(0x80u >> (mbi & 7));
+        if (inter_mb) inter_bits[mbi >> 3] |= m;
+        else inter_bits[mbi >> 3] &= (uint8_t)~m;
       }
     }
   }
@@ -857,7 +889,7 @@ int h263_parse_frame(
   return OK;
 }
 
-int h263_abi_version() { return 4; }
+int h263_abi_version() { return 5; }
 
 }  // extern "C"
 
@@ -958,7 +990,8 @@ int h263_sorenson_decode_frame(
     int16_t* mvs, int16_t* mvs_slim, uint8_t* inter, int16_t* pred_scratch,
     int32_t* pack_pos, int16_t* pack_val, int32_t pack_cap,
     int32_t* pack_count, int32_t* any_inter_out,
-    uint64_t* end_bit_out) {
+    uint64_t* end_bit_out,
+    uint8_t* mv8, uint8_t* inter_bits, int32_t mv8_stride) {
   uint64_t pos = 0;
   int rc = h263_sorenson_header(data, nbytes, 0, hdr_fields, &pos);
   if (rc != OK) return rc;
@@ -975,7 +1008,8 @@ int h263_sorenson_decode_frame(
       /*range_x=*/64, /*range_y=*/64,
       nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
       mvs, inter, pred_scratch,
-      pack_pos, pack_val, pack_cap, pack_count, end_bit_out, mvs_slim);
+      pack_pos, pack_val, pack_cap, pack_count, end_bit_out, mvs_slim,
+      mv8, inter_bits, mv8_stride);
   if (rc != OK) return rc;
 
   const int mb_w = (width + 15) / 16;
@@ -996,8 +1030,11 @@ int h263_sorenson_decode_frame(
 
   // Pad unused pack entries: delta24 pads zero bytes (delta 0, value 0 —
   // a no-op add at the final cursor); u32/split pad an out-of-range
-  // sentinel (dropped by the device scatter).
-  if (xflags & F_PACK_DELTA24) {
+  // sentinel (dropped by the device scatter).  F_NO_TAIL_PAD defers this
+  // to the batch caller, which pads only to the chosen transfer bucket.
+  if (xflags & F_NO_TAIL_PAD) {
+    // caller pads
+  } else if (xflags & F_PACK_DELTA24) {
     std::memset(reinterpret_cast<uint8_t*>(pack_pos) + 3 * (size_t)*pack_count,
                 0, 3 * (size_t)(pack_cap - *pack_count));
   } else {
@@ -1071,7 +1108,7 @@ int h263_sorenson_decode_batch(
           pred_scratch,
           stream_pack(i),
           packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
-          pack_cap, counts + i, &any, &end_bit);
+          pack_cap, counts + i, &any, &end_bit, nullptr, nullptr, 0);
       if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
       if (rc != OK) {
         *failed_stream = i;
@@ -1107,7 +1144,7 @@ int h263_sorenson_decode_batch(
           scratch.data(),
           stream_pack(i),
           packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
-          pack_cap, counts + i, &any, &end_bit);
+          pack_cap, counts + i, &any, &end_bit, nullptr, nullptr, 0);
       if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
       if (rc != OK) {
         int64_t rec = ((int64_t)i << 32) | (uint32_t)rc;
@@ -1132,6 +1169,135 @@ int h263_sorenson_decode_batch(
     *failed_stream = (int32_t)(f >> 32);
     return (int32_t)(uint32_t)(f & 0xFFFFFFFF);
   }
+  *failed_stream = -1;
+  return OK;
+}
+
+// Fused-transport Sorenson batch: every per-stream host->device byte of a
+// step lives in ONE staging row — [int8 MVs | INTER bitmask | delta24
+// coefficients] — so the device transfer is a single contiguous leaf
+// instead of three (coef/mvs/inter) arrays.  The function also picks the
+// coefficient transfer bucket natively: `ladder` is an ascending list of
+// candidate cuts (last entry == pack_cap); the smallest entry >= the batch
+// max coefficient count wins, each stream's d24 tail is zero-padded only
+// up to that cut (never-shipped capacity stays untouched — F_NO_TAIL_PAD),
+// and the chosen cut is returned through *cut_out.
+//
+// Row layout (fused_row_bytes apart):
+//   [0, nmb*mv8_stride)      int8 MVs (stride 2: first-block only; 8: all 4)
+//   [mv_sz, mv_sz+ib)        INTER bitmask, MSB-first, (nmb+7)/8 bytes
+//   [mv_sz+ib, +3*pack_cap)  delta24 coefficient bytes
+//
+// int8 MVs require half-pel values in [-64, 63], which holds whenever UMV
+// is off — always true for Sorenson.  The full int16 mvs_all and byte
+// inter_all are still written: they are the fallback source when a frame
+// with varied block MVs arrives while the batch ships slim (stride-2) MVs
+// (the caller re-ships that step over the legacy transport and flips to
+// stride-8 rows).
+int h263_sorenson_decode_batch_fused(
+    const uint8_t* const* buffers, const uint64_t* lengths,
+    int32_t n_streams, int32_t expected_w, int32_t expected_h,
+    int32_t xflags,
+    const uint8_t* has_reference,
+    int32_t* hdr_all, int16_t* mvs_all, uint8_t* inter_all,
+    uint8_t* fused_base, int64_t fused_row_bytes, int32_t mv8_stride,
+    int16_t* pred_scratch,
+    int32_t pack_cap,
+    const int32_t* ladder, int32_t n_ladder,
+    int32_t* counts, int32_t* flags, int32_t* cut_out,
+    int32_t* failed_stream) {
+  const int mb_w = (expected_w + 15) / 16;
+  const int mb_h = (expected_h + 15) / 16;
+  const size_t nmb = (size_t)mb_w * mb_h;
+  const size_t mv_sz = nmb * (size_t)mv8_stride;
+  const size_t ib_sz = (nmb + 7) / 8;
+  const int32_t frame_flags = xflags | F_PACK_DELTA24 | F_NO_TAIL_PAD;
+
+  auto decode_one = [&](int32_t i, int16_t* scratch) -> int {
+    uint64_t end_bit = 0;
+    int32_t any = 0;
+    uint8_t* row = fused_base + (size_t)i * (size_t)fused_row_bytes;
+    int rc = h263_sorenson_decode_frame(
+        buffers[i], lengths[i], expected_w, expected_h, frame_flags,
+        hdr_all + (size_t)i * 8,
+        mvs_all + (size_t)i * nmb * 8,
+        /*mvs_slim=*/nullptr,
+        inter_all + (size_t)i * nmb,
+        scratch,
+        reinterpret_cast<int32_t*>(row + mv_sz + ib_sz),
+        /*pack_val=*/nullptr,
+        pack_cap, counts + i, &any, &end_bit,
+        row, row + mv_sz, mv8_stride);
+    if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
+    if (rc == OK) flags[i] = any;
+    return rc;
+  };
+
+  int threads = (int)std::thread::hardware_concurrency();
+  if (const char* e = std::getenv("H263_TPU_PARSE_THREADS")) {
+    threads = std::atoi(e);
+  }
+  if (threads < 1) threads = 1;
+  if (threads > n_streams) threads = n_streams;
+
+  if (threads == 1) {
+    for (int32_t i = 0; i < n_streams; i++) {
+      int rc = decode_one(i, pred_scratch);
+      if (rc != OK) {
+        *failed_stream = i;
+        return rc;
+      }
+    }
+  } else {
+    std::atomic<int64_t> fail{INT64_MAX};
+    std::atomic<int32_t> next{0};
+    auto worker = [&]() {
+      std::vector<int16_t> scratch(nmb * 8);
+      int32_t i;
+      while ((i = next.fetch_add(1, std::memory_order_relaxed)) < n_streams) {
+        if (fail.load(std::memory_order_relaxed) != INT64_MAX) {
+          if ((int64_t)i > (fail.load(std::memory_order_relaxed) >> 32))
+            continue;
+        }
+        int rc = decode_one(i, scratch.data());
+        if (rc != OK) {
+          int64_t rec = ((int64_t)i << 32) | (uint32_t)rc;
+          int64_t cur = fail.load(std::memory_order_relaxed);
+          while (rec < cur &&
+                 !fail.compare_exchange_weak(cur, rec,
+                                             std::memory_order_relaxed)) {
+          }
+        }
+      }
+    };
+    std::vector<std::thread> pool;
+    pool.reserve(threads - 1);
+    for (int t = 0; t < threads - 1; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+    int64_t f = fail.load(std::memory_order_relaxed);
+    if (f != INT64_MAX) {
+      *failed_stream = (int32_t)(f >> 32);
+      return (int32_t)(uint32_t)(f & 0xFFFFFFFF);
+    }
+  }
+
+  // Bucket selection + tail padding to the chosen cut only.
+  int32_t maxc = 0;
+  for (int32_t i = 0; i < n_streams; i++) {
+    if (counts[i] > maxc) maxc = counts[i];
+  }
+  int32_t cut = pack_cap;
+  for (int32_t k = 0; k < n_ladder; k++) {
+    if (ladder[k] >= maxc) { cut = ladder[k]; break; }
+  }
+  for (int32_t i = 0; i < n_streams; i++) {
+    uint8_t* d24 = fused_base + (size_t)i * (size_t)fused_row_bytes
+                   + mv_sz + ib_sz;
+    std::memset(d24 + 3 * (size_t)counts[i], 0,
+                3 * (size_t)(cut - counts[i]));
+  }
+  *cut_out = cut;
   *failed_stream = -1;
   return OK;
 }
@@ -1313,7 +1479,8 @@ int h263_standard_decode_frame(
       /*range_x=*/64, /*range_y=*/64,
       nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
       mvs, inter, pred_scratch,
-      pack_pos, pack_val, pack_cap, pack_count, end_bit_out, mvs_slim);
+      pack_pos, pack_val, pack_cap, pack_count, end_bit_out, mvs_slim,
+      nullptr, nullptr, 0);
   if (rc != OK) return rc;
 
   const int mb_w = (width + 15) / 16;

@@ -35,7 +35,11 @@ static PyObject* gather_ptrs(PyObject*, PyObject* args) {
     Py_ssize_t len;
     if (PyBytes_AsStringAndSize(b, &data, &len) != 0) {
       Py_DECREF(fast);
-      return nullptr;  // non-bytes element: caller converts and retries
+      // Non-bytes element: the TypeError propagates to the caller.  The
+      // batch parsers never trigger this — they convert every buffer to
+      // bytes before calling (batch.py _prepare_sorenson_buffers /
+      // parse_batch_packed_standard).
+      return nullptr;
     }
     ptrs[i] = (uint64_t)(uintptr_t)data;
     lens[i] = (uint64_t)len;

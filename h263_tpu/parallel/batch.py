@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..bitio import BitReader
-from ..utils.trace import incr, trace_stage
+from ..utils.trace import StageTimer, incr, trace_stage
 from ..decoder.reconstruct import (
     get_batched_reconstruct_fn,
     get_packed_d24_reconstruct_fn,
@@ -144,6 +144,13 @@ class _PackedBatch:
         self.fast_parsers = None  # lazily bound SorensonFastParser per slot
         self.batch_parser = None  # lazily bound SorensonBatchParser
         self.std_parser = None    # lazily bound StandardBatchParser
+        # Fused single-leaf transport (Sorenson + d24): per-stream staging
+        # rows [int8 MVs | INTER bitmask | d24 bytes], written natively.
+        self.fused = None         # uint8 [n, row] staging (lazily allocated)
+        self.fused_mv_stride = 0  # 2 (slim) or 8 (full) int8 MV bytes per MB
+        self.fused_parser = None  # lazily bound SorensonFusedBatchParser
+        self.fused_valid = False  # this batch's staging holds the last parse
+        self.cut = 0              # native-chosen coefficient bucket
         # Device outputs of the step that last consumed these buffers, and
         # the pipeline future that will produce them (see next_packed_batch
         # / submit_step).
@@ -162,7 +169,8 @@ class BatchedStreamDecoder:
                  decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
                  reconstruct_fn=None, packed_reconstruct_fn=None,
                  pack_cap: Optional[int] = None, pallas: str = "auto",
-                 coef_transport: str = "auto"):
+                 coef_transport: str = "auto",
+                 fused_reconstruct_fns: Optional[dict] = None):
         import jax
         import jax.numpy as jnp
 
@@ -216,6 +224,11 @@ class BatchedStreamDecoder:
         self.pack_cap_tiny = max(256, (3 * mb_w * mb_h) // 2)
         if self.pack_cap_tiny >= self.pack_cap_small:
             self.pack_cap_tiny = self.pack_cap_small
+        # Ascending unique bucket ladder (ends at full capacity); the fused
+        # native batch picks the cut from this and pads d24 tails to it.
+        self._ladder = np.array(
+            sorted({self.pack_cap_tiny, self.pack_cap_small, self.pack_cap}),
+            dtype=np.int32)
         self._mv_full = False  # sticky: set on first frame with varied MVs
         self._executor = None  # lazy pipeline worker (submit_step)
         self._skip_frame: Optional[bytes] = None  # lazy all-uncoded P-frame
@@ -243,6 +256,22 @@ class BatchedStreamDecoder:
                              "transport; use 'split' or 'd24'")
         self.coef_transport = coef_transport
         self._split = coef_transport == "split"
+        # Fused single-leaf transport: the production default for Sorenson
+        # d24 batches (one device_put of [mv8 | interbits | d24] rows per
+        # step — ~30% fewer bytes, 2 fewer tunnel RPCs).  H263_TPU_NO_FUSED
+        # forces the three-leaf path for A/B.
+        import os as _os
+
+        self._fused_enabled = (
+            coef_transport == "d24"
+            and bool(decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM)
+            and not _os.environ.get("H263_TPU_NO_FUSED")
+            # An explicitly injected packed program (e.g. a mesh-sharded
+            # one) is honoured: fused stays off unless matching fused
+            # programs were injected too ({False: fn, True: fn} by MV mode).
+            and (packed_reconstruct_fn is None
+                 or fused_reconstruct_fns is not None))
+        self._fused_fn_cache = dict(fused_reconstruct_fns or {})
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap,
                                      split=self._split,
                                      transport=coef_transport)
@@ -277,8 +306,9 @@ class BatchedStreamDecoder:
     @staticmethod
     def _reclaim(buf):
         if buf.in_flight is not None:
-            for a in buf.in_flight:
-                a.block_until_ready()
+            with trace_stage("reclaim_wait"):
+                for a in buf.in_flight:
+                    a.block_until_ready()
             buf.in_flight = None
 
     def next_host_batch(self) -> _HostBatch:
@@ -298,10 +328,11 @@ class BatchedStreamDecoder:
             # failed step sets no in_flight and the next parse refills the
             # buffer from scratch).
             fut, packed.fut = packed.fut, None
-            try:
-                fut.result()
-            except Exception:
-                pass
+            with trace_stage("reclaim_fut_wait"):
+                try:
+                    fut.result()
+                except Exception:
+                    pass
         self._reclaim(packed)
         return packed
 
@@ -491,6 +522,7 @@ class BatchedStreamDecoder:
         from ..native.bindings import (NeedsPythonHeader,
                                        parse_frame_native_packed)
 
+        packed.fused_valid = False
         bufs = []
         for i, b in enumerate(buffers):
             live = mask is None or mask[i]
@@ -620,33 +652,44 @@ class BatchedStreamDecoder:
         from ..native import ensure_built
         from ..native.bindings import SorensonBatchParser
 
+        if not ensure_built():
+            raise RuntimeError(
+                "packed transport requires the native front-end")
+        if self._fused_enabled:
+            return self._parse_batch_fused(buffers, packed, mask)
         if packed.batch_parser is None:
-            if not ensure_built():
-                raise RuntimeError(
-                    "packed transport requires the native front-end")
             packed.batch_parser = SorensonBatchParser(
                 self.n, self.w, self.h, packed.u32, packed.mvs,
                 packed.inter, self._pred_scratch, pack_val=packed.val,
                 transport=packed.transport, mvs_slim=packed.mvs_slim)
-        if mask is None:
-            has_ref = [st.has_reference for st in self.states]
-            buffers = [b if type(b) is bytes else bytes(b) for b in buffers]
-        else:
-            skip = None
-            has_ref, bufs = [], []
-            for i, b in enumerate(buffers):
-                if mask[i]:
-                    has_ref.append(self.states[i].has_reference)
-                    bufs.append(b if type(b) is bytes else bytes(b))
-                else:
-                    if skip is None:
-                        skip = self.skip_frame_bytes()
-                    has_ref.append(True)  # skip frame is all-uncoded INTER
-                    bufs.append(skip)
-            buffers = bufs
+        packed.fused_valid = False
+        buffers, has_ref = self._prepare_sorenson_buffers(buffers, mask)
         hdr, counts, flags = packed.batch_parser.parse(buffers, has_ref)
         packed.counts[:] = counts
         packed.varied_mvs[:] = (flags & 2) != 0
+        self._commit_sorenson_headers(hdr, mask)
+
+    def _prepare_sorenson_buffers(self, buffers, mask):
+        """(buffers-as-bytes, has_reference) with masked slots padded by the
+        cached skip frame (header commit suppressed by the caller)."""
+        if mask is None:
+            has_ref = [st.has_reference for st in self.states]
+            buffers = [b if type(b) is bytes else bytes(b) for b in buffers]
+            return buffers, has_ref
+        skip = None
+        has_ref, bufs = [], []
+        for i, b in enumerate(buffers):
+            if mask[i]:
+                has_ref.append(self.states[i].has_reference)
+                bufs.append(b if type(b) is bytes else bytes(b))
+            else:
+                if skip is None:
+                    skip = self.skip_frame_bytes()
+                has_ref.append(True)  # skip frame is all-uncoded INTER
+                bufs.append(skip)
+        return bufs, has_ref
+
+    def _commit_sorenson_headers(self, hdr, mask) -> None:
         # Per-stream header commit (state.rs:464-483 semantics), optimized:
         # headers repeat heavily across streams and steps, so Picture
         # construction and enum arithmetic are cached and the running-option
@@ -676,6 +719,33 @@ class BatchedStreamDecoder:
             if po is None:
                 po = po_cache[running] = PictureOption(running)
             st.running_options = po
+
+    def _parse_batch_fused(self, buffers: Sequence[bytes],
+                           packed: "_PackedBatch", mask=None) -> None:
+        """Fused-transport batch parse: ONE native call writes every
+        stream's [int8 MVs | INTER bitmask | d24 bytes] staging row, picks
+        the coefficient bucket, and pads tails to it (entropy.cpp
+        h263_sorenson_decode_batch_fused)."""
+        from ..native.bindings import SorensonFusedBatchParser
+
+        stride = 8 if self._mv_full else 2
+        if packed.fused is None or packed.fused_mv_stride != stride:
+            nmb = self.mb_w * self.mb_h
+            row = nmb * stride + (nmb + 7) // 8 + 3 * self.pack_cap
+            packed.fused = np.zeros((self.n, row), dtype=np.uint8)
+            packed.fused_mv_stride = stride
+            packed.fused_parser = SorensonFusedBatchParser(
+                self.n, self.w, self.h, packed.fused, stride,
+                packed.mvs, packed.inter, self._pred_scratch, self.pack_cap,
+                self._ladder)
+        packed.fused_valid = False
+        buffers, has_ref = self._prepare_sorenson_buffers(buffers, mask)
+        hdr, counts, flags, cut = packed.fused_parser.parse(buffers, has_ref)
+        packed.counts[:] = counts
+        packed.varied_mvs[:] = (flags & 2) != 0
+        packed.cut = cut
+        packed.fused_valid = True
+        self._commit_sorenson_headers(hdr, mask)
 
     # -- device stage -----------------------------------------------------------
 
@@ -730,6 +800,9 @@ class BatchedStreamDecoder:
         """
         import jax
 
+        if packed.fused_valid:
+            return self._step_fused(packed)
+
         if packed.varied_mvs.any():
             self._mv_full = True
         mvs = packed.mvs if self._mv_full else packed.mvs_slim
@@ -742,6 +815,7 @@ class BatchedStreamDecoder:
         else:
             cut = None
         small = cut is not None
+        slice_t = StageTimer("bucket_slice").start()
         if packed.split:
             pos = (np.ascontiguousarray(packed.u32[:, :cut])
                    if small else packed.u32)
@@ -756,6 +830,7 @@ class BatchedStreamDecoder:
                     if small else packed.u32,)
 
         host = (*coef, mvs, packed.inter)
+        slice_t.stop()
         with trace_stage("transfer"):
             dev = jax.device_put(host)
         with trace_stage("reconstruct_dispatch"):
@@ -766,6 +841,66 @@ class BatchedStreamDecoder:
         incr("frames_decoded", self.n)
         incr("steps")
         incr("transfer_bytes", sum(a.nbytes for a in host))
+        return y, cb, cr
+
+    def _fused_fn(self, mv_full: bool):
+        fn = self._fused_fn_cache.get(mv_full)
+        if fn is None:
+            from ..decoder.reconstruct import (
+                get_packed_d24_fused_reconstruct_fn)
+
+            fn = get_packed_d24_fused_reconstruct_fn(
+                self.h, self.w, mv_full, self.pallas)
+            self._fused_fn_cache[mv_full] = fn
+        return fn
+
+    def _step_fused(self, packed: "_PackedBatch"):
+        """Reconstruct from the fused staging rows: ONE device transfer of
+        [mv8 | interbits | d24[:3*cut]] per step.
+
+        Shape stability: the native-chosen cut is one of the ladder's <=3
+        values, and the MV mode is sticky (slim until the first frame with
+        varied block MVs), so at most 3 transfer signatures exist per MV
+        mode.  The flip step itself (varied MVs discovered while the rows
+        carry slim MVs) re-ships over the legacy three-leaf transport —
+        its full int16 MVs are always maintained — and every later parse
+        writes full-stride rows.
+        """
+        import jax
+
+        if packed.varied_mvs.any() and packed.fused_mv_stride == 2:
+            self._mv_full = True  # next parses use stride-8 rows
+            nmb = self.mb_w * self.mb_h
+            off = nmb * 2 + (nmb + 7) // 8
+            with trace_stage("bucket_slice"):
+                coef = np.ascontiguousarray(
+                    packed.fused[:, off:off + 3 * packed.cut])
+            host = (coef, packed.mvs, packed.inter)
+            with trace_stage("transfer"):
+                dev = jax.device_put(host)
+            with trace_stage("reconstruct_dispatch"):
+                y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb,
+                                            self.ref_cr)
+            nbytes = sum(a.nbytes for a in host)
+        else:
+            mv_full = packed.fused_mv_stride == 8
+            nmb = self.mb_w * self.mb_h
+            length = (nmb * packed.fused_mv_stride + (nmb + 7) // 8
+                      + 3 * packed.cut)
+            with trace_stage("bucket_slice"):
+                buf = np.ascontiguousarray(packed.fused[:, :length])
+            with trace_stage("transfer"):
+                dev = jax.device_put(buf)
+            with trace_stage("reconstruct_dispatch"):
+                y, cb, cr = self._fused_fn(mv_full)(
+                    dev, self.ref_y, self.ref_cb, self.ref_cr)
+            nbytes = buf.nbytes
+        self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
+        packed.in_flight = (y, cb, cr)  # buffer reuse gate, next_packed_batch
+        incr("frames_decoded", self.n)
+        incr("steps")
+        incr("steps_fused")
+        incr("transfer_bytes", nbytes)
         return y, cb, cr
 
     def submit_step(self, buffers: Sequence[bytes]):

@@ -88,6 +88,67 @@ def _sniff_sorenson(buf: bytes):
     return w, h, ptype == 0
 
 
+class PoolStepResult:
+    """Device-resident results of one pool decode step.
+
+    Mapping-shaped: `result[sid]` returns that stream's (y, cb, cr) numpy
+    planes — an EXPLICIT host readback, sliced on device first so only one
+    stream's planes cross the link (never the whole batch plane, per the
+    tunnel-readback guidance in CLAUDE.md).  A steady-state serving step
+    that never indexes the result performs ZERO host fetches (VERDICT r2
+    item 6): the batched arrays stay in HBM and the next step chains off
+    them.  `device_planes(sid)` hands back the device-resident slices for
+    on-device post-processing; `fetch_all()` is the bulk readback.
+    """
+
+    __slots__ = ("_entries", "_cache")
+
+    def __init__(self):
+        self._entries: dict = {}  # sid -> (y, cb, cr batched dev arrays, slot)
+        self._cache: dict = {}
+
+    def _add(self, sid, y, cb, cr, slot: int) -> None:
+        self._entries[sid] = (y, cb, cr, slot)
+
+    def device_planes(self, sid):
+        """(y, cb, cr) as device-resident jax arrays for one stream."""
+        y, cb, cr, slot = self._entries[sid]
+        return y[slot], cb[slot], cr[slot]
+
+    def __getitem__(self, sid):
+        got = self._cache.get(sid)
+        if got is None:
+            incr("pool_host_fetches")
+            y, cb, cr = self.device_planes(sid)
+            got = (np.asarray(y), np.asarray(cb), np.asarray(cr))
+            self._cache[sid] = got
+        return got
+
+    def fetch_all(self) -> dict:
+        """{sid: (y, cb, cr) numpy} for every decoded stream (bulk
+        readback; one sliced fetch per stream)."""
+        return {sid: self[sid] for sid in self._entries}
+
+    def __contains__(self, sid):
+        return sid in self._entries
+
+    def __iter__(self):
+        return iter(self._entries)
+
+    def __len__(self):
+        return len(self._entries)
+
+    def keys(self):
+        return self._entries.keys()
+
+    def items(self):
+        """(sid, (y, cb, cr) numpy) pairs — explicit per-stream fetches."""
+        return ((sid, self[sid]) for sid in self._entries)
+
+    def values(self):
+        return (self[sid] for sid in self._entries)
+
+
 class StreamPool:
     """Decode many streams of mixed resolutions with dynamic membership.
 
@@ -96,9 +157,13 @@ class StreamPool:
         pool.add_stream("a", 352, 288)
         pool.add_stream("b", 176, 144)
         planes = pool.decode_step({"a": buf_a, "b": buf_b})
-        planes["a"]                    # -> (y, cb, cr) numpy arrays
+        planes["a"]                    # -> (y, cb, cr) numpy (explicit fetch)
+        planes.device_planes("a")      # -> device-resident, no readback
         pool.remove_stream("b")        # slot recycled
         pool.add_stream("c", 176, 144) # reuses b's slot, fresh state
+
+    Results are device-resident (PoolStepResult): nothing crosses the
+    host<->device link unless explicitly indexed/fetched.
     """
 
     def __init__(self, decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
@@ -241,14 +306,14 @@ class StreamPool:
 
     # -- decode ---------------------------------------------------------------
 
-    def decode_step(self, buffers: dict) -> dict:
+    def decode_step(self, buffers: dict) -> PoolStepResult:
         """Decode one frame for each stream present in `buffers`.
 
         Registered streams absent from `buffers` keep their state and
         planes (their slots pad with skip frames).  A stream whose frame
-        is an I-frame at new dimensions is rebucketed first.  Returns
-        stream_id -> (y, cb, cr) numpy arrays for the streams decoded
-        this step.
+        is an I-frame at new dimensions is rebucketed first.  Returns a
+        PoolStepResult mapping stream_id -> (y, cb, cr): device-resident
+        until explicitly indexed (zero host fetches in steady state).
         """
         unknown = set(buffers) - set(self._dims)
         if unknown:
@@ -267,7 +332,7 @@ class StreamPool:
         for key in list(self._pending):
             self._finalize(key)
 
-        out = {}
+        out = PoolStepResult()
         for key, bucket in self._buckets.items():
             dec = bucket.dec
             mask = bucket.mask(buffers)
@@ -278,19 +343,21 @@ class StreamPool:
                 if mask[slot]:
                     batch[slot] = buffers[sid]
             y, cb, cr = dec.decode_step(batch, mask=mask)
-            y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
             for sid, slot in bucket.slots.items():
                 if mask[slot]:
-                    out[sid] = (y[slot], cb[slot], cr[slot])
+                    out._add(sid, y, cb, cr, slot)
         return out
 
     def present_rgba(self, deblock: Optional[bool] = None) -> dict:
-        """RGBA for every registered stream's last decoded frame."""
+        """Device-resident RGBA for every registered stream's last decoded
+        frame: {sid: jax array [H, W, 4]} — sliced per stream on device;
+        fetch with np.asarray only when the pixels are actually needed
+        host-side (each fetch crosses the link for one stream only)."""
         out = {}
         for key, bucket in self._buckets.items():
             if not bucket.slots:
                 continue
-            rgba = np.asarray(bucket.dec.present_rgba(deblock))
+            rgba = bucket.dec.present_rgba(deblock)
             for sid, slot in bucket.slots.items():
                 out[sid] = rgba[slot]
         return out

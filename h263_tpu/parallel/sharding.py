@@ -23,13 +23,16 @@ def make_stream_mesh(devices=None):
     return Mesh(np.asarray(devices), ("stream",))
 
 
-def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off"):
+def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off",
+                         mv_full=False):
     """A jitted, stream-sharded batched reconstruction program.
 
     All inputs/outputs are sharded on their leading stream axis; the batch
     size must be divisible by the mesh size.  packed=True/"u32" shards the
     combined-u32 packed transport program, packed="split" the large-picture
-    split transport (int32 positions + int16 values), False the dense one.
+    split transport (int32 positions + int16 values), packed="d24f" the
+    fused single-leaf transport (the production default — `mv_full`
+    selects the slim/full MV row layout), False the dense one.
     `pallas` selects the kernel backend for the packed programs ("off",
     "tpu", or "interpret"), matching BatchedStreamDecoder.
     """
@@ -39,6 +42,7 @@ def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off"):
     from ..decoder.reconstruct import (
         reconstruct_frame_batched,
         reconstruct_frame_packed_d24,
+        reconstruct_frame_packed_d24_fused,
         reconstruct_frame_packed_split,
         reconstruct_frame_packed_u32,
     )
@@ -47,6 +51,11 @@ def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off"):
     if packed == "split":
         fn = functools.partial(reconstruct_frame_packed_split, pallas=pallas)
         n_in = 7
+    elif packed == "d24f":
+        fn = functools.partial(
+            reconstruct_frame_packed_d24_fused, mv_full=mv_full,
+            mbh=-(-h // 16), mbw=-(-w // 16), pallas=pallas)
+        n_in = 4
     elif packed == "d24":
         fn = functools.partial(reconstruct_frame_packed_d24, pallas=pallas)
         n_in = 6

@@ -16,6 +16,8 @@ runs a long one.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..bitio import BitReader
@@ -183,6 +185,138 @@ def _agree(buf: bytes, width: int, height: int, opts, running,
     return True, ""
 
 
+def _rand_d24_frame(rng: np.random.Generator, width: int, height: int) -> bytes:
+    """Frame generator biased at the delta24 transport's edge cases:
+
+    * long empty stretches between coefficients — a gap > 4095 in ordinal
+      (mb, block, zigzag) space needs ~11 consecutive coefficient-free
+      macroblocks and forces advance-only escape entries
+      (entropy.cpp emit(): gap > 4095 loop);
+    * zigzag-overflow blocks (run sums past position 63) — the whole block
+      is discarded and the emitter REWINDS the pack cursor
+      (decode_block `discard` path), while later blocks still emit;
+    * both Sorenson escape widths (version 0/1), INTRADC, INTER4V.
+    """
+    nmb = (-(-width // 16)) * (-(-height // 16))
+    ptype = (PictureTypeCode.I_FRAME if rng.random() < 0.25
+             else PictureTypeCode.P_FRAME)
+    sparse = rng.random() < 0.6  # sparse frames hit the gap>4095 escapes
+    mbs = []
+    for _ in range(nmb):
+        if ptype is PictureTypeCode.P_FRAME and rng.random() < (
+                0.9 if sparse else 0.25):
+            mbs.append(MBSpec(kind="uncoded"))
+            continue
+        blocks = []
+        for _ in range(6):
+            acs = []
+            roll = rng.random()
+            if roll < (0.08 if sparse else 0.4):
+                for _ in range(int(rng.integers(1, 5))):
+                    lvl = int(rng.integers(1, 40))
+                    acs.append((int(rng.integers(0, 10)),
+                                lvl if rng.random() < 0.5 else -lvl))
+            elif roll < (0.12 if sparse else 0.5):
+                # zigzag overflow: runs sum past 63 -> block discard+rewind
+                acs = [(30, 5), (30, -7), (30, 9)]
+            blocks.append(acs)
+        if ptype is PictureTypeCode.I_FRAME:
+            dc = int(rng.integers(1, 255)) * 8 % 2048 or 8
+            mbs.append(MBSpec(kind="intra", intradc=[dc] * 6, blocks=blocks))
+        elif rng.random() < 0.15:
+            mvd = [(int(rng.integers(-8, 9)), int(rng.integers(-8, 9)))
+                   for _ in range(4)]
+            mbs.append(MBSpec(kind="inter4v", mvd=mvd, blocks=blocks))
+        else:
+            mvd = [(int(rng.integers(-8, 9)), int(rng.integers(-8, 9)))]
+            mbs.append(MBSpec(kind="inter", mvd=mvd, blocks=blocks))
+    return encode_sorenson_picture(
+        width, height, ptype, mbs,
+        quantizer=int(rng.integers(1, 32)),
+        temporal_reference=int(rng.integers(0, 256)),
+        version=1 if rng.random() < 0.5 else 0)
+
+
+@functools.lru_cache(maxsize=8)
+def _d24_decode_fn(mbh: int, mbw: int):
+    import jax
+
+    from ..decoder.reconstruct import d24_to_posval
+
+    return jax.jit(functools.partial(d24_to_posval, mbh=mbh, mbw=mbw))
+
+
+def _agree_d24(buf: bytes, width: int, height: int) -> tuple[bool, str]:
+    """Round-trip the d24 transport end-to-end against the Python dense
+    front-end: native emit (entropy.cpp F_PACK_DELTA24) -> the production
+    device decode (reconstruct.d24_to_posval, jit on CPU) -> scatter-add
+    -> must equal the dense coefficient tensors exactly; mvs/inter too.
+    Parse failures must agree on the error class."""
+    from ..native.bindings import PackOverflow, parse_frame_native_packed
+
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    nmb = mb_w * mb_h
+
+    try:
+        a, ea = _outcome_python(buf, width, height, _OPTS,
+                                PictureOption.NONE), None
+    except H263Error as e:
+        a, ea = None, type(e).__name__
+
+    cap = 12 * nmb + 256
+    pack = np.zeros(3 * cap, dtype=np.uint8)
+    mvs = np.zeros((mb_h, mb_w, 4, 2), dtype=np.int16)
+    mvs_slim = np.zeros((mb_h, mb_w, 2), dtype=np.int16)
+    inter = np.ones((mb_h, mb_w), dtype=np.uint8)
+    scratch = np.zeros((nmb, 4, 2), dtype=np.int16)
+    try:
+        r = BitReader(buf)
+        pic = decode_picture(r, _OPTS, None)
+        count, _ = parse_frame_native_packed(
+            buf, r.pos, pic, _OPTS, PictureOption.NONE, width, height,
+            pack, mvs, inter, scratch, transport="d24", mvs_slim=mvs_slim)
+        # The caller owns tail padding (bindings docstring): entries past
+        # `count` may be stale leftovers of discard-rewound blocks or
+        # EOF-rolled-back macroblocks.  The production paths pad in
+        # h263_sorenson_decode_frame / the fused batch's bucket padding /
+        # parse_batch_packed_standard; mirror that here.
+        pack[3 * count:] = 0
+        eb = None
+    except PackOverflow:
+        # Production falls back to the dense transport; not a mismatch.
+        return True, "overflow-skip"
+    except H263Error as e:
+        eb = type(e).__name__
+    if (a is None) != (eb is not None):
+        return False, f"python={ea or 'ok'} d24={eb or 'ok'}"
+    if a is None:
+        return (ea == eb), f"python={ea} d24={eb}"
+
+    pos, val = _d24_decode_fn(mb_h, mb_w)(pack[None, :])
+    pos = np.asarray(pos)[0].astype(np.int64)
+    val = np.asarray(val)[0].astype(np.int32)
+    dense = np.zeros(6 * nmb * 64 + 1, dtype=np.int32)
+    np.add.at(dense, np.minimum(pos, 6 * nmb * 64), val)
+    dense = dense[:-1]
+
+    want = np.concatenate([
+        a.coeffs_y.reshape(4 * nmb, 64),
+        a.coeffs_cb.reshape(nmb, 64),
+        a.coeffs_cr.reshape(nmb, 64)]).reshape(-1).astype(np.int32)
+    if not np.array_equal(dense, want):
+        bad = int(np.flatnonzero(dense != want)[0])
+        return False, (f"coefficient {bad}: d24 {dense[bad]} "
+                       f"vs dense {want[bad]} (count={count})")
+    if not np.array_equal(mvs, a.mvs):
+        return False, "mvs differ"
+    if not np.array_equal(inter.astype(bool), a.inter):
+        return False, "inter differs"
+    if not np.array_equal(mvs_slim, a.mvs[:, :, 0, :]):
+        return False, "mvs_slim differs"
+    return True, ""
+
+
 def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
                  height: int = 80, mutations_per_base: int = 10,
                  on_fail=None, flavor: str = "sorenson") -> tuple[int, int]:
@@ -196,12 +330,36 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
     CIF-family size and randomly injects carried UNRESTRICTED_MOTION_VECTORS
     running options (plain-PTYPE headers alone never activate UMV — their
     OPPTYPE-class bits are discarded by the carry-forward rule, so the
-    wraparound path is reachable only via carried state).
+    wraparound path is reachable only via carried state).  "d24"
+    round-trips the delta24 transport end-to-end (native emit -> the
+    production device decode -> scatter) against the Python dense
+    front-end, biased at the gap>4095 escape and discard-rewind edges
+    (VERDICT r2 #7).
     """
     from ..native import ensure_built
 
     if not ensure_built():
         raise RuntimeError("native front-end unavailable")
+    if flavor == "d24":
+        rng = np.random.default_rng(seed)
+        report = on_fail or (lambda tag, why: print(f"MISMATCH {tag}: {why}"))
+        total = fails = 0
+        for i in range(n_base):
+            base = _rand_d24_frame(rng, width, height)
+            ok, why = _agree_d24(base, width, height)
+            total += 1
+            if not ok:
+                fails += 1
+                report(f"base[{i}]", why)
+            for m in range(mutations_per_base):
+                mut = _mutate(rng, base,
+                              lambda: _rand_d24_frame(rng, width, height))
+                ok, why = _agree_d24(mut, width, height)
+                total += 1
+                if not ok:
+                    fails += 1
+                    report(f"mut[{i}.{m}]", why)
+        return total, fails
     if flavor == "standard":
         opts = DecoderOption.NONE
         cif_family = {(128, 96), (176, 144), (352, 288), (704, 576),

@@ -1,28 +1,43 @@
 """Generate the independent (non-self-encoded) FLV1 test corpus.
 
 Uses OpenCV's ffmpeg backend to ENCODE Sorenson Spark (FLV1) video into a
-real FLV container and to DECODE it back, then stores both the bitstream
-and ffmpeg's decoded luma planes as fixtures.  Everything about these
-files — encoder decisions, VLC emission, container layout, decoder
-output — comes from ffmpeg, which shares no code or tables with this
-repository, so a decode parity test against them is independent evidence
-(VERDICT.md round 1, "What's missing" #1/#2 and Weak #9: all prior
-corpora were produced by h263_tpu.testing.encoder, which shares
-vlc_tables.py with the decoder under test).
+real FLV container and to DECODE it back, then stores the bitstream plus
+ffmpeg's decoded output as fixtures.  Everything about these files —
+encoder decisions, VLC emission, container layout, decoder output — comes
+from ffmpeg, which shares no code or tables with this repository, so a
+decode parity test against them is independent evidence (VERDICT r1 "What's
+missing" #1/#2; corpus breadth + chroma evidence extended per VERDICT r2
+#3/#4).
+
+Stored goldens per fixture (ffmpeg_flv1_<name>.flv + ..._golden.npz):
+  luma     uint8 [N, H, W]     — ffmpeg's decoded Y plane, every frame
+                                 (OpenCV CAP_PROP_CONVERT_RGB=0 returns
+                                 the raw Y plane of yuv420p as 8UC1; this
+                                 build exposes no raw chroma).
+  bgr      uint8 [K, H, W, 3]  — ffmpeg's full color decode (its own
+                                 yuv420p -> BGR swscale conversion) for a
+                                 subset of frames: the CHROMA ORACLE.
+  bgr_idx  int64 [K]           — which frames the bgr goldens cover.
 
 Expected skew: ffmpeg's decoder uses its own IDCT (not the reference's
-sequential-FMA float IDCT), so reconstructed pixels may differ by ±1 per
-the H.263 IDCT accuracy envelope; the parity test asserts max |Y diff|
-<= 1 and >= 99% exact pixels per frame.  Entropy-layer errors (VLC
-tables, headers, MV prediction) would produce gross differences, not
-±1 rounding skew.
+sequential-FMA float IDCT), so Y differs by <= +/-1 per the H.263 IDCT
+accuracy envelope.  At the BGR level, ffmpeg bilinearly upsamples chroma
+while Flash (and this decoder, bt601.rs:96-98) replicates it, so the
+comparison content keeps chroma low-frequency: where chroma is locally
+smooth the two upsamplings agree to ~1 unit and the total envelope stays
+|diff| <= ~6 per channel (IDCT wiggle x conversion gain + upsample skew).
+Entropy-layer errors (VLC tables, headers, MV prediction, chroma MV
+rounding, dequant) would produce gross differences, not single-unit skew.
+
+Fixture axes (VERDICT r2 #4): long GOP (drift), high motion, odd
+non-multiple-of-16 dims, a rate-controlled quantizer sweep, and 720p.
 
 Run:  python tests/fixtures/make_ffmpeg_corpus.py
-Writes: ffmpeg_flv1_<name>.flv + ffmpeg_flv1_<name>_luma.npz
 """
 
 from __future__ import annotations
 
+import os
 import pathlib
 
 import numpy as np
@@ -30,39 +45,65 @@ import numpy as np
 HERE = pathlib.Path(__file__).parent
 
 
-def synth_frames(w, h, n, seed):
-    """Deterministic structured content: gradients, motion, shapes."""
+def synth_frames(w, h, n, seed, motion=2, luma_noise=0.0):
+    """Deterministic structured content with LOW-FREQUENCY chroma.
+
+    Luma carries gradients, moving shapes, and optional noise (noise rides
+    equally on all channels, i.e. mostly luma); color arrives as smooth
+    sinusoidal offsets so the replicated-vs-bilinear chroma upsampling skew
+    between Flash-style and ffmpeg presentation stays ~1 unit (see module
+    docstring)."""
     import cv2
 
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
     frames = []
     for t in range(n):
-        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
-        img = ((xx + 3 * t) % 256 * 0.5 + yy * 1.2
-               + 20 * np.sin(xx / 17 + t / 2)).astype(np.float32)
-        img = np.clip(img, 0, 255).astype(np.uint8)
-        bgr = np.stack([img, np.roll(img, t, axis=0), 255 - img], axis=-1)
-        bgr = np.ascontiguousarray(bgr)
-        cv2.circle(bgr, (w // 6 + (w // 22) * t, h // 2 - 12), 14,
-                   (255, 200, 30), -1)
-        cv2.rectangle(bgr, (w - 60 - t * 2, h - 50), (w - 20 - t * 2, h - 20),
-                      (40, 255, 120), -1)
+        y = ((xx + motion * 1.5 * t) % 256 * 0.45 + yy * 0.9
+             + 22 * np.sin(xx / 23 + t / 2.5) + 60)
+        if luma_noise:
+            y = y + rng.normal(0, luma_noise, y.shape)
+        cb_off = 34 * np.sin(xx / 53 + t / 5.0) + 18 * np.cos(yy / 47)
+        cr_off = 30 * np.cos((xx + yy) / 61 - t / 6.0)
+        b = np.clip(y + cb_off, 0, 255)
+        r = np.clip(y + cr_off, 0, 255)
+        g = np.clip(y - 0.3 * (cb_off + cr_off), 0, 255)
+        bgr = np.ascontiguousarray(
+            np.stack([b, g, r], axis=-1).astype(np.uint8))
+        cx = int(w // 6 + motion * 2.5 * t) % max(w - 30, 1) + 15
+        cy = h // 2 - 8
+        cv2.circle(bgr, (cx, cy), max(10, h // 12), (190, 150, 90), -1)
+        rx = (w - 60 - motion * t) % max(w - 50, 1)
+        cv2.rectangle(bgr, (rx, h - 46), (rx + 34, h - 18),
+                      (80, 170, 140), -1)
         frames.append(bgr)
     return frames
 
 
-def make(name, w, h, n, fps=15, seed=0):
+def make(name, w, h, n, fps=15, seed=0, motion=2, luma_noise=0.0,
+         writer_options="", bgr_every=4):
     import cv2
 
-    path = HERE / f"ffmpeg_flv1_{name}.flv"
-    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"FLV1"), fps,
-                         (w, h))
-    assert wr.isOpened(), "ffmpeg FLV1 encoder unavailable"
-    for f in synth_frames(w, h, n, seed):
-        wr.write(f)
-    wr.release()
+    # Writer options (gop length, bitrate for the quantizer sweep) pass to
+    # ffmpeg's encoder through OpenCV's env hook.
+    old = os.environ.pop("OPENCV_FFMPEG_WRITER_OPTIONS", None)
+    if writer_options:
+        os.environ["OPENCV_FFMPEG_WRITER_OPTIONS"] = writer_options
+    try:
+        path = HERE / f"ffmpeg_flv1_{name}.flv"
+        wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"FLV1"),
+                             fps, (w, h))
+        assert wr.isOpened(), "ffmpeg FLV1 encoder unavailable"
+        for f in synth_frames(w, h, n, seed, motion, luma_noise):
+            wr.write(f)
+        wr.release()
+    finally:
+        os.environ.pop("OPENCV_FFMPEG_WRITER_OPTIONS", None)
+        if old is not None:
+            os.environ["OPENCV_FFMPEG_WRITER_OPTIONS"] = old
 
-    # ffmpeg's own decode, raw luma (CAP_PROP_CONVERT_RGB=0 yields the Y
-    # plane of yuv420p as an 8UC1 image).
+    # ffmpeg's own decode: raw luma for every frame...
     cap = cv2.VideoCapture(str(path))
     cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
     lumas = []
@@ -71,12 +112,46 @@ def make(name, w, h, n, fps=15, seed=0):
         if not ok:
             break
         lumas.append(f[:h].reshape(h, w).copy())
+    cap.release()
     assert len(lumas) == n, (len(lumas), n)
-    np.savez_compressed(HERE / f"ffmpeg_flv1_{name}_luma.npz",
-                        luma=np.stack(lumas))
-    print(f"{path.name}: {path.stat().st_size} B, {n} frames {w}x{h}")
+
+    # ...and full BGR (chroma oracle) for a subset.
+    bgr_idx = sorted(set(range(0, n, bgr_every)) | {n - 1})
+    cap = cv2.VideoCapture(str(path))
+    bgrs = []
+    for t in range(n):
+        ok, f = cap.read()
+        assert ok, t
+        if t in bgr_idx:
+            bgrs.append(f.copy())
+    cap.release()
+
+    np.savez_compressed(
+        HERE / f"ffmpeg_flv1_{name}_golden.npz",
+        luma=np.stack(lumas), bgr=np.stack(bgrs),
+        bgr_idx=np.asarray(bgr_idx, dtype=np.int64))
+    print(f"{path.name}: {path.stat().st_size} B, {n} frames {w}x{h}, "
+          f"{len(bgr_idx)} bgr goldens")
 
 
 if __name__ == "__main__":
     make("qcif", 176, 144, 12)
-    make("cif", 352, 288, 8)
+    make("cif", 352, 288, 8, motion=3)
+    # Sustained decode: 120 frames.  NOTE: OpenCV's writer hardcodes
+    # gop_size=12 after applying env options (probed: "g;200",
+    # "gop_size;200", "keyint_min"/"sc_threshold" all ignored), so a true
+    # 100-frame P-run is not producible with the in-image tooling; this
+    # fixture gives 10 consecutive GOPs — per-GOP drift plus every
+    # I-frame-reset boundary.  Longer P-runs are covered by the repo
+    # encoder's soak tests against the numpy golden (tests/test_soak.py).
+    make("longgop", 176, 144, 120, writer_options="g;200", bgr_every=12)
+    # High motion: large per-frame displacement exercises the MV range.
+    make("motion", 352, 288, 24, motion=10, writer_options="g;200")
+    # Odd dims: width/height not multiples of 16 (partial edge macroblocks).
+    make("odd", 120, 90, 16, motion=3)
+    # Quantizer sweep: noisy luma + starved rate control walks the
+    # quantizer up from 3 into the teens (per-MB DQUANT activity too).
+    make("quant", 176, 144, 40, luma_noise=28.0,
+         writer_options="b;40000|g;200", bgr_every=8)
+    # 720p: the large-picture transport/serving shape.
+    make("p720", 1280, 720, 6, motion=4, bgr_every=5)

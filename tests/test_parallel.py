@@ -58,14 +58,18 @@ class TestSharding:
         assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
         mesh = make_stream_mesh()
         fn = shard_reconstruct_fn(mesh, 32, 32)
-        # d24 is the decoder's default transport; the injected sharded
-        # program must match it.
+        # The fused d24 single-leaf transport is the decoder's production
+        # default; inject its sharded programs (both MV row layouts) plus
+        # the legacy d24 program (varied-MV flip step fallback).
         pfn = shard_reconstruct_fn(mesh, 32, 32, packed="d24")
+        ffns = {m: shard_reconstruct_fn(mesh, 32, 32, packed="d24f",
+                                        mv_full=m) for m in (False, True)}
 
         n = 8
         per_stream = [_stream_frames(seed, n_p=2) for seed in range(n)]
         batched = BatchedStreamDecoder(n, 32, 32, SORENSON, reconstruct_fn=fn,
-                                       packed_reconstruct_fn=pfn)
+                                       packed_reconstruct_fn=pfn,
+                                       fused_reconstruct_fns=ffns)
         singles = [H263Decoder(SORENSON, backend="numpy") for _ in range(n)]
         for t in range(3):
             y, cb, cr = batched.decode_step([per_stream[i][t] for i in range(n)])
@@ -746,15 +750,29 @@ class TestPipelineFailureRecovery:
         golden = BatchedStreamDecoder(n, 32, 32, SORENSON)
 
         real_fn = dec._packed_fn
+        real_fused_fn = dec._fused_fn
         calls = {"n": 0}
 
-        def flaky(*args):
+        def _maybe_fail():
             calls["n"] += 1
             if calls["n"] == 2:  # fail the second step's device stage
                 raise RuntimeError("transient device failure")
+
+        def flaky(*args):
+            _maybe_fail()
             return real_fn(*args)
 
+        def flaky_fused(mv_full):
+            inner = real_fused_fn(mv_full)
+
+            def wrapped(*args):
+                _maybe_fail()
+                return inner(*args)
+
+            return wrapped
+
         dec._packed_fn = flaky
+        dec._fused_fn = flaky_fused
         fut0 = dec.submit_step([frames[0]] * n)
         fut1 = dec.submit_step([frames[1]] * n)
         np.asarray(fut0.result()[0])

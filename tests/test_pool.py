@@ -247,3 +247,44 @@ def test_pool_randomized_churn_vs_singles():
                 out[sid][0], pic.as_luma(), err_msg=f"{sid} step {step}")
             live[sid][2] += 1
     assert corrupt_seen >= 1, "schedule never exercised a corrupt frame"
+
+
+def test_pool_steady_state_zero_host_fetches():
+    """VERDICT r2 item 6: a steady-state pool step performs ZERO implicit
+    device->host fetches — results stay device-resident until indexed.
+    (On the real tunnel the first readback of a computed array permanently
+    degrades the process to ~1 s/dispatch; the serving API must therefore
+    never fetch on its own.)"""
+    from h263_tpu.utils import trace
+
+    fa = _frames(31, 64, 48, n=5)
+    fb = _frames(32, 32, 32, n=5)
+    pool = StreamPool(SORENSON)
+    pool.add_stream("a", 64, 48)
+    pool.add_stream("b", 32, 32)
+
+    before = trace.get_counters().get("pool_host_fetches", 0)
+    results = []
+    for t in range(5):
+        results.append(pool.decode_step({"a": fa[t], "b": fb[t]}))
+    base = trace.get_counters().get("pool_host_fetches", 0)
+    assert base == before, "steady-state steps must not fetch"
+
+    # device_planes is fetch-free too.
+    y, cb, cr = results[-1].device_planes("a")
+    assert y.shape == (48, 64)
+    assert trace.get_counters().get("pool_host_fetches", 0) == base
+
+    # Explicit indexing IS the fetch, counted and cached, and matches the
+    # scalar reference decoder.
+    ref = H263Decoder(SORENSON, backend="numpy")
+    for f in fa:
+        pic = ref.decode_next_picture(f)
+    ya, cba, cra = results[-1]["a"]
+    n_fetch = trace.get_counters().get("pool_host_fetches", 0)
+    assert n_fetch == base + 1
+    results[-1]["a"]  # cached: no second fetch
+    assert trace.get_counters().get("pool_host_fetches", 0) == n_fetch
+    np.testing.assert_array_equal(ya, pic.as_luma())
+    np.testing.assert_array_equal(cba, pic.as_chroma_b())
+    np.testing.assert_array_equal(cra, pic.as_chroma_r())
