@@ -138,7 +138,7 @@ def ensure_built() -> bool:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.h263_parse_frame.restype = ctypes.c_int
             lib.h263_abi_version.restype = ctypes.c_int
-            assert lib.h263_abi_version() == 5
+            assert lib.h263_abi_version() == 6
             _lib = lib
             NATIVE_AVAILABLE = True
             if not os.environ.get("H263_TPU_NO_FASTCALL"):
@@ -255,7 +255,7 @@ def parse_frame_native(data: bytes, start_bit: int, picture: Picture,
         pred_scratch.ctypes.data_as(ctypes.c_void_p),
         None, None, ctypes.c_int32(0), None,
         ctypes.byref(end_bit), None,
-        None, None, ctypes.c_int32(0),  # fused outputs unused here
+        None, None, ctypes.c_int32(0), None,  # fused/flag outputs unused
     )
     if rc != 0:
         exc = _ERROR_MAP.get(rc, InternalDecoderError)
@@ -336,7 +336,7 @@ def parse_frame_native_packed(data: bytes, start_bit: int, picture: Picture,
         ctypes.byref(end_bit),
         mvs_slim.ctypes.data_as(ctypes.c_void_p)
         if mvs_slim is not None else None,
-        None, None, ctypes.c_int32(0),  # fused outputs unused here
+        None, None, ctypes.c_int32(0), None,  # fused/flag outputs unused
     )
     if rc != 0:
         exc = _ERROR_MAP.get(rc, InternalDecoderError)

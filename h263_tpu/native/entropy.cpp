@@ -61,6 +61,16 @@ enum {
   // never-shipped tail of the capacity buffer is left untouched instead of
   // being memset every frame (~10 KB/stream of dead stores at CIF).
   F_NO_TAIL_PAD = 32,
+  // Lazy full-MV maintenance (fused slim rows): skip the int16 mvs memset
+  // and per-MB stores — ~12.7 KB/stream/frame of memory traffic — and
+  // only materialize mvs when a varied-block-MV macroblock appears
+  // (backfilling earlier MBs from the int8 slim rows, which replicate
+  // exactly for non-4V MBs).  Valid only for Sorenson (no GOB resync, so
+  // decoded MBs occupy a contiguous prefix) with mv8 present.  When the
+  // frame ends without varied MVs, the mvs array is left UNDEFINED — the
+  // fused batch caller backfills it for non-varied streams if (and only
+  // if) the batch takes the legacy-transport flip step.
+  F_MV16_LAZY = 64,
 };
 
 // ---- block classes (types.py BLOCK_CLASS_*) ----
@@ -578,7 +588,12 @@ int h263_parse_frame(
     //               guaranteed to fit int8 ([-64, 63]) whenever the UMV
     //               option is off — the fused transport is only used then.
     //   inter_bits: 1 bit per MB, MSB-first within each byte; 1 = INTER.
-    uint8_t* mv8, uint8_t* inter_bits, int32_t mv8_stride) {
+    uint8_t* mv8, uint8_t* inter_bits, int32_t mv8_stride,
+    // Optional in-loop flag accumulator: bit0 = any INTER macroblock
+    // (including synthesized tail MBs), bit1 = any MB whose four block
+    // MVs differ.  Computed during the MB loop, replacing the callers'
+    // post-scans over inter[]/mvs[] (~6.7 KB/stream of re-reads).
+    int32_t* mb_flags_out) {
   // Copy the frame into a zero-padded scratch buffer so the hot loop can
   // use branch-free reads; reads past the logical end return zero bits and
   // the overrun is detected per macroblock / per block (see below).
@@ -619,11 +634,20 @@ int h263_parse_frame(
   // reused across steps in the batch path, so they MUST be re-initialized
   // here — a legally truncated frame otherwise reuses a previous step's
   // motion vectors (stale-buffer bug found in round 2).
-  if (mvs) std::memset(mvs, 0, (size_t)nmb * 8 * sizeof(int16_t));
+  // Lazy full-MV mode (see F_MV16_LAZY): valid only when decoded MBs form
+  // a contiguous prefix (Sorenson: no GOB resync) and slim int8 MVs are
+  // being written — mvs stays untouched until a varied-MV MB appears.
+  const bool mv16_lazy = (flags & F_MV16_LAZY) && mv8 != nullptr
+                         && mv8_stride == 2 && (flags & F_SORENSON);
+  bool mv16_live = !mv16_lazy && mvs != nullptr;
+  if (mvs && mv16_live) std::memset(mvs, 0, (size_t)nmb * 8 * sizeof(int16_t));
   if (mvs_slim) std::memset(mvs_slim, 0, (size_t)nmb * 4);
   if (inter) std::memset(inter, 1, (size_t)nmb);
   if (mv8) std::memset(mv8, 0, (size_t)nmb * (size_t)mv8_stride);
   if (inter_bits) std::memset(inter_bits, 0xFF, (size_t)((nmb + 7) / 8));
+  int32_t any_inter_acc = 0;
+  int32_t varied_acc = 0;
+  int n_stored = 0;
 
   PredCtx pctx;
   pctx.preds = reinterpret_cast<int16_t (*)[4][2]>(pred_scratch);
@@ -769,13 +793,20 @@ int h263_parse_frame(
       bool fourv = mb_type == 2 || mb_type == 5;
 
       if (is_inter) {
-        int16_t pred[2];
-        predict(pctx, cur_mvs, 0, pred);
+        // Excess MBs past the picture's count (tolerated when uncoded /
+        // coefficient-free, matching the reference) must not run the
+        // spatial predictor: pctx.count keeps advancing but the predictor
+        // array holds only nmb rows, so the left-neighbour read
+        // preds[count-1] would run off the buffer (ASan-caught, round 3).
+        // Their MVs influence nothing — no store, no predictor push.
+        int16_t pred[2] = {0, 0};
+        if (in_range) predict(pctx, cur_mvs, 0, pred);
         cur_mvs[0][0] = halfpel_decode(mvctx, pred[0], mvds[0][0], true);
         cur_mvs[0][1] = halfpel_decode(mvctx, pred[1], mvds[0][1], false);
         if (fourv) {
           for (int k = 1; k < 4; k++) {
-            predict(pctx, cur_mvs, k, pred);
+            pred[0] = pred[1] = 0;
+            if (in_range) predict(pctx, cur_mvs, k, pred);
             cur_mvs[k][0] = halfpel_decode(mvctx, pred[0], mvds[k][0], true);
             cur_mvs[k][1] = halfpel_decode(mvctx, pred[1], mvds[k][1], false);
           }
@@ -857,9 +888,37 @@ int h263_parse_frame(
       const bool inter_mb =
           mb_type == 0 || mb_type == 1 || mb_type == 2 || mb_type == 5;
       inter[mbi] = inter_mb ? 1 : 0;
-      for (int k = 0; k < 4; k++) {
-        mvs[(mbi * 4 + k) * 2 + 0] = cur_mvs[k][0];
-        mvs[(mbi * 4 + k) * 2 + 1] = cur_mvs[k][1];
+      any_inter_acc |= (int32_t)inter_mb;
+      n_stored++;
+      const bool mb_fourv = mb_type == 2 || mb_type == 5;
+      if (mb_fourv && !varied_acc) {
+        for (int k = 1; k < 4; k++) {
+          if (cur_mvs[k][0] != cur_mvs[0][0] ||
+              cur_mvs[k][1] != cur_mvs[0][1]) {
+            varied_acc = 1;
+            break;
+          }
+        }
+        if (varied_acc && mv16_lazy && !mv16_live && mvs) {
+          // First varied-MV macroblock: materialize the int16 MV rows for
+          // the contiguous prefix already decoded — the slim int8 rows
+          // replicate exactly for every non-4V (and 4V-equal) MB.
+          for (size_t j = 0; j < mbi; j++) {
+            const int16_t x = (int16_t)(int8_t)mv8[j * 2 + 0];
+            const int16_t y = (int16_t)(int8_t)mv8[j * 2 + 1];
+            for (int k = 0; k < 4; k++) {
+              mvs[(j * 4 + k) * 2 + 0] = x;
+              mvs[(j * 4 + k) * 2 + 1] = y;
+            }
+          }
+          mv16_live = true;
+        }
+      }
+      if (mv16_live) {
+        for (int k = 0; k < 4; k++) {
+          mvs[(mbi * 4 + k) * 2 + 0] = cur_mvs[k][0];
+          mvs[(mbi * 4 + k) * 2 + 1] = cur_mvs[k][1];
+        }
       }
       if (mvs_slim) {
         mvs_slim[mbi * 2 + 0] = cur_mvs[0][0];
@@ -884,12 +943,23 @@ int h263_parse_frame(
     }
   }
 
+  // Lazy-mode tail: once varied MVs materialized the int16 rows, the
+  // synthesized tail MBs (state.rs:419-427) need their MV(0,0) rows too.
+  if (mv16_lazy && mv16_live && n_stored < nmb) {
+    std::memset(mvs + (size_t)n_stored * 8, 0,
+                (size_t)(nmb - n_stored) * 8 * sizeof(int16_t));
+  }
+  if (mb_flags_out) {
+    if (n_stored < nmb) any_inter_acc = 1;  // tail MBs are INTER
+    *mb_flags_out = any_inter_acc | (varied_acc << 1);
+  }
+
   r.commit();  // fold the cached cursor into pos for the final position
   *end_bit_out = r.pos;
   return OK;
 }
 
-int h263_abi_version() { return 5; }
+int h263_abi_version() { return 6; }
 
 }  // extern "C"
 
@@ -1001,6 +1071,7 @@ int h263_sorenson_decode_frame(
     return E_INVALID_BITSTREAM;
 
   *pack_count = 0;
+  int32_t mb_flags = 0;
   rc = h263_parse_frame(
       data, nbytes, pos, width, height,
       /*picture_type=*/hdr_fields[4], /*flags=*/F_SORENSON | xflags,
@@ -1009,24 +1080,18 @@ int h263_sorenson_decode_frame(
       nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
       mvs, inter, pred_scratch,
       pack_pos, pack_val, pack_cap, pack_count, end_bit_out, mvs_slim,
-      mv8, inter_bits, mv8_stride);
+      mv8, inter_bits, mv8_stride, &mb_flags);
   if (rc != OK) return rc;
 
   const int mb_w = (width + 15) / 16;
   const int mb_h = (height + 15) / 16;
-  // Bit 0: any INTER macroblock (needs a reference picture).
-  // Bit 1: any macroblock whose four block MVs differ (the slim
-  //        one-MV-per-MB transport is exact when this bit is clear).
-  int32_t any = 0;
-  for (int i = 0; i < mb_w * mb_h; i++) any |= inter[i];
-  int32_t varied = 0;
-  for (int i = 0; i < mb_w * mb_h && !varied; i++) {
-    const int16_t* m = mvs + (size_t)i * 8;
-    for (int k = 1; k < 4; k++) {
-      if (m[2 * k] != m[0] || m[2 * k + 1] != m[1]) { varied = 1; break; }
-    }
-  }
-  *any_inter_out = any | (varied << 1);
+  (void)mb_w;
+  (void)mb_h;
+  // Bit 0: any INTER macroblock (needs a reference picture), including
+  // synthesized tail MBs.  Bit 1: any macroblock whose four block MVs
+  // differ (the slim one-MV-per-MB transport is exact when this bit is
+  // clear).  Both accumulate inside the MB loop (no post-scan re-reads).
+  *any_inter_out = mb_flags;
 
   // Pad unused pack entries: delta24 pads zero bytes (delta 0, value 0 —
   // a no-op add at the final cursor); u32/split pad an out-of-range
@@ -1211,16 +1276,21 @@ int h263_sorenson_decode_batch_fused(
   const size_t nmb = (size_t)mb_w * mb_h;
   const size_t mv_sz = nmb * (size_t)mv8_stride;
   const size_t ib_sz = (nmb + 7) / 8;
-  const int32_t frame_flags = xflags | F_PACK_DELTA24 | F_NO_TAIL_PAD;
+  const int32_t frame_flags =
+      xflags | F_PACK_DELTA24 | F_NO_TAIL_PAD | F_MV16_LAZY;
 
   auto decode_one = [&](int32_t i, int16_t* scratch) -> int {
     uint64_t end_bit = 0;
     int32_t any = 0;
     uint8_t* row = fused_base + (size_t)i * (size_t)fused_row_bytes;
+    // Full-stride rows (after the slim->full flip) carry all four block
+    // MVs themselves; the int16 array then has no consumer at all.
+    int16_t* m16 = (mv8_stride == 2)
+        ? mvs_all + (size_t)i * nmb * 8 : nullptr;
     int rc = h263_sorenson_decode_frame(
         buffers[i], lengths[i], expected_w, expected_h, frame_flags,
         hdr_all + (size_t)i * 8,
-        mvs_all + (size_t)i * nmb * 8,
+        m16,
         /*mvs_slim=*/nullptr,
         inter_all + (size_t)i * nmb,
         scratch,
@@ -1279,6 +1349,34 @@ int h263_sorenson_decode_batch_fused(
     if (f != INT64_MAX) {
       *failed_stream = (int32_t)(f >> 32);
       return (int32_t)(uint32_t)(f & 0xFFFFFFFF);
+    }
+  }
+
+  // Lazy-mv16 contract: int16 MVs are materialized only for streams whose
+  // frame had varied block MVs.  If ANY stream varied, the caller ships
+  // this step over the legacy transport using mvs_all for the WHOLE
+  // batch — backfill the non-varied streams' rows from their slim int8
+  // rows (replicated; tail rows are zero in both).
+  if (mv8_stride == 2) {
+    bool any_varied = false;
+    for (int32_t i = 0; i < n_streams; i++) {
+      if (flags[i] & 2) { any_varied = true; break; }
+    }
+    if (any_varied) {
+      for (int32_t i = 0; i < n_streams; i++) {
+        if (flags[i] & 2) continue;  // frame fn already materialized
+        const uint8_t* m8 =
+            fused_base + (size_t)i * (size_t)fused_row_bytes;
+        int16_t* m16 = mvs_all + (size_t)i * nmb * 8;
+        for (size_t j = 0; j < nmb; j++) {
+          const int16_t x = (int16_t)(int8_t)m8[j * 2 + 0];
+          const int16_t y = (int16_t)(int8_t)m8[j * 2 + 1];
+          for (int k = 0; k < 4; k++) {
+            m16[(j * 4 + k) * 2 + 0] = x;
+            m16[(j * 4 + k) * 2 + 1] = y;
+          }
+        }
+      }
     }
   }
 
@@ -1472,6 +1570,7 @@ int h263_standard_decode_frame(
   // rx/ry band table is therefore unused (umv_extended false).
 
   *pack_count = 0;
+  int32_t frame_mb_flags = 0;
   rc = h263_parse_frame(
       data, nbytes, pos, width, height,
       /*picture_type=*/hdr_fields[3], mb_flags,
@@ -1480,26 +1579,17 @@ int h263_standard_decode_frame(
       nullptr, nullptr, nullptr, nullptr, nullptr, nullptr,
       mvs, inter, pred_scratch,
       pack_pos, pack_val, pack_cap, pack_count, end_bit_out, mvs_slim,
-      nullptr, nullptr, 0);
+      nullptr, nullptr, 0, &frame_mb_flags);
   if (rc != OK) return rc;
 
-  const int mb_w = (width + 15) / 16;
-  const int mb_h = (height + 15) / 16;
-  int32_t any = 0;
-  for (int i = 0; i < mb_w * mb_h; i++) any |= inter[i];
-  int32_t varied = 0;
-  for (int i = 0; i < mb_w * mb_h && !varied; i++) {
-    const int16_t* m = mvs + (size_t)i * 8;
-    for (int k = 1; k < 4; k++) {
-      if (m[2 * k] != m[0] || m[2 * k + 1] != m[1]) { varied = 1; break; }
-    }
-  }
-  *any_inter_out = any | (varied << 1);
+  *any_inter_out = frame_mb_flags;
 
   if (xflags & F_PACK_DELTA24) {
     std::memset(reinterpret_cast<uint8_t*>(pack_pos) + 3 * (size_t)*pack_count,
                 0, 3 * (size_t)(pack_cap - *pack_count));
   } else {
+    const int mb_w = (width + 15) / 16;
+    const int mb_h = (height + 15) / 16;
     const int32_t sentinel = 6 * mb_w * mb_h * 64;
     const int32_t pad =
         pack_val ? sentinel : (int32_t)((uint32_t)sentinel << 12);

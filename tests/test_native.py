@@ -279,3 +279,34 @@ def test_differential_fuzz_campaign_d24():
                                 on_fail=lambda tag, why: failures.append((tag, why)))
     assert fails == 0, failures[:5]
     assert total == 12 * 11
+
+
+def test_excess_macroblock_predictor_bounds():
+    """Regression (round 3, ASan-caught): macroblocks decoded past the
+    picture's MB count (tolerated when uncoded / coefficient-free, matching
+    the reference) must not run the spatial MV predictor — pctx.count keeps
+    advancing while the predictor array holds only nmb rows, so the
+    left-neighbour read preds[count-1] ran off the heap buffer (an
+    unbounded OOB read; benign output-wise since excess MBs store nothing,
+    but undefined behavior and a potential segfault).  Both front-ends must
+    agree on these streams, through the dense AND the d24 transports."""
+    from h263_tpu.testing.fuzz import _agree, _agree_d24
+    from h263_tpu.types import PictureOption
+
+    w = h = 48
+    nmb = 9
+    excess_inter = encode_sorenson_picture(
+        w, h, PictureTypeCode.P_FRAME,
+        [MBSpec(kind="inter", mvd=[(2, -2)])] * (nmb + 7),
+        temporal_reference=1)
+    excess_4v = encode_sorenson_picture(
+        w, h, PictureTypeCode.P_FRAME,
+        [MBSpec(kind="inter4v", mvd=[(1, 1), (2, -1), (-3, 2), (0, 1)])]
+        * (nmb + 5), temporal_reference=2)
+    for buf in (excess_inter, excess_4v):
+        ok, why = _agree(buf, w, h,
+                         DecoderOption.SORENSON_SPARK_BITSTREAM,
+                         PictureOption.NONE)
+        assert ok, why
+        ok, why = _agree_d24(buf, w, h)
+        assert ok, why
