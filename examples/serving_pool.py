@@ -104,7 +104,11 @@ def main():
             if buf is not None:
                 buffers[sid] = buf
         out = pool.decode_step(buffers)
-
+        # `out` is device-resident (PoolStepResult): nothing has crossed
+        # the device->host link yet.  A serving loop that only chains
+        # steps (or post-processes via out.device_planes(sid)) performs
+        # ZERO readbacks; indexing below is the explicit per-stream fetch
+        # this demo uses to check bit-exactness.
         for sid, (y, cb, cr) in out.items():
             pic = streams[sid].oracle.decode_next_picture(buffers[sid])
             np.testing.assert_array_equal(y, pic.as_luma(),

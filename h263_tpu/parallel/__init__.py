@@ -7,7 +7,8 @@ parallel, so XLA inserts no cross-chip collectives.
 """
 
 from .batch import BatchedStreamDecoder
+from .pool import PoolStepResult, StreamPool
 from .sharding import make_stream_mesh, shard_present_fn, shard_reconstruct_fn
 
-__all__ = ["BatchedStreamDecoder", "make_stream_mesh", "shard_present_fn",
-           "shard_reconstruct_fn"]
+__all__ = ["BatchedStreamDecoder", "PoolStepResult", "StreamPool",
+           "make_stream_mesh", "shard_present_fn", "shard_reconstruct_fn"]

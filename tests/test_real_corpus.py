@@ -117,8 +117,27 @@ def test_numpy_jax_backends_agree(name, w, h, tol, exact_min):
             err_msg=f"frame {t} cr")
 
 
+@pytest.fixture(scope="module")
+def _fresh_compile_state():
+    """Drop accumulated jitted executables before this module's compiles.
+
+    Late in a full-suite run (300+ tests, hundreds of XLA:CPU compiles)
+    the next fused-program compile segfaulted inside
+    backend_compile_and_load reproducibly (3/3 full-suite runs, always at
+    this module, never when the module runs alone or with any subset
+    tried).  Clearing jax's caches releases the accumulated executables
+    and empirically unblocks the compile; the root cause lives somewhere
+    in XLA:CPU resource accumulation, not in this repo's code (the native
+    layer is ASan-clean over the whole corpus + fuzz batches)."""
+    import jax
+
+    jax.clear_caches()
+    yield
+
+
 @pytest.mark.parametrize("name,w,h,tol,exact_min", CORPUS)
-def test_batched_fused_path_matches_single(name, w, h, tol, exact_min):
+def test_batched_fused_path_matches_single(name, w, h, tol, exact_min,
+                                           _fresh_compile_state):
     """The production path (native batch parse + fused d24 transport)
     decodes the real corpus bit-identically to the single-stream decoder,
     across every corpus axis including 720p and odd dims."""
