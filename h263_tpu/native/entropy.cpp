@@ -1113,6 +1113,78 @@ int h263_sorenson_decode_frame(
 
 }  // extern "C"
 
+namespace {
+
+// Shared batch driver: runs decode_one(i, scratch) over all streams,
+// fanned out across host cores (H263_TPU_PARSE_THREADS overrides; 1 =
+// sequential with the caller's scratch, spawning nothing).  Failure is
+// deterministic regardless of thread interleaving: the LOWEST failing
+// stream index (and its error) wins, matching the sequential loop's
+// first-failure semantics.  Used by all three whole-batch entry points.
+template <typename DecodeOne>
+int run_batch_streams(int32_t n_streams, size_t nmb, int16_t* pred_scratch,
+                      DecodeOne&& decode_one, int32_t* failed_stream) {
+  int threads = (int)std::thread::hardware_concurrency();
+  if (const char* e = std::getenv("H263_TPU_PARSE_THREADS")) {
+    threads = std::atoi(e);
+  }
+  if (threads < 1) threads = 1;
+  if (threads > n_streams) threads = n_streams;
+
+  if (threads == 1) {
+    for (int32_t i = 0; i < n_streams; i++) {
+      int rc = decode_one(i, pred_scratch);
+      if (rc != OK) {
+        *failed_stream = i;
+        return rc;
+      }
+    }
+    *failed_stream = -1;
+    return OK;
+  }
+
+  // failure record: (stream_index << 32) | uint32(rc), CAS'd to the
+  // minimum so the winner is index-ordered, not time-ordered.
+  std::atomic<int64_t> fail{INT64_MAX};
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    std::vector<int16_t> scratch(nmb * 8);
+    int32_t i;
+    while ((i = next.fetch_add(1, std::memory_order_relaxed)) < n_streams) {
+      if (fail.load(std::memory_order_relaxed) != INT64_MAX) {
+        // someone failed: keep draining only streams BELOW the failure so
+        // the minimum is exact, skip the rest.
+        if ((int64_t)i > (fail.load(std::memory_order_relaxed) >> 32))
+          continue;
+      }
+      int rc = decode_one(i, scratch.data());
+      if (rc != OK) {
+        int64_t rec = ((int64_t)i << 32) | (uint32_t)rc;
+        int64_t cur = fail.load(std::memory_order_relaxed);
+        while (rec < cur &&
+               !fail.compare_exchange_weak(cur, rec,
+                                           std::memory_order_relaxed)) {
+        }
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(threads - 1);
+  for (int t = 0; t < threads - 1; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+
+  int64_t f = fail.load(std::memory_order_relaxed);
+  if (f != INT64_MAX) {
+    *failed_stream = (int32_t)(f >> 32);
+    return (int32_t)(uint32_t)(f & 0xFFFFFFFF);
+  }
+  *failed_stream = -1;
+  return OK;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Whole-batch Sorenson decode: loops h263_sorenson_decode_frame over all
@@ -1147,95 +1219,25 @@ int h263_sorenson_decode_batch(
   const int mb_h = (expected_h + 15) / 16;
   const size_t nmb = (size_t)mb_w * mb_h;
 
-  // Streams are independent (per-stream output slices, per-thread scratch),
-  // so the batch parses on every host core.  H263_TPU_PARSE_THREADS
-  // overrides the hardware count; 1 keeps the caller's scratch and spawns
-  // nothing.  Failure stays deterministic: the LOWEST failing stream index
-  // (and its error) is reported regardless of thread interleaving, matching
-  // the sequential loop's first-failure semantics.
-  int threads = (int)std::thread::hardware_concurrency();
-  if (const char* e = std::getenv("H263_TPU_PARSE_THREADS")) {
-    threads = std::atoi(e);
-  }
-  if (threads < 1) threads = 1;
-  if (threads > n_streams) threads = n_streams;
-
-  if (threads == 1) {
-    for (int32_t i = 0; i < n_streams; i++) {
-      uint64_t end_bit = 0;
-      int32_t any = 0;
-      int rc = h263_sorenson_decode_frame(
-          buffers[i], lengths[i], expected_w, expected_h, xflags,
-          hdr_all + (size_t)i * 8,
-          mvs_all + (size_t)i * nmb * 8,
-          mvs_slim_all ? mvs_slim_all + (size_t)i * nmb * 2 : nullptr,
-          inter_all + (size_t)i * nmb,
-          pred_scratch,
-          stream_pack(i),
-          packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
-          pack_cap, counts + i, &any, &end_bit, nullptr, nullptr, 0);
-      if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
-      if (rc != OK) {
-        *failed_stream = i;
-        return rc;
-      }
-      flags[i] = any;
-    }
-    *failed_stream = -1;
-    return OK;
-  }
-
-  // failure record: (stream_index << 32) | uint32(rc), CAS'd to the minimum
-  // so the winner is index-ordered, not time-ordered.
-  std::atomic<int64_t> fail{INT64_MAX};
-  std::atomic<int32_t> next{0};
-  auto worker = [&]() {
-    std::vector<int16_t> scratch(nmb * 8);
-    int32_t i;
-    while ((i = next.fetch_add(1, std::memory_order_relaxed)) < n_streams) {
-      if (fail.load(std::memory_order_relaxed) != INT64_MAX) {
-        // someone failed: keep draining only streams BELOW the failure so
-        // the minimum is exact, skip the rest.
-        if ((int64_t)i > (fail.load(std::memory_order_relaxed) >> 32)) continue;
-      }
-      uint64_t end_bit = 0;
-      int32_t any = 0;
-      int rc = h263_sorenson_decode_frame(
-          buffers[i], lengths[i], expected_w, expected_h, xflags,
-          hdr_all + (size_t)i * 8,
-          mvs_all + (size_t)i * nmb * 8,
-          mvs_slim_all ? mvs_slim_all + (size_t)i * nmb * 2 : nullptr,
-          inter_all + (size_t)i * nmb,
-          scratch.data(),
-          stream_pack(i),
-          packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
-          pack_cap, counts + i, &any, &end_bit, nullptr, nullptr, 0);
-      if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
-      if (rc != OK) {
-        int64_t rec = ((int64_t)i << 32) | (uint32_t)rc;
-        int64_t cur = fail.load(std::memory_order_relaxed);
-        while (rec < cur &&
-               !fail.compare_exchange_weak(cur, rec,
-                                           std::memory_order_relaxed)) {
-        }
-      } else {
-        flags[i] = any;
-      }
-    }
+  auto decode_one = [&](int32_t i, int16_t* scratch) -> int {
+    uint64_t end_bit = 0;
+    int32_t any = 0;
+    int rc = h263_sorenson_decode_frame(
+        buffers[i], lengths[i], expected_w, expected_h, xflags,
+        hdr_all + (size_t)i * 8,
+        mvs_all + (size_t)i * nmb * 8,
+        mvs_slim_all ? mvs_slim_all + (size_t)i * nmb * 2 : nullptr,
+        inter_all + (size_t)i * nmb,
+        scratch,
+        stream_pack(i),
+        packval_all ? packval_all + (size_t)i * pack_cap : nullptr,
+        pack_cap, counts + i, &any, &end_bit, nullptr, nullptr, 0);
+    if (rc == OK && (any & 1) && !has_reference[i]) rc = E_UNCODED_IFRAME;
+    if (rc == OK) flags[i] = any;
+    return rc;
   };
-  std::vector<std::thread> pool;
-  pool.reserve(threads - 1);
-  for (int t = 0; t < threads - 1; t++) pool.emplace_back(worker);
-  worker();
-  for (auto& th : pool) th.join();
-
-  int64_t f = fail.load(std::memory_order_relaxed);
-  if (f != INT64_MAX) {
-    *failed_stream = (int32_t)(f >> 32);
-    return (int32_t)(uint32_t)(f & 0xFFFFFFFF);
-  }
-  *failed_stream = -1;
-  return OK;
+  return run_batch_streams(n_streams, nmb, pred_scratch, decode_one,
+                           failed_stream);
 }
 
 // Fused-transport Sorenson batch: every per-stream host->device byte of a
@@ -1303,54 +1305,9 @@ int h263_sorenson_decode_batch_fused(
     return rc;
   };
 
-  int threads = (int)std::thread::hardware_concurrency();
-  if (const char* e = std::getenv("H263_TPU_PARSE_THREADS")) {
-    threads = std::atoi(e);
-  }
-  if (threads < 1) threads = 1;
-  if (threads > n_streams) threads = n_streams;
-
-  if (threads == 1) {
-    for (int32_t i = 0; i < n_streams; i++) {
-      int rc = decode_one(i, pred_scratch);
-      if (rc != OK) {
-        *failed_stream = i;
-        return rc;
-      }
-    }
-  } else {
-    std::atomic<int64_t> fail{INT64_MAX};
-    std::atomic<int32_t> next{0};
-    auto worker = [&]() {
-      std::vector<int16_t> scratch(nmb * 8);
-      int32_t i;
-      while ((i = next.fetch_add(1, std::memory_order_relaxed)) < n_streams) {
-        if (fail.load(std::memory_order_relaxed) != INT64_MAX) {
-          if ((int64_t)i > (fail.load(std::memory_order_relaxed) >> 32))
-            continue;
-        }
-        int rc = decode_one(i, scratch.data());
-        if (rc != OK) {
-          int64_t rec = ((int64_t)i << 32) | (uint32_t)rc;
-          int64_t cur = fail.load(std::memory_order_relaxed);
-          while (rec < cur &&
-                 !fail.compare_exchange_weak(cur, rec,
-                                             std::memory_order_relaxed)) {
-          }
-        }
-      }
-    };
-    std::vector<std::thread> pool;
-    pool.reserve(threads - 1);
-    for (int t = 0; t < threads - 1; t++) pool.emplace_back(worker);
-    worker();
-    for (auto& th : pool) th.join();
-    int64_t f = fail.load(std::memory_order_relaxed);
-    if (f != INT64_MAX) {
-      *failed_stream = (int32_t)(f >> 32);
-      return (int32_t)(uint32_t)(f & 0xFFFFFFFF);
-    }
-  }
+  int rc = run_batch_streams(n_streams, nmb, pred_scratch, decode_one,
+                             failed_stream);
+  if (rc != OK) return rc;
 
   // Lazy-mv16 contract: int16 MVs are materialized only for streams whose
   // frame had varied block MVs.  If ANY stream varied, the caller ships
@@ -1620,13 +1577,6 @@ int h263_standard_decode_batch(
   const int mb_h = (expected_h + 15) / 16;
   const size_t nmb = (size_t)mb_w * mb_h;
 
-  int threads = (int)std::thread::hardware_concurrency();
-  if (const char* e = std::getenv("H263_TPU_PARSE_THREADS")) {
-    threads = std::atoi(e);
-  }
-  if (threads < 1) threads = 1;
-  if (threads > n_streams) threads = n_streams;
-
   const bool d24 = (xflags & F_PACK_DELTA24) != 0;
   auto decode_one = [&](int32_t i, int16_t* scratch) -> int {
     uint64_t end_bit = 0;
@@ -1650,52 +1600,8 @@ int h263_standard_decode_batch(
     if (rc == OK) flags[i] = any;
     return rc;
   };
-
-  if (threads == 1) {
-    for (int32_t i = 0; i < n_streams; i++) {
-      int rc = decode_one(i, pred_scratch);
-      if (rc != OK) {
-        *failed_stream = i;
-        return rc;
-      }
-    }
-    *failed_stream = -1;
-    return OK;
-  }
-
-  std::atomic<int64_t> fail{INT64_MAX};
-  std::atomic<int32_t> next{0};
-  auto worker = [&]() {
-    std::vector<int16_t> scratch(nmb * 8);
-    int32_t i;
-    while ((i = next.fetch_add(1, std::memory_order_relaxed)) < n_streams) {
-      if (fail.load(std::memory_order_relaxed) != INT64_MAX) {
-        if ((int64_t)i > (fail.load(std::memory_order_relaxed) >> 32)) continue;
-      }
-      int rc = decode_one(i, scratch.data());
-      if (rc != OK) {
-        int64_t rec = ((int64_t)i << 32) | (uint32_t)rc;
-        int64_t cur = fail.load(std::memory_order_relaxed);
-        while (rec < cur &&
-               !fail.compare_exchange_weak(cur, rec,
-                                           std::memory_order_relaxed)) {
-        }
-      }
-    }
-  };
-  std::vector<std::thread> pool;
-  pool.reserve(threads - 1);
-  for (int t = 0; t < threads - 1; t++) pool.emplace_back(worker);
-  worker();
-  for (auto& th : pool) th.join();
-
-  int64_t f = fail.load(std::memory_order_relaxed);
-  if (f != INT64_MAX) {
-    *failed_stream = (int32_t)(f >> 32);
-    return (int32_t)(uint32_t)(f & 0xFFFFFFFF);
-  }
-  *failed_stream = -1;
-  return OK;
+  return run_batch_streams(n_streams, nmb, pred_scratch, decode_one,
+                           failed_stream);
 }
 
 }  // extern "C"

@@ -271,6 +271,14 @@ class BatchedStreamDecoder:
             # programs were injected too ({False: fn, True: fn} by MV mode).
             and (packed_reconstruct_fn is None
                  or fused_reconstruct_fns is not None))
+        if fused_reconstruct_fns is not None and set(
+                fused_reconstruct_fns) != {False, True}:
+            # Both MV row layouts must be covered: the slim->full flip
+            # would otherwise silently fall back to a locally-built
+            # (unsharded) program mid-stream.
+            raise ValueError(
+                "fused_reconstruct_fns must provide both MV modes "
+                f"{{False, True}}; got {set(fused_reconstruct_fns)!r}")
         self._fused_fn_cache = dict(fused_reconstruct_fns or {})
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap,
                                      split=self._split,
@@ -868,7 +876,8 @@ class BatchedStreamDecoder:
         """
         import jax
 
-        if packed.varied_mvs.any() and packed.fused_mv_stride == 2:
+        flip = bool(packed.varied_mvs.any()) and packed.fused_mv_stride == 2
+        if flip:
             self._mv_full = True  # next parses use stride-8 rows
             nmb = self.mb_w * self.mb_h
             off = nmb * 2 + (nmb + 7) // 8
@@ -899,7 +908,10 @@ class BatchedStreamDecoder:
         packed.in_flight = (y, cb, cr)  # buffer reuse gate, next_packed_batch
         incr("frames_decoded", self.n)
         incr("steps")
-        incr("steps_fused")
+        if flip:
+            incr("steps_fused_flip")  # shipped via the legacy three-leaf path
+        else:
+            incr("steps_fused")
         incr("transfer_bytes", nbytes)
         return y, cb, cr
 

