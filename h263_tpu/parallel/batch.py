@@ -920,10 +920,16 @@ class BatchedStreamDecoder:
         transfer+reconstruct on the pipeline worker while the caller parses
         the next frame.  Returns a Future of (y, cb, cr).
 
-        Both stages release the GIL (the parse is one native call; the
-        transfer is tunnel/DMA I/O), so host entropy decode of frame t+1
-        overlaps the device stage of frame t.  Steps execute in submission
-        order (single worker), preserving reference-plane state.
+        WHEN TO USE: only on hosts with a spare core to own the transfer.
+        Sequential decode_step is the deployment default on single-core
+        hosts — there the transfer's CPU work (tunnel serialization) just
+        time-slices against the parse and the overlap measures a
+        wash-to-loss (worker-side transfer inflates ~3x; measured round 3,
+        tools/prof_pipeline.py).  Both stages release the GIL (the parse
+        is one native call), so with >= 2 cores the device stage of frame
+        t genuinely hides behind the parse of frame t+1.  Steps execute
+        in submission order (single worker), preserving reference-plane
+        state.
 
         Failure contract: a step's exception is delivered through the
         returned Future exactly once (buffer rotation waits on the future

@@ -219,8 +219,16 @@ def encode_sorenson_picture(width: int, height: int, picture_type: PictureTypeCo
                             macroblocks: Sequence[MBSpec], quantizer: int = 8,
                             temporal_reference: int = 0, version: int = 1,
                             deblocker: bool = False, extra: bytes = b"",
-                            force_custom_dims: bool = False) -> bytes:
-    """Assemble one complete Sorenson Spark picture (picture.rs:628-659)."""
+                            force_custom_dims: bool = False,
+                            pad_bit: int = 0) -> bytes:
+    """Assemble one complete Sorenson Spark picture (picture.rs:628-659).
+
+    pad_bit: byte-alignment filler.  0 (default) is safe for I/P frames
+    (an incomplete trailing symbol EOFs the picture); DisposableP frames
+    need pad_bit=1 — their padding then reads as excess UNCODED
+    macroblocks, since ANY coded MB (even stuffing) in a DisposableP hits
+    the reference's UnimplementedDecoding quirk (macroblock.rs:461-464).
+    """
     w = BitWriter()
     w.write_bits(1, 17)                 # start code
     w.write_bits(version, 5)
@@ -254,7 +262,7 @@ def encode_sorenson_picture(width: int, height: int, picture_type: PictureTypeCo
     for mb in macroblocks:
         encode_macroblock(w, mb, picture_type, version)
 
-    return w.to_bytes()
+    return w.to_bytes(pad_bit)
 
 
 _STANDARD_FORMAT_BITS = {

@@ -203,3 +203,60 @@ class TestFusedParity:
         dec.decode_step([f1] * n)
         packed = dec._packed[dec._packed_idx]
         assert packed.cut == dec.pack_cap_tiny  # all-uncoded: tiny bucket
+
+
+class TestDisposableFrames:
+    def test_disposable_pframe_reference_quirk(self):
+        """DisposableP through the batched fused path matches the scalar
+        decoder.  The reference's get_reference_picture quirk
+        (state.rs:72-78) returns the LAST picture whenever a backward
+        reference exists — so a P-frame after a disposable frame predicts
+        from the disposable frame itself, which is exactly the batched
+        decoder's ref-plane chaining.  Note the companion quirk (pinned in
+        PARITY.md): DisposableP frames with CODED macroblocks fail with
+        UnimplementedDecoding in the reference (macroblock.rs:461-464) —
+        decodable disposable frames are all-uncoded, as here."""
+        _native_or_skip()
+        n, w, h = 2, 64, 48
+        nmb = (w // 16) * (h // 16)
+        rng = np.random.default_rng(17)
+
+        def p_frame(kind, tr):
+            if kind is PictureTypeCode.DISPOSABLE_P_FRAME:
+                # All-uncoded, one-padded: ANY coded MB in a DisposableP
+                # (even stuffing, even decoded from padding bits) hits the
+                # reference's UnimplementedDecoding quirk
+                # (macroblock.rs:461-464), so the pad bits must read as
+                # excess UNCODED macroblocks (COD=1).
+                return encode_sorenson_picture(
+                    w, h, kind, [MBSpec(kind="uncoded")] * nmb,
+                    temporal_reference=tr, pad_bit=1)
+            mbs = [MBSpec(kind="inter",
+                          mvd=[(int(rng.integers(-4, 5)),
+                                int(rng.integers(-4, 5)))],
+                          blocks=[[(0, int(rng.integers(1, 9)))],
+                                  [], [], [], [], []])
+                   for _ in range(nmb)]
+            return encode_sorenson_picture(w, h, kind, mbs,
+                                           temporal_reference=tr)
+
+        frames = [encode_sorenson_picture(
+            w, h, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[int(rng.integers(1, 128)) * 8] * 6)
+             for _ in range(nmb)])]
+        frames.append(p_frame(PictureTypeCode.P_FRAME, 1))
+        frames.append(p_frame(PictureTypeCode.DISPOSABLE_P_FRAME, 2))
+        frames.append(p_frame(PictureTypeCode.P_FRAME, 3))
+        frames.append(p_frame(PictureTypeCode.DISPOSABLE_P_FRAME, 4))
+        frames.append(p_frame(PictureTypeCode.P_FRAME, 5))
+
+        dec = _decoder(n, w, h, fused=True)
+        ref = H263Decoder(SORENSON, backend="numpy")
+        for t, f in enumerate(frames):
+            y, cb, cr = dec.decode_step([f] * n)
+            pic = ref.decode_next_picture(f)
+            np.testing.assert_array_equal(
+                np.asarray(y)[0], pic.as_luma(),
+                err_msg=f"frame {t} ({'IPdPdP'[t]})")
+            np.testing.assert_array_equal(
+                np.asarray(cb)[0], pic.as_chroma_b(), err_msg=f"frame {t}")
