@@ -283,21 +283,23 @@ def main():
             best = max(best, S * (F - 1) / (time.perf_counter() - t0))
         return best
 
+    # Each regime's probe runs immediately before its end-to-end section:
+    # the box's throughput drifts between minutes, and separating them
+    # produced artifacts where the parse-only rate read BELOW the e2e rate
+    # (different windows).  Adjacency keeps the pair comparable.
+    trace.reset_metrics()
     host_fps = probe(shared_lists)
     log(f"host entropy decode: {host_fps:.1f} frames/s/core "
         f"(best of 3 passes, shared corpus)")
-    host_distinct_fps = probe(dist_lists)
-    log(f"host entropy decode: {host_distinct_fps:.1f} frames/s/core "
-        f"(best of 3 passes, DISTINCT per-stream content)")
-
-    # --- end-to-end sequential, both regimes --------------------------------
-    trace.reset_metrics()
     seq_fps, seq_worst, stages_shared = measure_e2e(
         dec, shared_lists, budget_left())
     log(f"end-to-end sequential: {seq_fps:.1f} frames/s/chip "
         f"(batch={S}, shared corpus, best of 3; worst {seq_worst:.1f})")
     log(f"  stages: { {k: v['mean_ms'] for k, v in stages_shared.items()} }")
 
+    host_distinct_fps = probe(dist_lists)
+    log(f"host entropy decode: {host_distinct_fps:.1f} frames/s/core "
+        f"(best of 3 passes, DISTINCT per-stream content)")
     seq_distinct_fps, seq_distinct_worst, stages_distinct = measure_e2e(
         dec, dist_lists, budget_left())
     log(f"end-to-end sequential: {seq_distinct_fps:.1f} frames/s/chip "
