@@ -81,8 +81,30 @@ def synth_frames(w, h, n, seed, motion=2, luma_noise=0.0):
     return frames
 
 
+def synth_frames_scenecut(w, h, n, seed):
+    """Content with hard scene changes every ~7 frames: different base
+    seeds, motion directions, and palettes per scene.  ffmpeg's encoder
+    reacts with mid-stream I-frames (scene-change detection) and busy
+    DQUANT/coefficient churn right after each cut — approximating the
+    structure of real Flash-era content (VERDICT r2 missing #4) more
+    closely than a single smooth pan."""
+    frames = []
+    scene = -1
+    cut_every = 7
+    for t in range(n):
+        s = t // cut_every
+        if s != scene:
+            scene = s
+        local_t = t % cut_every
+        sf = synth_frames(w, h, cut_every, seed=seed + 97 * s,
+                          motion=2 + 3 * (s % 3),
+                          luma_noise=6.0 if s % 2 else 0.0)
+        frames.append(sf[local_t])
+    return frames
+
+
 def make(name, w, h, n, fps=15, seed=0, motion=2, luma_noise=0.0,
-         writer_options="", bgr_every=4):
+         writer_options="", bgr_every=4, scenecut=False):
     import cv2
 
     # Writer options (gop length, bitrate for the quantizer sweep) pass to
@@ -95,7 +117,9 @@ def make(name, w, h, n, fps=15, seed=0, motion=2, luma_noise=0.0,
         wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"FLV1"),
                              fps, (w, h))
         assert wr.isOpened(), "ffmpeg FLV1 encoder unavailable"
-        for f in synth_frames(w, h, n, seed, motion, luma_noise):
+        content = (synth_frames_scenecut(w, h, n, seed) if scenecut
+                   else synth_frames(w, h, n, seed, motion, luma_noise))
+        for f in content:
             wr.write(f)
         wr.release()
     finally:
@@ -153,5 +177,9 @@ if __name__ == "__main__":
     # quantizer up from 3 into the teens (per-MB DQUANT activity too).
     make("quant", 176, 144, 40, luma_noise=28.0,
          writer_options="b;40000|g;200", bgr_every=8)
+    # Scene cuts: hard content changes -> encoder-placed mid-stream
+    # I-frames + post-cut coefficient/DQUANT churn (Flash-era structure).
+    make("scenecut", 176, 144, 35, writer_options="b;120000",
+         bgr_every=7, scenecut=True)
     # 720p: the large-picture transport/serving shape.
     make("p720", 1280, 720, 6, motion=4, bgr_every=5)

@@ -56,6 +56,11 @@ CORPUS = [
     ("motion", 352, 288, 1, 0.98),
     ("odd", 120, 90, 5, 0.80),
     ("quant", 176, 144, 2, 0.96),
+    # Hard scene cuts coded as ~5 KB dense P-frames (2.7x the I-frame
+    # size) — near-I coefficient density through the P path stresses the
+    # transfer bucket ladder; post-cut residual churn lowers the exact
+    # fraction (measured 0.9595).
+    ("scenecut", 176, 144, 2, 0.95),
     ("p720", 1280, 720, 2, 0.99),
 ]
 
