@@ -281,6 +281,22 @@ def test_differential_fuzz_campaign_d24():
     assert total == 12 * 11
 
 
+def test_differential_fuzz_campaign_fused():
+    """Fused single-leaf transport flavor: randomized multi-step batch
+    scenarios (random versions/quantizers/density, INTER4V flip steps,
+    DisposableP, absent-slot masks, mid-GOP truncations and byte flips)
+    through the production fused driver vs the legacy three-leaf d24
+    transport; planes must be bit-identical per step and parse failures
+    must agree on error class AND leave both paths steppable (atomicity)."""
+    from h263_tpu.testing.fuzz import run_campaign
+
+    failures = []
+    total, fails = run_campaign(seed=31, n_base=4, flavor="fused",
+                                on_fail=lambda tag, why: failures.append((tag, why)))
+    assert fails == 0, failures[:5]
+    assert total >= 4 * 6  # >= 6 steps per scenario
+
+
 def test_excess_macroblock_predictor_bounds():
     """Regression (round 3, ASan-caught): macroblocks decoded past the
     picture's MB count (tolerated when uncoded / coefficient-free, matching
