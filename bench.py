@@ -207,7 +207,7 @@ def main():
                          "the batch for the distinct-content measurements")
     ap.add_argument("--no-720p", action="store_true",
                     help="skip the 720p secondary measurement")
-    ap.add_argument("--budget", type=float, default=380.0,
+    ap.add_argument("--budget", type=float, default=600.0,
                     help="soft wall-clock budget (s); extra best-of passes "
                          "and the 720p section are skipped once exceeded")
     args = ap.parse_args()
@@ -406,7 +406,11 @@ def main():
 
     # --- 720p secondary metric (VERDICT r2 #5) ------------------------------
     p720 = None
-    if not args.no_720p and budget_left() > 150:
+    # Generous gate: the CIF sections can eat most of the budget in a
+    # slow-compile tunnel window, and VERDICT r2 #5 wants the 720p numbers
+    # in the driver artifact every round.  The preliminary JSON line above
+    # already protects the CIF headline if this section is killed.
+    if not args.no_720p and budget_left() > 60:
         try:
             W7, H7, S7, F7 = 1280, 720, 64, 8
             t0 = time.perf_counter()
