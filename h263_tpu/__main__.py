@@ -33,7 +33,7 @@ from .io.stream import FrameSegmenter
 from .types import H263Error, PictureTypeCode
 
 
-def _iter_pictures(data: bytes, standard: bool):
+def _iter_pictures(data: bytes):
     """Yield raw picture payloads from FLV (demux) or elementary stream."""
     if data[:3] == b"FLV":
         for tag in iter_flv_video_tags(data):
@@ -66,7 +66,7 @@ def cmd_decode(args) -> int:
 
     n = errors = 0
     planes = []  # for npz: per-frame dict of arrays
-    for payload in _iter_pictures(data, args.standard):
+    for payload in _iter_pictures(data):
         try:
             pic = dec.decode_next_picture(payload)
         except H263Error as e:
@@ -106,7 +106,7 @@ def cmd_info(args) -> int:
     prev = None
     counts: dict[str, int] = {}
     n = 0
-    for payload in _iter_pictures(data, args.standard):
+    for payload in _iter_pictures(data):
         from .bitio import BitReader
         try:
             hdr = dec.parse_picture(BitReader(bytes(payload)), prev)

@@ -1085,8 +1085,6 @@ int h263_sorenson_decode_frame(
 
   const int mb_w = (width + 15) / 16;
   const int mb_h = (height + 15) / 16;
-  (void)mb_w;
-  (void)mb_h;
   // Bit 0: any INTER macroblock (needs a reference picture), including
   // synthesized tail MBs.  Bit 1: any macroblock whose four block MVs
   // differ (the slim one-MV-per-MB transport is exact when this bit is

@@ -279,6 +279,15 @@ class BatchedStreamDecoder:
             raise ValueError(
                 "fused_reconstruct_fns must provide both MV modes "
                 f"{{False, True}}; got {set(fused_reconstruct_fns)!r}")
+        if fused_reconstruct_fns is not None and packed_reconstruct_fn is None:
+            # The slim->full MV flip step re-ships that one frame over the
+            # legacy three-leaf packed path; without an injected packed
+            # program it would dispatch a locally-built (unsharded) jit
+            # against mesh-sharded reference planes mid-stream.
+            raise ValueError(
+                "fused_reconstruct_fns requires a matching "
+                "packed_reconstruct_fn (the MV-flip step runs the legacy "
+                "packed program for one frame)")
         self._fused_fn_cache = dict(fused_reconstruct_fns or {})
         self._packed = [_PackedBatch(n_streams, mb_w, mb_h, self.pack_cap,
                                      split=self._split,

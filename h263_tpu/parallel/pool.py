@@ -142,11 +142,14 @@ class PoolStepResult:
         return self._entries.keys()
 
     def items(self):
-        """(sid, (y, cb, cr) numpy) pairs — explicit per-stream fetches."""
-        return ((sid, self[sid]) for sid in self._entries)
+        """(sid, (y, cb, cr) numpy) pairs — explicit per-stream fetches.
+
+        Materialized (not a generator) so repeated iteration behaves like
+        the Mapping API this class advertises; each call re-fetches."""
+        return [(sid, self[sid]) for sid in self._entries]
 
     def values(self):
-        return (self[sid] for sid in self._entries)
+        return [self[sid] for sid in self._entries]
 
 
 class StreamPool:

@@ -384,9 +384,7 @@ def _fused_scenario(rng: np.random.Generator, width: int, height: int,
     tests in tests/test_fused_transport.py: random version/quant/density
     churn, truncations and byte flips mid-GOP, absent-slot masks, flip
     steps where only some streams vary, DisposableP frames."""
-    import os
-
-    from ..parallel.batch import BatchedStreamDecoder
+    from . import build_batched_decoder
 
     S = int(rng.integers(2, 5))
     T = int(rng.integers(6, 11))
@@ -405,20 +403,8 @@ def _fused_scenario(rng: np.random.Generator, width: int, height: int,
     masks = [([bool(x) for x in rng.random(S) < 0.7]
               if rng.random() < 0.25 else None) for _ in range(T)]
 
-    def build(fused: bool) -> BatchedStreamDecoder:
-        old = os.environ.pop("H263_TPU_NO_FUSED", None)
-        try:
-            if not fused:
-                os.environ["H263_TPU_NO_FUSED"] = "1"
-            dec = BatchedStreamDecoder(S, width, height, _OPTS)
-            assert dec._fused_enabled == fused
-            return dec
-        finally:
-            os.environ.pop("H263_TPU_NO_FUSED", None)
-            if old is not None:
-                os.environ["H263_TPU_NO_FUSED"] = old
-
-    da, db = build(True), build(False)
+    da = build_batched_decoder(S, width, height, _OPTS, fused=True)
+    db = build_batched_decoder(S, width, height, _OPTS, fused=False)
     cases = fails = 0
     for t in range(T):
         bufs = [gops[s][t] for s in range(S)]

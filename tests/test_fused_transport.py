@@ -9,12 +9,11 @@ decoder (decoder/state.py), including the sticky slim->full MV row flip
 and the EOF tail-fill semantics (state.rs:419-427).
 """
 
-import os
-
 import numpy as np
 import pytest
 
 from h263_tpu.decoder.state import H263Decoder
+from h263_tpu.testing import build_batched_decoder
 from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
 from h263_tpu.types import DecoderOption, PictureTypeCode
 
@@ -29,19 +28,7 @@ def _native_or_skip():
 
 
 def _decoder(n, w, h, fused: bool, **kw):
-    from h263_tpu.parallel.batch import BatchedStreamDecoder
-
-    old = os.environ.pop("H263_TPU_NO_FUSED", None)
-    try:
-        if not fused:
-            os.environ["H263_TPU_NO_FUSED"] = "1"
-        dec = BatchedStreamDecoder(n, w, h, SORENSON, **kw)
-        assert dec._fused_enabled == fused
-        return dec
-    finally:
-        os.environ.pop("H263_TPU_NO_FUSED", None)
-        if old is not None:
-            os.environ["H263_TPU_NO_FUSED"] = old
+    return build_batched_decoder(n, w, h, SORENSON, fused=fused, **kw)
 
 
 def _random_gop(w, h, n_frames, seed, fourv_frames=()):
