@@ -247,3 +247,16 @@ class TestDisposableFrames:
                 err_msg=f"frame {t} ({'IPdPdP'[t]})")
             np.testing.assert_array_equal(
                 np.asarray(cb)[0], pic.as_chroma_b(), err_msg=f"frame {t}")
+
+
+def test_injected_fused_programs_require_packed_program():
+    """Injected fused programs without a matching legacy packed program
+    are rejected: the slim->full MV flip step re-ships one frame over the
+    packed path, which must not silently run a locally-built (unsharded)
+    jit against mesh-sharded planes."""
+    from h263_tpu.parallel.batch import BatchedStreamDecoder
+
+    dummy = lambda *a, **k: None  # noqa: E731 — never called
+    with pytest.raises(ValueError, match="packed_reconstruct_fn"):
+        BatchedStreamDecoder(2, 32, 32, SORENSON,
+                             fused_reconstruct_fns={False: dummy, True: dummy})

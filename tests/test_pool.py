@@ -288,3 +288,18 @@ def test_pool_steady_state_zero_host_fetches():
     np.testing.assert_array_equal(ya, pic.as_luma())
     np.testing.assert_array_equal(cba, pic.as_chroma_b())
     np.testing.assert_array_equal(cra, pic.as_chroma_r())
+
+
+def test_pool_result_views_are_reiterable():
+    """items()/values() are materialized Mapping-style views: iterating a
+    result twice (log pass then process pass) must not silently yield
+    nothing the second time."""
+    fa = _frames(41, 32, 32, n=2)
+    pool = StreamPool(SORENSON)
+    pool.add_stream("a", 32, 32)
+    res = pool.decode_step({"a": fa[0]})
+    first = list(res.items())
+    second = list(res.items())
+    assert len(first) == len(second) == 1
+    assert [sid for sid, _ in second] == ["a"]
+    assert len(list(res.values())) == len(list(res.values())) == 1
