@@ -1,0 +1,1000 @@
+"""Device-side (TPU) entropy front-end: batched VLC decode as a vector program.
+
+The host front-end (parser/frame.py, native/entropy.cpp) decodes one stream
+per core, serially — on a 1-core host it is ~90% of the step and caps the
+system at ~35k CIF frames/s (docs/ROOFLINE.md).  This module moves the
+entropy decode itself onto the device: N independent streams are N parallel
+lanes, each running the same serial VLC automaton in lockstep over a
+`lax.while_loop`.  Per-lane control flow becomes per-lane *state* plus
+masked selects — the classic SIMT formulation of a bitstream interpreter —
+so one TPU program replaces N serial host parses.
+
+Semantics are transcribed from the same authorities as the host parsers and
+cite the reference implementation (read-only, /root/reference):
+
+* macroblock layer: parser/macroblock.py / h263/src/parser/macroblock.rs:445-549
+* block layer:      parser/block.py / h263/src/parser/block.rs:670-755
+* inverse RLE:      parser/frame.py::inverse_rle / h263/src/decoder/cpu/rle.rs:82-172
+* MV prediction:    parser/mvpred.py / h263/src/decoder/cpu/mvd_pred.rs:27-134
+* EOF semantics:    bitio.py::read_vlc / h263/src/parser/reader.rs:272-290 and
+  the decode_next_picture error arms (state.rs:386-427): EOF inside the
+  macroblock *header* (COD..MVDs) ends the picture with INTER/zero-MV
+  tail-fill; EOF inside the *block* layer fails the whole picture.
+
+Scope (v1): Sorenson Spark I/P frames without UMV — the framework's
+headline serving path.  Standard-H.263 streams (PLUSPTYPE, UMV, GOB
+resync) stay on the host front-end; `DeviceFrontend.supports()` gates
+dispatch.  Per-stream errors are recorded in a device-resident status
+vector (never implicitly read back — CLAUDE.md "AXON READBACK TRAP");
+an errored lane yields the identity frame (all-INTER, zero MVs, zero
+coefficients == repeat of the reference picture), matching the
+whole-picture-transaction semantics of the reference: a failed decode
+leaves the previous picture current (state.rs:119-137).
+
+Outputs are *iteration tapes*, not dense tensors: every loop iteration
+appends (at a static per-iteration slot — a dynamic-update-slice, not a
+scatter) at most one coefficient entry and one record entry per lane.
+A small post-pass (`assemble`) turns the tapes into the packed-transport
+inputs the existing reconstruction program already consumes
+(decoder/reconstruct.py::_reconstruct_from_posval): one scatter-add for
+coefficients + one scatter for records.  The zigzag->rowmajor mapping and
+the dense coefficient layout are shared with the delta24 transport.
+
+The automaton body is written in plain int32/uint32 jnp ops (no i64, no
+Python branching on traced values) so the identical body lowers through
+XLA today and into a Pallas TPU kernel (ops/parse_pallas.py) without
+change.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..vlc_tables import (
+    CBPY_CODES,
+    MCBPC_I_CODES,
+    MCBPC_P_CODES,
+    MVD_CODES,
+    TCOEF_CODES,
+    VLC_ESCAPE,
+    VLC_INVALID,
+    VLC_STUFFING,
+)
+
+# --------------------------------------------------------------------------
+# Phases of the per-lane automaton
+# --------------------------------------------------------------------------
+
+PH_HEADER = 0   # COD + MCBPC + CBPY + DQUANT (one iteration per attempt)
+PH_MVD = 1      # one MVD pair per iteration (1 or 4 per inter MB)
+PH_DC = 2       # INTRADC byte
+PH_COEF = 3     # one TCOEF event per iteration
+PH_DONE = 4     # EOF at a macroblock boundary: success (tail-fill applies)
+PH_ERR = 5      # bitstream error: whole frame fails (identity frame)
+
+# Status codes (device-resident; 0 = ok).  The classes mirror the host
+# error taxonomy (types.py / error.rs:7-92) coarsely: what matters for
+# behavior is ok / end-of-picture / frame-failed.
+ST_OK = 0
+ST_EOF_IN_BLOCK = 1        # BitstreamExhausted inside block layer
+ST_BAD_MCBPC = 2           # InvalidMacroblockHeader
+ST_BAD_CBPY = 3            # InvalidMacroblockCodedBits
+ST_BAD_MVD = 4             # InvalidMvd
+ST_BAD_INTRADC = 5         # InvalidIntraDc
+ST_BAD_TCOEF = 6           # InvalidShortCoefficient
+ST_BAD_ESCAPE = 7          # InvalidLongCoefficient (level == 0)
+ST_BEYOND_NMB = 8          # coded content past the MB count (InvalidBitstream)
+ST_UNIMPLEMENTED = 9       # coded MB in a non-I/P picture (macroblock.rs:461-464)
+ST_TAPE_OVERFLOW = 10      # iteration budget exhausted (transport cap; see
+                           # DeviceFrontend docs — caller re-decodes on host)
+
+# Macroblock types, numerically identical to types.MacroblockType.
+_MT_INTER, _MT_INTER_Q, _MT_INTER_4V, _MT_INTRA, _MT_INTRA_Q, _MT_INTER_4V_Q = range(6)
+
+# --------------------------------------------------------------------------
+# Table packing: each VLC table becomes a dense 2^maxlen int32 array indexed
+# by the next `maxlen` bits (zero-padded at EOF, exactly like
+# bitio.BitReader.peek_bits_padded).  Entry layout:
+#   bits 0..12   value field (table-specific, below)
+#   bits 16..20  code length in bits
+#   bit 24       STUFFING (MCBPC) / ESCAPE (TCOEF)
+#   bit 25       INVALID
+# --------------------------------------------------------------------------
+
+_F_MARK = 1 << 24
+_F_INVALID = 1 << 25
+
+
+def _pack_table(codes, maxlen, value_fn):
+    size = 1 << maxlen
+    out = np.zeros(size, dtype=np.int32)
+    seen = np.zeros(size, dtype=bool)
+    for code, value in codes:
+        n = len(code)
+        entry = n << 16
+        if value == VLC_INVALID:
+            entry |= _F_INVALID
+        elif value in (VLC_STUFFING, VLC_ESCAPE):
+            entry |= _F_MARK
+        else:
+            entry |= value_fn(value)
+        start = int(code, 2) << (maxlen - n)
+        span = 1 << (maxlen - n)
+        if seen[start:start + span].any():
+            raise ValueError(f"overlapping code {code}")
+        out[start:start + span] = entry
+        seen[start:start + span] = True
+    if not seen.all():
+        raise ValueError("incomplete prefix code")
+    return out
+
+
+def _mcbpc_value(v):
+    mb_type, cb, cr = v
+    return int(mb_type) | (int(cb) << 3) | (int(cr) << 4)
+
+
+def _cbpy_value(v):
+    return sum(int(b) << k for k, b in enumerate(v))
+
+
+def _mvd_value(v):
+    return int(v) & 0xFF  # int8 two's complement (half-pel, -32..31)
+
+
+def _tcoef_value(v):
+    last, run, mag = v
+    return int(mag) | (int(run) << 5) | (int(last) << 11)
+
+
+MCBPC_I_LEN = 9
+MCBPC_P_LEN = 13
+CBPY_LEN = 6
+MVD_LEN = 13
+TCOEF_LEN = 13
+
+MCBPC_I_ARR = _pack_table(MCBPC_I_CODES, MCBPC_I_LEN, _mcbpc_value)
+MCBPC_P_ARR = _pack_table(MCBPC_P_CODES, MCBPC_P_LEN, _mcbpc_value)
+CBPY_ARR = _pack_table(CBPY_CODES, CBPY_LEN, _cbpy_value)
+MVD_ARR = _pack_table(MVD_CODES, MVD_LEN, _mvd_value)
+TCOEF_ARR = _pack_table(TCOEF_CODES, TCOEF_LEN, _tcoef_value)
+
+
+# --------------------------------------------------------------------------
+# Record index spaces (one scatter covers all record kinds).
+# A record's target index within the (S, 10*nmb) staging array:
+#   [0, nmb)            per-MB record: inter flag, is4v flag, broadcast MV
+#                       (for 4V MBs: block 3's MV rides here)
+#   [nmb, 4*nmb)        per-block MV records for 4V blocks 0..2: nmb + mb*3 + k
+#   [4*nmb, 10*nmb)     block-discard flags (zigzag overflow): 4*nmb + mb*6 + blk
+# Values carry bit 22 as a presence marker so staging zero = "no record".
+# --------------------------------------------------------------------------
+
+_REC_PRESENT = 1 << 22
+
+
+def _sign8(v):
+    import jax.numpy as jnp
+
+    return ((v & 0xFF) ^ 0x80) - 0x80
+
+
+def _pack_mv_record(x, y, inter, is4v):
+    import jax.numpy as jnp
+
+    return ((x & 0xFF) | ((y & 0xFF) << 8) | (inter << 16) | (is4v << 17)
+            | _REC_PRESENT)
+
+
+# --------------------------------------------------------------------------
+# Guarded 32-bit shifts (shift amounts may legally reach 32, which is UB in
+# XLA's shift ops).  Amounts are dynamic int32 in [0, 32].
+# --------------------------------------------------------------------------
+
+
+def _shl32(x, n):
+    import jax.numpy as jnp
+
+    return jnp.where(n >= 32, jnp.uint32(0), x << jnp.minimum(n, 31).astype(jnp.uint32))
+
+
+def _shr32(x, n):
+    import jax.numpy as jnp
+
+    return jnp.where(n >= 32, jnp.uint32(0), x >> jnp.minimum(n, 31).astype(jnp.uint32))
+
+
+def _peek(hi, c, n):
+    """Peek `n` bits starting `c` bits into the 64-bit window.
+
+    All decode sites satisfy c + n <= 32, so only `hi` is needed; `c` and
+    `n` are dynamic.  Returns uint32.
+    """
+    import jax.numpy as jnp
+
+    return _shr32(_shl32(hi, c), (32 - n))
+
+
+def _lookup(table, maxlen, hi, c):
+    """Decode one VLC at window offset `c`: returns the packed entry (i32)
+    and its length.  Zero-padded peek + dense-LUT index — bit-identical to
+    bitio.read_vlc over a PrefixLut."""
+    import jax.numpy as jnp
+
+    idx = _peek(hi, c, jnp.int32(maxlen)).astype(jnp.int32)
+    ent = jnp.take(table, idx, axis=0)
+    return ent, (ent >> 16) & 31
+
+
+# --------------------------------------------------------------------------
+# The automaton
+# --------------------------------------------------------------------------
+
+
+def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
+                        *, mbh: int, mbw: int, tape_len: int):
+    """Vectorized batched entropy decode.
+
+    Args:
+      data_u32: uint32 [S, Lw] — frame payload bytes packed big-endian into
+        32-bit words (zero-padded); the whole frame including the picture
+        header (`start_bit` skips the header, which the host parses).
+      start_bit: int32 [S] — absolute bit offset of the first macroblock.
+      nbits: int32 [S] — number of valid bits in the stream.
+      quant0: int32 [S] — PQUANT from the picture header.
+      ptype: int32 [S] — 0 = I-frame, 1 = P-frame, 2 = other (a coded MB in
+        an "other" picture raises UnimplementedDecoding, matching
+        macroblock.rs:461-464; uncoded COD=1 MBs still parse).
+      sorenson_v1: int32 [S] — 1 selects the flag-chosen 7/11-bit escape
+        level (block.rs:693-709); 0 the 8-bit form.
+      mbh, mbw: static macroblock grid dims.
+      tape_len: static iteration budget T (the transport cap).
+
+    Returns dict with coe_ord/coe_val int32 [S, T], rec_idx/rec_val int32
+    [S, T], status int32 [S], iterations int32 [] (diagnostic).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    S, Lw = data_u32.shape
+    nmb = mbh * mbw
+    RING = mbw + 2
+    T = tape_len
+
+    mcbpc_i = jnp.asarray(MCBPC_I_ARR)
+    mcbpc_p = jnp.asarray(MCBPC_P_ARR)
+    cbpy_t = jnp.asarray(CBPY_ARR)
+    mvd_t = jnp.asarray(MVD_ARR)
+    tcoef_t = jnp.asarray(TCOEF_ARR)
+
+    u32 = lambda x: x.astype(jnp.uint32)
+    i32 = lambda x: x.astype(jnp.int32)
+
+    data_u32 = u32(data_u32)
+    start_bit = i32(start_bit)
+    nbits = i32(nbits)
+
+    ORD_SENTINEL = jnp.int32(2 ** 30)
+    REC_SENTINEL = jnp.int32(2 ** 30)
+
+    def fetch_word(wcur):
+        w = jnp.take_along_axis(
+            data_u32, jnp.clip(wcur, 0, Lw - 1)[:, None], axis=1)[:, 0]
+        return jnp.where(wcur < Lw, w, jnp.uint32(0))
+
+    def refill(st):
+        """Maintain the 64-bit (hi, lo) window: while fewer than 33 window
+        bits are valid, pull in the next 32-bit word.  One conditional pull
+        per iteration suffices given max consumption 26 bits (see invariant
+        note in module docs)."""
+        need = st["valid"] <= 32
+        w = fetch_word(st["wcur"])
+        hi = jnp.where(need, st["hi"] | _shr32(w, st["valid"]), st["hi"])
+        lo = jnp.where(need, st["lo"] | _shl32(w, 32 - st["valid"]), st["lo"])
+        return dict(st, hi=hi, lo=lo,
+                    valid=jnp.where(need, st["valid"] + 32, st["valid"]),
+                    wcur=jnp.where(need, st["wcur"] + 1, st["wcur"]))
+
+    def consume(st, n, active):
+        n = jnp.where(active, n, 0)
+        hi = _shl32(st["hi"], n) | _shr32(st["lo"], 32 - n)
+        lo = _shl32(st["lo"], n)
+        return dict(st, hi=hi, lo=lo, valid=st["valid"] - n,
+                    bitpos=st["bitpos"] + n)
+
+    def ring_fetch(ring, idx):
+        """ring [S, RING, 8] at per-lane MB index (modulo RING).  Indices
+        may be negative for guarded-off candidates; clamp for safety."""
+        slot = jnp.clip(idx, 0, None) % RING
+        return jnp.take_along_axis(
+            ring, slot[:, None, None].repeat(8, axis=2), axis=1)[:, 0, :]
+
+    def ring_store(ring, mb, quad):
+        slot = (mb % RING)[:, None, None]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (S, RING, 8), 1)
+        return jnp.where(iota == slot, quad[:, None, :], ring)
+
+    # -- block sequencing ---------------------------------------------------
+
+    def next_coded_block(cbp, is_intra, from_blk):
+        """Smallest block index >= from_blk that the block loop visits:
+        INTRA MBs visit every block (INTRADC is unconditional); INTER MBs
+        only blocks with a CBP bit (state.rs:287-381).  Returns 6 = done."""
+        import jax.numpy as jnp
+
+        nxt = jnp.full_like(from_blk, 6)
+        for b in range(5, -1, -1):
+            hit = (from_blk <= b) & (is_intra | ((cbp >> b) & 1) == 1)
+            nxt = jnp.where(hit, b, nxt)
+        return nxt
+
+    # -- per-phase step functions -------------------------------------------
+    # Each returns (new_state_fields, emissions); everything is computed for
+    # every lane and selected by phase at the end of the body.
+
+    def enter_blocks(st, upd, mb_vec, cbp, mtype):
+        """Transition after the MB header/MVDs: find the first coded block
+        or finish the MB.  `mb_vec` is the (already current) MB index."""
+        is_intra = (mtype == _MT_INTRA) | (mtype == _MT_INTRA_Q)
+        b0 = next_coded_block(cbp, is_intra, jnp.zeros_like(cbp))
+        done = b0 >= 6
+        phase = jnp.where(done, PH_HEADER,
+                          jnp.where(is_intra, PH_DC, PH_COEF))
+        upd["mb"] = jnp.where(done, mb_vec + 1, mb_vec)
+        upd["blk"] = jnp.where(done, 0, b0)
+        upd["zz"] = jnp.zeros_like(b0)
+        upd["blk_discard"] = jnp.zeros_like(b0)
+        return phase, upd
+
+    def advance_block(st, upd):
+        """After a block completes: next coded block or next MB."""
+        is_intra = (st["mtype"] == _MT_INTRA) | (st["mtype"] == _MT_INTRA_Q)
+        nb = next_coded_block(st["cbp"], is_intra, st["blk"] + 1)
+        done = nb >= 6
+        phase = jnp.where(done, PH_HEADER,
+                          jnp.where(is_intra, PH_DC, PH_COEF))
+        upd["mb"] = jnp.where(done, st["mb"] + 1, st["mb"])
+        upd["blk"] = jnp.where(done, 0, nb)
+        upd["zz"] = jnp.zeros_like(nb)
+        upd["blk_discard"] = jnp.zeros_like(nb)
+        return phase, upd
+
+    def body(carry):
+        st, tapes, t = carry
+        st = refill(st)
+        hi = st["hi"]
+        rem = nbits - st["bitpos"]
+        phase = st["phase"]
+        active = phase < PH_DONE
+
+        # Default emissions: sentinels (dropped by the scatters).
+        coe_ord = jnp.full((S,), ORD_SENTINEL)
+        coe_val = jnp.zeros((S,), jnp.int32)
+        rec_idx = jnp.full((S,), REC_SENTINEL)
+        rec_val = jnp.zeros((S,), jnp.int32)
+
+        new_phase = phase
+        new_status = st["status"]
+        consumed = jnp.zeros((S,), jnp.int32)
+        upd = {k: st[k] for k in
+               ("mb", "blk", "zz", "quant", "cbp", "mtype", "mvd_k",
+                "n_mvd", "blk_discard")}
+        cur_quad = st["cur_quad"]
+        ring = st["ring"]
+
+        mb = st["mb"]
+        in_hdr = active & (phase == PH_HEADER)
+        in_mvd = active & (phase == PH_MVD)
+        in_dc = active & (phase == PH_DC)
+        in_coef = active & (phase == PH_COEF)
+
+        # ================= HEADER (macroblock.rs:445-549) ==================
+        is_p_like = ptype != 0
+        cod_bits = jnp.where(is_p_like, 1, 0)
+        cod = jnp.where(is_p_like, i32(_peek(hi, 0, 1)), 0)
+        uncoded = is_p_like & (cod == 1)
+        c0 = cod_bits
+
+        # Coded MB in a non-I/P picture: UnimplementedDecoding raised
+        # BEFORE any MCBPC read (macroblock.rs:461-464), so no later read's
+        # EOF can mask it.
+        h_unimpl = (~uncoded) & (ptype == 2)
+        reads_on = (~uncoded) & ~h_unimpl           # header reads continue
+
+        entI, lenI = _lookup(mcbpc_i, MCBPC_I_LEN, hi, c0)
+        entP, lenP = _lookup(mcbpc_p, MCBPC_P_LEN, hi, c0)
+        ent_m = jnp.where(ptype == 0, entI, entP)
+        len_m = jnp.where(ptype == 0, lenI, lenP)
+        # EOF/invalid precedence is staged in read order, matching the
+        # sequential bitio reads: an invalid code with sufficient bits fails
+        # the frame immediately — a later field's EOF must not turn that
+        # into a tail-fill picture end.
+        e_cod = cod_bits > rem
+        e_m = reads_on & ~e_cod & (c0 + len_m > rem)
+        h_bad_m = reads_on & ~e_cod & ~e_m & ((ent_m >> 25) & 1 == 1)
+        stuffing = reads_on & ~e_cod & ~e_m & ~h_bad_m & ((ent_m >> 24) & 1 == 1)
+        mtype = ent_m & 7
+        cbc = (ent_m >> 3) & 1
+        crc = (ent_m >> 4) & 1
+        c1 = c0 + jnp.where(reads_on, len_m, 0)
+        is_intra_t = (mtype == _MT_INTRA) | (mtype == _MT_INTRA_Q)
+
+        rd_y = reads_on & ~stuffing & ~e_cod & ~e_m & ~h_bad_m
+        ent_y, len_y = _lookup(cbpy_t, CBPY_LEN, hi, c1)
+        e_y = rd_y & (c1 + len_y > rem)
+        h_bad_y = rd_y & ~e_y & ((ent_y >> 25) & 1 == 1)
+        cbpy_bits = ent_y & 0xF
+        luma_bits = jnp.where(is_intra_t, cbpy_bits, cbpy_bits ^ 0xF)
+        c2 = c1 + jnp.where(reads_on & ~stuffing, len_y, 0)
+
+        has_q = ((mtype == _MT_INTER_Q) | (mtype == _MT_INTRA_Q)
+                 | (mtype == _MT_INTER_4V_Q))
+        dq_bits = jnp.where(reads_on & ~stuffing & has_q, 2, 0)
+        e_dq = rd_y & ~e_y & ~h_bad_y & (c2 + dq_bits > rem)
+        h_eof = e_cod | e_m | e_y | e_dq
+        dqb = i32(_peek(hi, c2, 2))
+        dq = jnp.where(dqb == 0, -1,
+                       jnp.where(dqb == 1, -2, jnp.where(dqb == 2, 1, 2)))
+        dq = jnp.where(dq_bits == 2, dq, 0)   # only _Q types carry DQUANT
+        c3 = c2 + dq_bits
+        new_q = jnp.clip(st["quant"] + dq, 1, 31)
+
+        cbp6 = luma_bits | (cbc << 4) | (crc << 5)
+        is_inter_t = ~is_intra_t
+        is_4v = (mtype == _MT_INTER_4V) | (mtype == _MT_INTER_4V_Q)
+
+        # Errors/EOF resolve in read order: EOF anywhere in the header ends
+        # the picture (decode_macroblock is transactional, so no side
+        # effects are kept — hence all header effects below are gated on
+        # ~h_eof).  Errors fail the frame.
+        h_err = jnp.where(h_bad_m, ST_BAD_MCBPC,
+                          jnp.where(h_bad_y, ST_BAD_CBPY, 0))
+        h_err = jnp.where(h_unimpl & ~h_eof, ST_UNIMPLEMENTED, h_err)
+
+        # Beyond-MB-count check for INTRA MBs (no MVD phase follows); the
+        # inter case is checked at MVD completion (frame.py:234-240 runs
+        # after decode_macroblock returns, i.e. after the MVDs).
+        h_beyond = (~uncoded) & ~stuffing & is_intra_t & (mb >= nmb)
+        h_err = jnp.where(h_beyond & ~h_eof & (h_err == 0), ST_BEYOND_NMB, h_err)
+
+        h_fail = (h_err != 0) & ~h_eof
+        h_ok = ~h_eof & ~h_fail
+
+        # Header-phase results --------------------------------------------
+        hdr_consumed = jnp.where(
+            h_eof, 0,
+            jnp.where(uncoded, 1, jnp.where(stuffing, c1, c3)))
+        hdr_phase = jnp.where(
+            h_eof, PH_DONE,
+            jnp.where(h_fail, PH_ERR,
+                      jnp.where(uncoded | stuffing, PH_HEADER, PH_HEADER)))
+        # (coded-MB phase transitions applied below via enter_blocks / MVD)
+
+        # Uncoded MB: INTER, zero MV (frame.py:209-212); ring gets zeros.
+        zeroq = jnp.zeros((S, 8), jnp.int32)
+        hdr_quad = jnp.where((h_ok & uncoded)[:, None], 0, cur_quad)
+        hdr_ring = jnp.where((h_ok & uncoded)[:, None, None],
+                             ring_store(ring, mb, zeroq), ring)
+        hdr_rec_idx = jnp.where(
+            h_ok & uncoded & (mb < nmb), mb, REC_SENTINEL)
+        hdr_rec_val = _pack_mv_record(
+            jnp.zeros((S,), jnp.int32), jnp.zeros((S,), jnp.int32),
+            jnp.ones((S,), jnp.int32), jnp.zeros((S,), jnp.int32))
+        hdr_mb = jnp.where(h_ok & uncoded, mb + 1, mb)
+
+        # INTRA MB: record inter=0 now; quad = zeros (frame.py:205,262-268).
+        intra_now = h_ok & ~uncoded & ~stuffing & is_intra_t
+        hdr_quad = jnp.where(intra_now[:, None], 0, hdr_quad)
+        hdr_ring = jnp.where(intra_now[:, None, None],
+                             ring_store(hdr_ring, mb, zeroq), hdr_ring)
+        hdr_rec_idx = jnp.where(intra_now & (mb < nmb), mb, hdr_rec_idx)
+        hdr_rec_val = jnp.where(
+            intra_now,
+            _pack_mv_record(jnp.zeros((S,), jnp.int32),
+                            jnp.zeros((S,), jnp.int32),
+                            jnp.zeros((S,), jnp.int32),
+                            jnp.zeros((S,), jnp.int32)),
+            hdr_rec_val)
+
+        # Coded-MB phase transition.
+        coded_ok = h_ok & ~uncoded & ~stuffing
+        upd_hdr = dict(upd)
+        upd_hdr["quant"] = jnp.where(coded_ok, new_q, st["quant"])
+        upd_hdr["cbp"] = jnp.where(coded_ok, cbp6, st["cbp"])
+        upd_hdr["mtype"] = jnp.where(coded_ok, mtype, st["mtype"])
+        upd_hdr["mvd_k"] = jnp.zeros_like(mb)
+        upd_hdr["n_mvd"] = jnp.where(is_4v, 4, 1)
+        upd_hdr["mb"] = hdr_mb
+
+        # intra -> blocks; inter -> MVD phase.
+        eb_phase, upd_hdr2 = enter_blocks(
+            st, dict(upd_hdr), mb, cbp6, mtype)
+        hdr_phase = jnp.where(coded_ok & is_intra_t, eb_phase, hdr_phase)
+        hdr_phase = jnp.where(coded_ok & is_inter_t, PH_MVD, hdr_phase)
+        for k in upd_hdr2:
+            upd_hdr[k] = jnp.where((coded_ok & is_intra_t),
+                                   upd_hdr2[k], upd_hdr[k])
+
+        # ================= MVD (macroblock.rs:414-437, mvd_pred.rs) =======
+        ent_x, len_x = _lookup(mvd_t, MVD_LEN, hi, jnp.zeros((S,), jnp.int32))
+        # Staged EOF/invalid precedence (see header note): InvalidMvd fails
+        # the frame (Sorenson has no GOB resync), EOF tail-fills — the x
+        # read resolves before the y read is considered.
+        m_eof_x = len_x > rem
+        m_bad_x = ~m_eof_x & ((ent_x >> 25) & 1 == 1)
+        mvdx = _sign8(ent_x)
+        ent_y2, len_y2 = _lookup(mvd_t, MVD_LEN, hi, len_x)
+        m_eof_y = ~m_eof_x & ~m_bad_x & (len_x + len_y2 > rem)
+        m_bad_y = (~m_eof_x & ~m_bad_x & ~m_eof_y
+                   & ((ent_y2 >> 25) & 1 == 1))
+        m_eof = m_eof_x | m_eof_y
+        m_bad = m_bad_x | m_bad_y
+        mvdy = _sign8(ent_y2)
+        mvd_consumed = len_x + len_y2
+
+        k = jnp.where(st["n_mvd"] == 4, st["mvd_k"], 0)
+        col = mb % mbw
+        line = mb // mbw
+        eol = col == (mbw - 1)
+        left = ring_fetch(ring, mb - 1)
+        above = ring_fetch(ring, mb - mbw)
+        abover = ring_fetch(ring, mb - mbw + 1)
+
+        def cand(comp):
+            # mv1/mv2/mv3 per mvpred.py::predict_candidate (mvd_pred.rs:27-67).
+            # `comp` is a static 0 (x) / 1 (y); `k` is the per-lane block
+            # index (always 0 for non-4V MBs).
+            cq = cur_quad
+            k_even = (k == 0) | (k == 2)      # left neighbor is previous MB
+            k_top = (k == 0) | (k == 1)       # above row neighbors apply
+            mv1 = jnp.where(
+                k_even,
+                jnp.where(col == 0, 0,
+                          jnp.take_along_axis(
+                              left, ((k + 1) * 2 + comp)[:, None], axis=1)[:, 0]),
+                jnp.take_along_axis(
+                    cq, ((k - 1) * 2 + comp)[:, None], axis=1)[:, 0])
+            up = jnp.take_along_axis(
+                above, ((k + 2) * 2 + comp)[:, None], axis=1)[:, 0]
+            mv2 = jnp.where(
+                k_top,
+                jnp.where(line == 0, mv1, up),
+                cq[:, comp])                  # blocks 2/3: current block 0
+            mv3 = jnp.where(
+                k_top,
+                jnp.where(eol, 0,
+                          jnp.where(line == 0, mv1, abover[:, 4 + comp])),
+                cq[:, 2 + comp])              # blocks 2/3: current block 1
+            return jnp.maximum(jnp.minimum(mv1, mv2),
+                               jnp.minimum(jnp.maximum(mv1, mv2), mv3))
+
+        predx = cand(0)
+        predy = cand(1)
+
+        def halfpel(pred, mvd):
+            # Sorenson / non-UMV path of mvpred.halfpel_decode: standard
+            # range with wraparound invert (types.rs:736-747).
+            out = pred + mvd
+            inv = jnp.where(mvd > 0, mvd - 64, jnp.where(mvd < 0, mvd + 64, 0))
+            wrapped = pred + inv
+            in_range = (out >= -32) & (out < 32)
+            return jnp.where(in_range, out, wrapped)
+
+        mvx = halfpel(predx, mvdx)
+        mvy = halfpel(predy, mvdy)
+
+        m_ok = in_mvd & ~m_eof & ~m_bad
+        is4v_mb = st["n_mvd"] == 4
+        # Update the current quad: non-4V -> all four blocks; 4V -> block k.
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (S, 8), 1)
+        newq_all = jnp.where(iota8 % 2 == 0, mvx[:, None], mvy[:, None])
+        hit_k = (iota8 >> 1) == k[:, None]
+        mvd_quad = jnp.where(
+            (m_ok & ~is4v_mb)[:, None], newq_all,
+            jnp.where((m_ok & is4v_mb)[:, None] & hit_k,
+                      newq_all, cur_quad))
+
+        last_mvd = st["mvd_k"] == (st["n_mvd"] - 1)
+        mvd_complete = m_ok & last_mvd
+
+        # Beyond-nmb check at MVD completion (see header note).
+        m_beyond = mvd_complete & (mb >= nmb) & (st["cbp"] != 0)
+        mvd_fail = (in_mvd & m_bad & ~m_eof) | m_beyond
+        mvd_status = jnp.where(m_beyond, ST_BEYOND_NMB, ST_BAD_MVD)
+
+        # Records: non-4V -> mb-record with broadcast MV; 4V k<3 ->
+        # block-record; 4V k==3 -> mb-record carrying block 3's MV.
+        mvd_rec_idx = jnp.where(
+            mvd_complete & (mb < nmb), mb,
+            jnp.where(m_ok & is4v_mb & ~last_mvd & (mb < nmb),
+                      nmb + mb * 3 + k, REC_SENTINEL))
+        mvd_rec_val = _pack_mv_record(
+            mvx, mvy, jnp.ones((S,), jnp.int32),
+            jnp.where(is4v_mb, 1, 0))
+
+        mvd_ring = jnp.where(
+            mvd_complete[:, None, None],
+            ring_store(ring, mb, mvd_quad), ring)
+
+        upd_mvd = dict(upd)
+        upd_mvd["mvd_k"] = st["mvd_k"] + 1
+        eb_phase_m, upd_mvd2 = enter_blocks(
+            st, dict(upd_mvd), mb, st["cbp"], st["mtype"])
+        mvd_phase = jnp.where(
+            m_eof, PH_DONE,
+            jnp.where(mvd_fail, PH_ERR,
+                      jnp.where(mvd_complete, eb_phase_m, PH_MVD)))
+        for kk in upd_mvd2:
+            upd_mvd[kk] = jnp.where(mvd_complete, upd_mvd2[kk], upd_mvd[kk])
+
+        # ================= INTRADC (block.rs:682-686, types.rs:923-962) ====
+        d_eof = rem < 8
+        dcv = i32(_peek(hi, 0, 8))
+        d_bad = (dcv == 0) | (dcv == 128)
+        dcval = jnp.where(dcv == 255, 1024, dcv << 3)
+        dc_ok = in_dc & ~d_eof & ~d_bad
+        dc_ord = mb * 384 + st["blk"] * 64  # zigzag position 0
+        dc_has_coef = (st["cbp"] >> st["blk"]) & 1 == 1
+        upd_dc = dict(upd)
+        upd_dc["zz"] = jnp.ones_like(mb)
+        adv_phase, upd_dc2 = advance_block(st, dict(upd_dc))
+        dc_phase = jnp.where(
+            d_eof | d_bad, PH_ERR,
+            jnp.where(dc_has_coef, PH_COEF, adv_phase))
+        for kk in upd_dc2:
+            upd_dc[kk] = jnp.where(dc_ok & ~dc_has_coef, upd_dc2[kk], upd_dc[kk])
+        dc_status = jnp.where(d_eof, ST_EOF_IN_BLOCK, ST_BAD_INTRADC)
+
+        # ================= TCOEF (block.rs:670-755, rle.rs:82-172) =========
+        ent_t, len_t = _lookup(tcoef_t, TCOEF_LEN, hi, jnp.zeros((S,), jnp.int32))
+        t_escape = (ent_t >> 24) & 1 == 1
+        t_bad = (ent_t >> 25) & 1 == 1
+        # Short path: sign bit follows the code.
+        sgn = i32(_peek(hi, len_t, 1))
+        short_last = (ent_t >> 11) & 1
+        short_run = (ent_t >> 5) & 63
+        short_mag = ent_t & 31
+        short_consumed = len_t + 1
+        # Escape path: [v1: width flag] LAST RUN LEVEL (block.rs:693-709).
+        flag = i32(_peek(hi, 7, 1))
+        esc_off = 7 + jnp.where(sorenson_v1 == 1, 1, 0)
+        esc_w = jnp.where(sorenson_v1 == 1, jnp.where(flag == 1, 11, 7), 8)
+        esc_last = i32(_peek(hi, esc_off, 1))
+        esc_run = i32(_peek(hi, esc_off + 1, 6))
+        lvl_raw = i32(_peek(hi, esc_off + 7, esc_w))
+        sign_bit = _shl32(jnp.uint32(1), esc_w - 1).astype(jnp.int32)
+        esc_level = lvl_raw - ((lvl_raw & sign_bit) << 1)
+        esc_consumed = esc_off + 7 + esc_w
+
+        t_consumed = jnp.where(t_escape, esc_consumed, short_consumed)
+        # EOF precedence follows bitio: the VLC read itself first (len_t);
+        # an invalid code with sufficient bits reports InvalidShort, not
+        # EOF; the trailing fixed-length reads only exhaust for valid codes.
+        t_eof = (len_t > rem) | (~t_bad & (t_consumed > rem))
+        t_esc_zero = t_escape & (esc_level == 0)
+
+        last = jnp.where(t_escape, esc_last, short_last)
+        run = jnp.where(t_escape, esc_run, short_run)
+        mag = jnp.where(t_escape, jnp.abs(esc_level), short_mag)
+        neg = jnp.where(t_escape, esc_level < 0, sgn == 1)
+
+        parity = (st["quant"] & 1) - 1
+        dqv = st["quant"] * (2 * mag + 1) + parity
+        val = jnp.clip(jnp.where(neg, -dqv, dqv), -2048, 2047)
+
+        zz_new = st["zz"] + run
+        overflow = zz_new >= 64
+        first_overflow = overflow & (st["blk_discard"] == 0)
+        t_ok = in_coef & ~t_eof & ~t_bad & ~t_esc_zero
+        emit_coef = t_ok & ~overflow & (st["blk_discard"] == 0)
+
+        coef_ord = mb * 384 + st["blk"] * 64 + jnp.minimum(zz_new, 63)
+        coef_rec_idx = jnp.where(t_ok & first_overflow,
+                                 4 * nmb + mb * 6 + st["blk"], REC_SENTINEL)
+        coef_rec_val = jnp.full((S,), 1 | _REC_PRESENT)
+
+        upd_coef = dict(upd)
+        upd_coef["zz"] = jnp.minimum(zz_new + 1, 64)
+        upd_coef["blk_discard"] = jnp.where(overflow, 1, st["blk_discard"])
+        adv_phase_c, upd_coef2 = advance_block(st, dict(upd_coef))
+        t_done = t_ok & (last == 1)
+        coef_phase = jnp.where(
+            t_eof | t_bad | t_esc_zero, PH_ERR,
+            jnp.where(t_done, adv_phase_c, PH_COEF))
+        for kk in upd_coef2:
+            upd_coef[kk] = jnp.where(t_done, upd_coef2[kk], upd_coef[kk])
+        coef_status = jnp.where(
+            t_eof, ST_EOF_IN_BLOCK,
+            jnp.where(t_bad, ST_BAD_TCOEF, ST_BAD_ESCAPE))
+
+        # ================= select by phase =================================
+        def sel(hdr, mvd, dc, coef, cur):
+            x = jnp.where(in_hdr, hdr, cur)
+            x = jnp.where(in_mvd, mvd, x)
+            x = jnp.where(in_dc, dc, x)
+            x = jnp.where(in_coef, coef, x)
+            return x
+
+        new_phase = sel(hdr_phase, mvd_phase, dc_phase, coef_phase, phase)
+        consumed = sel(hdr_consumed, jnp.where(m_eof, 0, mvd_consumed),
+                       jnp.where(d_eof, 0, 8),
+                       jnp.where(t_eof, 0, t_consumed), consumed)
+        # NB: consumed bits on the DONE paths are irrelevant (lane halts);
+        # zeroed to keep bitpos <= nbits.  Error paths likewise halt.
+        err_status = sel(
+            jnp.where(h_fail, h_err, 0),
+            jnp.where(mvd_fail, mvd_status, 0),
+            jnp.where(in_dc & (d_eof | d_bad), dc_status, 0),
+            jnp.where(in_coef & (t_eof | t_bad | t_esc_zero), coef_status, 0),
+            jnp.zeros((S,), jnp.int32))
+        new_status = jnp.where((new_phase == PH_ERR) & (st["status"] == 0),
+                               err_status, st["status"])
+
+        new_upd = {}
+        for kk in upd:
+            new_upd[kk] = sel(upd_hdr[kk], upd_mvd[kk], upd_dc[kk],
+                              upd_coef[kk], st[kk])
+        new_quad = jnp.where(in_hdr[:, None], hdr_quad,
+                             jnp.where(in_mvd[:, None], mvd_quad, cur_quad))
+        new_ring = jnp.where(
+            in_hdr[:, None, None], hdr_ring,
+            jnp.where(in_mvd[:, None, None], mvd_ring, ring))
+
+        coe_ord = sel(coe_ord, coe_ord, jnp.where(dc_ok, dc_ord, coe_ord),
+                      jnp.where(emit_coef, coef_ord, coe_ord), coe_ord)
+        coe_val = sel(coe_val, coe_val, jnp.where(dc_ok, dcval, coe_val),
+                      jnp.where(emit_coef, val, coe_val), coe_val)
+        rec_idx = sel(hdr_rec_idx, mvd_rec_idx, rec_idx, coef_rec_idx, rec_idx)
+        rec_val = sel(hdr_rec_val, mvd_rec_val, rec_val, coef_rec_val, rec_val)
+
+        st2 = dict(st, phase=new_phase, status=new_status,
+                   cur_quad=new_quad, ring=new_ring, **new_upd)
+        st2 = consume(st2, consumed, active)
+
+        tapes = dict(
+            coe_ord=jax.lax.dynamic_update_slice_in_dim(
+                tapes["coe_ord"], coe_ord[:, None], t, axis=1),
+            coe_val=jax.lax.dynamic_update_slice_in_dim(
+                tapes["coe_val"], coe_val[:, None], t, axis=1),
+            rec_idx=jax.lax.dynamic_update_slice_in_dim(
+                tapes["rec_idx"], rec_idx[:, None], t, axis=1),
+            rec_val=jax.lax.dynamic_update_slice_in_dim(
+                tapes["rec_val"], rec_val[:, None], t, axis=1),
+        )
+        return st2, tapes, t + 1
+
+    def cond(carry):
+        st, _, t = carry
+        return (t < T) & jnp.any(st["phase"] < PH_DONE)
+
+    zeros = jnp.zeros((S,), jnp.int32)
+    st0 = dict(
+        phase=zeros, bitpos=zeros, valid=zeros,
+        hi=jnp.zeros((S,), jnp.uint32), lo=jnp.zeros((S,), jnp.uint32),
+        wcur=zeros, mb=zeros, blk=zeros, zz=zeros,
+        quant=i32(quant0), cbp=zeros, mtype=zeros,
+        mvd_k=zeros, n_mvd=jnp.ones((S,), jnp.int32), blk_discard=zeros,
+        status=zeros,
+        cur_quad=jnp.zeros((S, 8), jnp.int32),
+        ring=jnp.zeros((S, RING, 8), jnp.int32),
+    )
+    # Prime the window: two refills, then consume the header offset within
+    # the first word pair.
+    st0["wcur"] = start_bit >> 5
+    st0 = refill(st0)
+    st0 = refill(st0)
+    st0 = consume(st0, start_bit & 31, jnp.ones((S,), bool))
+    st0["bitpos"] = start_bit
+
+    tapes0 = dict(
+        coe_ord=jnp.full((S, T), ORD_SENTINEL),
+        coe_val=jnp.zeros((S, T), jnp.int32),
+        rec_idx=jnp.full((S, T), REC_SENTINEL),
+        rec_val=jnp.zeros((S, T), jnp.int32),
+    )
+
+    import jax
+
+    st, tapes, t = jax.lax.while_loop(cond, body, (st0, tapes0, jnp.int32(0)))
+
+    status = jnp.where((st["phase"] < PH_DONE) & (st["status"] == 0),
+                       ST_TAPE_OVERFLOW, st["status"])
+    return dict(tapes, status=status, iterations=t)
+
+
+# --------------------------------------------------------------------------
+# Post-pass: tapes -> the packed-transport view the reconstruction program
+# consumes.  Two scatters total (coefficients add-mode, records set-mode).
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _dense_block_perm(mbh: int, mbw: int):
+    """inv_perm[dense_blk] = mb*6 + b, mapping the discard-flag space to the
+    dense layout used by the coefficient scatter (shared with
+    reconstruct.d24_to_posval): luma 2mbh x 2mbw grid row-major, then Cb,
+    then Cr."""
+    nmb = mbh * mbw
+    inv = np.empty(6 * nmb, dtype=np.int32)
+    for mb in range(nmb):
+        r, c = divmod(mb, mbw)
+        for b in range(4):
+            dense = (2 * r + (b >> 1)) * (2 * mbw) + 2 * c + (b & 1)
+            inv[dense] = mb * 6 + b
+        inv[4 * nmb + mb] = mb * 6 + 4
+        inv[5 * nmb + mb] = mb * 6 + 5
+    return inv
+
+
+def assemble(tapes, *, mbh: int, mbw: int):
+    """Turn the automaton tapes into (dense, mvs, inter, ok).
+
+    dense int16 [S, 6*nmb, 64] row-major coefficients (dezigzagged,
+    dequantized, discard-masked); mvs int16 [S, mbh, mbw, 4, 2]; inter
+    bool [S, mbh, mbw]; ok bool [S].  Errored/overflowed lanes are
+    neutralized to the identity frame (all-INTER, zero MVs, zero
+    coefficients) so the step reproduces the reference picture, matching
+    the reference's failed-decode contract (state.rs:119-137).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..vlc_tables import ZIGZAG_TO_ROWMAJOR
+
+    S = tapes["coe_ord"].shape[0]
+    nmb = mbh * mbw
+    nblk = 6 * nmb
+
+    ok = tapes["status"] == ST_OK
+
+    # Coefficient scatter (add mode; sentinel ordinals drop).  Mapping is
+    # the same ordinal -> (dense block, row-major) math as the d24
+    # transport (reconstruct.py::d24_to_posval), minus the delta cumsum.
+    ordpos = tapes["coe_ord"]
+    mb = ordpos // 384
+    rem = ordpos - mb * 384
+    b = rem >> 6
+    zz = rem & 63
+    rm = jnp.asarray(ZIGZAG_TO_ROWMAJOR, dtype=jnp.int32)[jnp.minimum(zz, 63)]
+    r_ = mb // mbw
+    c_ = mb - r_ * mbw
+    luma_blk = (2 * r_ + (b >> 1)) * (2 * mbw) + 2 * c_ + (b & 1)
+    chroma_blk = 4 * nmb + (b - 4) * nmb + r_ * mbw + c_
+    blk = jnp.where(b < 4, luma_blk, chroma_blk)
+    pos = jnp.where(ordpos < 6 * nmb * 64, blk * 64 + rm, nblk * 64)
+
+    dense = jnp.zeros((S, nblk * 64), jnp.int32)
+    dense = jax.vmap(lambda d, p, v: d.at[p].add(v, mode="drop"))(
+        dense, pos, tapes["coe_val"])
+    dense = dense.reshape(S, nblk, 64)
+
+    # Record scatter (set mode).
+    staging = jnp.zeros((S, 10 * nmb), jnp.int32)
+    staging = jax.vmap(lambda d, p, v: d.at[p].set(v, mode="drop"))(
+        staging, tapes["rec_idx"], tapes["rec_val"])
+
+    mbrec = staging[:, :nmb]
+    blkrec = staging[:, nmb:4 * nmb].reshape(S, nmb, 3)
+    discard_mb = staging[:, 4 * nmb:] != 0          # [S, 6*nmb] in mb-space
+
+    # Apply block discards (zigzag overflow zeroes the whole block,
+    # rle.rs:125-127) — translate mb-space flags to the dense layout.
+    inv = jnp.asarray(_dense_block_perm(mbh, mbw))
+    discard_dense = jnp.take(discard_mb, inv, axis=1)
+    dense = jnp.where(discard_dense[:, :, None], 0, dense)
+
+    present = (mbrec & _REC_PRESENT) != 0
+    inter = jnp.where(present, (mbrec >> 16) & 1, 1) == 1   # tail-fill: INTER
+    is4v = present & (((mbrec >> 17) & 1) == 1)
+
+    def unpack_xy(v):
+        return _sign8(v), _sign8(v >> 8)
+
+    bx, by = unpack_xy(mbrec)        # broadcast MV, or block 3's MV for 4V
+    k0x, k0y = unpack_xy(blkrec[:, :, 0])
+    k1x, k1y = unpack_xy(blkrec[:, :, 1])
+    k2x, k2y = unpack_xy(blkrec[:, :, 2])
+
+    def pick(kx, ky):
+        return jnp.stack([kx, ky], axis=-1)
+
+    bcast = pick(bx, by)[:, :, None, :]                     # [S, nmb, 1, 2]
+    quad4v = jnp.stack([pick(k0x, k0y), pick(k1x, k1y),
+                        pick(k2x, k2y), pick(bx, by)], axis=2)
+    mvs = jnp.where(is4v[:, :, None, None], quad4v,
+                    jnp.broadcast_to(bcast, (S, nmb, 4, 2)))
+    mvs = jnp.where(present[:, :, None, None], mvs, 0)
+
+    # Neutralize errored lanes: identity frame.
+    okb = ok[:, None]
+    dense = jnp.where(okb[:, :, None], dense, 0)
+    mvs = jnp.where(okb[:, :, None, None], mvs, 0)
+    inter = jnp.where(okb, inter, True)
+
+    return (dense.astype(jnp.int16),
+            mvs.reshape(S, mbh, mbw, 4, 2).astype(jnp.int16),
+            inter.reshape(S, mbh, mbw), ok)
+
+
+# --------------------------------------------------------------------------
+# Host-side helpers: payload packing + dispatch gate
+# --------------------------------------------------------------------------
+
+
+def supports(picture, running_options) -> bool:
+    """Dispatch gate for the device front-end (v1 scope): Sorenson-flavor
+    pictures without UMV/MODIFIED_QUANTIZATION.  Standard-H.263 streams
+    keep the host front-end."""
+    from ..types import PictureOption
+
+    if picture.version is None:          # not a Sorenson header
+        return False
+    blocked = (PictureOption.UNRESTRICTED_MOTION_VECTORS
+               | PictureOption.MODIFIED_QUANTIZATION)
+    return not (running_options & blocked)
+
+
+def prepare_batch(frames: list[bytes], decoder_options,
+                  previous_pictures=None, max_bytes: int | None = None):
+    """Host-side step preparation: parse each stream's picture header (the
+    only host parsing the device front-end needs) and build the automaton's
+    input arrays.
+
+    Returns (inputs, pictures) where inputs is a dict of numpy arrays
+    (data_u8 [S, Lw, 4], start_bit, nbits, quant0, ptype, sorenson_v1) and
+    pictures the parsed Picture headers.  Raises if any stream is outside
+    the device front-end's scope (callers should gate with supports()).
+    """
+    from ..bitio import BitReader
+    from ..types import PictureTypeCode
+    from .picture import decode_picture
+
+    S = len(frames)
+    prev = previous_pictures or [None] * S
+    if max_bytes is None:
+        max_bytes = max(len(f) for f in frames)
+    data_u8, nbits = pack_payloads(frames, max_bytes)
+    start_bit = np.empty(S, dtype=np.int32)
+    quant0 = np.empty(S, dtype=np.int32)
+    ptype = np.empty(S, dtype=np.int32)
+    v1 = np.empty(S, dtype=np.int32)
+    pictures = []
+    for i, buf in enumerate(frames):
+        r = BitReader(buf)
+        pic = decode_picture(r, decoder_options, prev[i])
+        if pic is None or not supports(pic, pic.options):
+            raise ValueError(f"stream {i} outside device front-end scope")
+        start_bit[i] = r.pos
+        quant0[i] = pic.quantizer
+        ptype[i] = (0 if pic.picture_type is PictureTypeCode.I_FRAME
+                    else 1 if pic.picture_type is PictureTypeCode.P_FRAME
+                    else 2)
+        v1[i] = 1 if pic.version == 1 else 0
+        pictures.append(pic)
+    return dict(data_u8=data_u8, start_bit=start_bit, nbits=nbits,
+                quant0=quant0, ptype=ptype, sorenson_v1=v1), pictures
+
+
+def pack_payloads(frames: list[bytes], max_bytes: int):
+    """Pack per-stream frame payloads into the uint32-word layout the
+    automaton reads.  Returns (data_u32 [S, Lw] uint32, nbits int32 [S]).
+    Frames longer than max_bytes must be rejected by the caller."""
+    S = len(frames)
+    Lw = (max_bytes + 3) // 4
+    out = np.zeros((S, Lw * 4), dtype=np.uint8)
+    nbits = np.empty(S, dtype=np.int32)
+    for i, f in enumerate(frames):
+        out[i, :len(f)] = np.frombuffer(f, dtype=np.uint8)
+        nbits[i] = len(f) * 8
+    return out.reshape(S, Lw, 4), nbits
+
+
+def payload_words(data_u8):
+    """uint8 [S, Lw, 4] -> big-endian uint32 [S, Lw] (done in jnp so it can
+    run on device after a single uint8 transfer)."""
+    import jax.numpy as jnp
+
+    d = data_u8.astype(jnp.uint32)
+    return (d[..., 0] << 24) | (d[..., 1] << 16) | (d[..., 2] << 8) | d[..., 3]

@@ -1,0 +1,237 @@
+"""Differential tests: device-side entropy front-end vs the host parser.
+
+The device front-end (parser/device_frontend.py) must produce exactly the
+same dense coefficient / MV / INTER tensors as parse_frame (the Python host
+parser, itself symbol-for-symbol identical to the native C++ one) for every
+legal stream, and must flag status != OK exactly when the host parser
+raises.  Runs on the CPU mesh (tests/conftest.py pins jax to CPU).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from h263_tpu.bitio import BitReader
+from h263_tpu.parser import device_frontend as df
+from h263_tpu.parser.frame import parse_frame
+from h263_tpu.parser.picture import decode_picture
+from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
+from h263_tpu.types import DecoderOption, H263Error, PictureTypeCode
+
+SORENSON = DecoderOption.SORENSON_SPARK_BITSTREAM
+
+
+def host_parse(buf: bytes, width: int, height: int):
+    """Host reference: (dense [6nmb, 64] i16, mvs, inter) or an exception."""
+    r = BitReader(buf)
+    pic = decode_picture(r, SORENSON, None)
+    fd = parse_frame(r, pic, SORENSON, pic.options, width, height)
+    nmb = fd.mb_w * fd.mb_h
+    dense = np.concatenate([
+        fd.coeffs_y.reshape(4 * nmb, 64),
+        fd.coeffs_cb.reshape(nmb, 64),
+        fd.coeffs_cr.reshape(nmb, 64),
+    ], axis=0)
+    return dense, fd.mvs, fd.inter
+
+
+def device_parse(frames: list[bytes], width: int, height: int,
+                 tape_len: int = 2048):
+    import jax.numpy as jnp
+
+    mbh, mbw = -(-height // 16), -(-width // 16)
+    inputs, _ = df.prepare_batch(frames, SORENSON)
+    words = df.payload_words(jnp.asarray(inputs["data_u8"]))
+    tapes = df.parse_frames_device(
+        words, inputs["start_bit"], inputs["nbits"], inputs["quant0"],
+        inputs["ptype"], inputs["sorenson_v1"],
+        mbh=mbh, mbw=mbw, tape_len=tape_len)
+    dense, mvs, inter, ok = df.assemble(tapes, mbh=mbh, mbw=mbw)
+    return (np.asarray(dense), np.asarray(mvs), np.asarray(inter),
+            np.asarray(ok), np.asarray(tapes["status"]))
+
+
+def assert_matches_host(frames, width, height, tape_len=2048):
+    dense, mvs, inter, ok, status = device_parse(
+        frames, width, height, tape_len)
+    for i, buf in enumerate(frames):
+        try:
+            hd, hmv, hin = host_parse(buf, width, height)
+        except H263Error:
+            assert not ok[i], f"stream {i}: host raised but device ok"
+            continue
+        assert ok[i], f"stream {i}: host ok but device status={status[i]}"
+        np.testing.assert_array_equal(dense[i], hd, err_msg=f"stream {i} dense")
+        np.testing.assert_array_equal(mvs[i], hmv, err_msg=f"stream {i} mvs")
+        np.testing.assert_array_equal(inter[i], hin,
+                                      err_msg=f"stream {i} inter")
+
+
+def rich_gop(seed, width=48, height=32, n=5, version=1):
+    max_escape = 500 if version == 1 else 127
+    """A GOP exercising intra/inter/uncoded/stuffing MBs, 4V, DQUANT,
+    short + both escape widths, and zigzag-overflow discards."""
+    rng = np.random.default_rng(seed)
+    mbw, mbh = width // 16, height // 16
+    nmb = mbw * mbh
+
+    def intra_mb():
+        dcs = [int(rng.integers(1, 128)) * 8 for _ in range(6)]
+        if rng.random() < 0.2:
+            dcs[0] = 1024
+        blocks = [[], [], [], [], [], []]
+        for b in range(6):
+            if rng.random() < 0.5:
+                evs = []
+                for _ in range(int(rng.integers(1, 4))):
+                    evs.append((int(rng.integers(0, 5)),
+                                int(rng.integers(1, 7)) * (1 if rng.random() < .5 else -1)))
+                blocks[b] = evs
+        return MBSpec(kind="intra", intradc=dcs, blocks=blocks,
+                      dquant=int(rng.integers(-2, 3)) if rng.random() < .3 else 0)
+
+    frames = [encode_sorenson_picture(
+        width, height, PictureTypeCode.I_FRAME,
+        [intra_mb() for _ in range(nmb)], temporal_reference=0,
+        version=version, quantizer=int(rng.integers(2, 14)))]
+
+    for tr in range(1, n):
+        mbs = []
+        for _ in range(nmb):
+            roll = rng.random()
+            if roll < 0.15:
+                mbs.append(MBSpec(kind="uncoded"))
+                continue
+            if roll < 0.25:
+                mbs.append(intra_mb())
+                continue
+            blocks = [[], [], [], [], [], []]
+            for b in range(6):
+                if rng.random() < 0.45:
+                    evs = []
+                    for _ in range(int(rng.integers(1, 4))):
+                        lvl = int(rng.integers(1, 30))
+                        if rng.random() < 0.25:
+                            lvl = int(rng.integers(64, max_escape))  # escapes
+                        evs.append((int(rng.integers(0, 9)),
+                                    lvl * (1 if rng.random() < .5 else -1)))
+                    blocks[b] = evs
+            if rng.random() < 0.1:
+                # Zigzag overflow: run past position 63 discards the block.
+                blocks[0] = [(40, 3), (40, 5)]
+            four_v = rng.random() < 0.25
+            mvd = [(int(rng.integers(-12, 13)), int(rng.integers(-12, 13)))
+                   for _ in range(4 if four_v else 1)]
+            mbs.append(MBSpec(kind="inter", mvd=mvd, blocks=blocks,
+                              dquant=int(rng.integers(-2, 3)) if rng.random() < .3 else 0))
+        if rng.random() < 0.2:
+            mbs.insert(int(rng.integers(0, nmb)), MBSpec(kind="stuffing"))
+        frames.append(encode_sorenson_picture(
+            width, height, PictureTypeCode.P_FRAME, mbs,
+            temporal_reference=tr, version=version,
+            quantizer=int(rng.integers(2, 14))))
+    return frames
+
+
+class TestLegalStreams:
+    def test_iframe_simple(self):
+        nmb = 6
+        f = encode_sorenson_picture(
+            48, 32, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[8 * (i + 1)] * 6)
+             for i in range(nmb)], temporal_reference=0)
+        assert_matches_host([f], 48, 32)
+
+    def test_rich_gop_batch(self):
+        frames = []
+        for seed in range(4):
+            frames.extend(rich_gop(seed))
+        assert_matches_host(frames, 48, 32)
+
+    def test_sorenson_v0_escapes(self):
+        frames = []
+        for seed in (10, 11):
+            frames.extend(rich_gop(seed, version=0))
+        assert_matches_host(frames, 48, 32)
+
+    def test_single_mb_picture(self):
+        f = encode_sorenson_picture(
+            16, 16, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[1024] * 6)], temporal_reference=0)
+        assert_matches_host([f], 16, 16)
+
+    def test_dquant_running_scan(self):
+        mbs = [MBSpec(kind="inter", mvd=[(0, 0)],
+                      blocks=[[(0, 5)], [], [], [], [], []],
+                      dquant=[1, -2, 2, -1, 1, 2][i % 6])
+               for i in range(6)]
+        i0 = encode_sorenson_picture(
+            48, 32, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[64] * 6)] * 6, temporal_reference=0)
+        p = encode_sorenson_picture(
+            48, 32, PictureTypeCode.P_FRAME, mbs, temporal_reference=1,
+            quantizer=4)
+        assert_matches_host([i0, p], 48, 32)
+
+
+class TestTruncationAndErrors:
+    def test_truncated_everywhere(self):
+        """Every byte-truncation of a rich P-frame either matches the host
+        output (EOF tail-fill) or errors on both sides.  Cuts inside the
+        picture header are the host's problem (prepare_batch parses headers
+        before dispatch), so truncation starts after it."""
+        frames = rich_gop(42, n=2)
+        buf = frames[1]
+        r = BitReader(buf)
+        decode_picture(r, SORENSON, None)
+        first = r.pos // 8 + 1
+        cuts = [buf[:k] for k in range(first, len(buf), 3)]
+        assert_matches_host(cuts, 48, 32)
+
+    def test_byte_flips(self):
+        rng = np.random.default_rng(7)
+        frames = rich_gop(3, n=3)
+        flipped = []
+        for f in (frames[1], frames[2]):
+            r = BitReader(f)
+            decode_picture(r, SORENSON, None)
+            first = r.pos // 8 + 1  # flips in the MB layer only: header
+            for _ in range(20):     # corruption is handled host-side
+                b = bytearray(f)
+                i = int(rng.integers(first, len(b)))
+                b[i] ^= 1 << int(rng.integers(0, 8))
+                flipped.append(bytes(b))
+        assert_matches_host(flipped, 48, 32)
+
+    def test_disposable_p_quirk(self):
+        """Coded MBs in a DisposableP hit UnimplementedDecoding
+        (macroblock.rs:461-464); all-uncoded DisposableP parses."""
+        i0 = encode_sorenson_picture(
+            32, 32, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[64] * 6)] * 4, temporal_reference=0)
+        ok_dp = encode_sorenson_picture(
+            32, 32, PictureTypeCode.DISPOSABLE_P_FRAME,
+            [MBSpec(kind="uncoded")] * 4, temporal_reference=1, pad_bit=1)
+        bad_dp = encode_sorenson_picture(
+            32, 32, PictureTypeCode.DISPOSABLE_P_FRAME,
+            [MBSpec(kind="inter", mvd=[(0, 0)])] * 4, temporal_reference=1,
+            pad_bit=1)
+        assert_matches_host([i0, ok_dp, bad_dp], 32, 32)
+
+    def test_tape_overflow_flags_status(self):
+        frames = rich_gop(5, n=2)
+        _, _, _, ok, status = device_parse(frames, 48, 32, tape_len=8)
+        assert not ok.any()
+        assert (status == df.ST_TAPE_OVERFLOW).all()
+
+    def test_error_lane_is_identity_frame(self):
+        """An errored lane yields all-INTER / zero-MV / zero coefficients:
+        the step reproduces the reference picture (state.rs:119-137)."""
+        good = rich_gop(6, n=2)[1]
+        bad = good[:10]  # truncation inside the first MB's block layer...
+        dense, mvs, inter, ok, status = device_parse([bad], 48, 32)
+        if not ok[0]:
+            assert (dense[0] == 0).all()
+            assert (mvs[0] == 0).all()
+            assert inter[0].all()
