@@ -309,11 +309,8 @@ def _reconstruct_from_posval(pos, val, mvs, inter,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.idct import derive_classes_jnp
-
     s, mbh, mbw = inter.shape
-    nmb = mbh * mbw
-    nblk = 6 * nmb
+    nblk = 6 * mbh * mbw
 
     dense = jnp.zeros((s, nblk * 64), jnp.int16)
     if scatter_add:
@@ -324,7 +321,23 @@ def _reconstruct_from_posval(pos, val, mvs, inter,
     else:
         dense = jax.vmap(lambda d, p, vv: d.at[p].set(vv, mode="drop"))(
             dense, pos, val)
-    dense = dense.reshape(s, nblk, 64)
+    return reconstruct_from_dense(dense.reshape(s, nblk, 64), mvs, inter,
+                                  ref_y, ref_cb, ref_cr, pallas)
+
+
+def reconstruct_from_dense(dense, mvs, inter, ref_y, ref_cb, ref_cr,
+                           pallas="off"):
+    """Batched reconstruction from an already-dense coefficient tensor
+    (int16 [S, 6*nmb, 64] in the packed-transport block layout: luma grid
+    row-major, then Cb, then Cr; row-major within each block).  Shared tail
+    of every transport and of the device entropy front-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.idct import derive_classes_jnp
+
+    s, mbh, mbw = inter.shape
+    nmb = mbh * mbw
 
     if mvs.ndim == 4:  # slim [S, mbh, mbw, 2] -> broadcast to 4 blocks
         mvs = jnp.broadcast_to(mvs[:, :, :, None, :], (s, mbh, mbw, 4, 2))

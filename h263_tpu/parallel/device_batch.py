@@ -1,0 +1,252 @@
+"""Batched decoding with the device-side entropy front-end.
+
+`DeviceFrontendDecoder` is the alternative production path to
+`BatchedStreamDecoder`: instead of parsing the macroblock layer on the host
+and shipping dense/packed tensors, it ships the RAW FRAME BYTES (the
+minimal possible transfer — the compressed stream itself) in one uint8
+leaf per step and runs the entire entropy decode on the device
+(parser/device_frontend.py), followed by the same reconstruction program
+every other transport uses (decoder/reconstruct.py::reconstruct_from_dense).
+
+The host's remaining per-step work is picture-header parsing (a few dozen
+bits per stream) and byte packing — everything else is one XLA program:
+
+    bytes -> u32 words -> lockstep VLC automaton -> tapes -> scatters ->
+    dense coefficients / MVs / INTER -> gather+IDCT+clamp -> planes
+
+Reference-picture rules come out in the wash exactly as in the host
+batched path: outputs become the reference planes unconditionally, which
+is correct because errored lanes emit the identity frame (previous
+picture persists, matching the whole-picture transaction of
+state.rs:119-137) and legal DisposableP frames are all-uncoded (the
+coded-MB quirk, macroblock.rs:461-464) so their output equals the
+reference.
+
+Per-stream decode status lives in a device-resident vector
+(`last_status`); fetch it only at sync points (`fetch_status()`) — a
+mid-stream fetch on the tunneled TPU triggers the synchronous-dispatch
+trap (CLAUDE.md).  Streams outside the front-end's scope (standard
+H.263, UMV) or whose headers fail to parse are handled on the host: their
+payload is replaced by a skip frame and their error surfaces through the
+usual host exception path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..bitio import BitReader
+from ..parser import device_frontend as df
+from ..parser.picture import decode_picture
+from ..types import DecoderOption, H263Error, PictureTypeCode
+from ..utils.trace import trace_stage
+
+
+@functools.lru_cache(maxsize=32)
+def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off"):
+    """The jitted whole-step program for an h x w bucket: raw bytes to
+    planes.  Static over (dims, tape bucket, kernel flavor) so the jit
+    cache stays bounded."""
+    import jax
+
+    mbh, mbw = -(-h // 16), -(-w // 16)
+
+    def step(data_u8, start_bit, nbits, quant0, ptype, v1,
+             ref_y, ref_cb, ref_cr):
+        from ..decoder.reconstruct import reconstruct_from_dense
+
+        words = df.payload_words(data_u8)
+        tapes = df.parse_frames_device(
+            words, start_bit, nbits, quant0, ptype, v1,
+            mbh=mbh, mbw=mbw, tape_len=tape_len)
+        dense, mvs, inter, ok = df.assemble(tapes, mbh=mbh, mbw=mbw)
+        y, cb, cr = reconstruct_from_dense(
+            dense, mvs, inter, ref_y, ref_cb, ref_cr, pallas=pallas)
+        return y, cb, cr, tapes["status"]
+
+    return jax.jit(step)
+
+
+class DeviceFrontendDecoder:
+    """Decode S same-resolution Sorenson streams with the device front-end.
+
+    API mirrors BatchedStreamDecoder's core: decode_step(list[bytes]) ->
+    device-resident (y, cb, cr); present_rgba(); ref planes as attributes.
+    """
+
+    def __init__(self, n_streams: int, width: int, height: int,
+                 decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
+                 pallas: str = "auto", tape_len: Optional[int] = None,
+                 max_frame_bytes: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+
+        if not (decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
+            raise ValueError("DeviceFrontendDecoder is Sorenson-only (v1); "
+                             "standard H.263 uses the host front-end")
+        if pallas == "auto":
+            try:
+                backend = jax.default_backend()
+            except RuntimeError:
+                backend = "cpu"
+            pallas = "tpu" if backend == "tpu" else "off"
+
+        self.n = n_streams
+        self.w, self.h = width, height
+        self.cw, self.ch = (width + 1) // 2, (height + 1) // 2
+        self.mb_w, self.mb_h = -(-width // 16), -(-height // 16)
+        self.decoder_options = decoder_options
+        self.pallas = pallas
+        nmb = self.mb_w * self.mb_h
+        # Iteration budget: per MB, 1 header + up to 4 MVD pairs + 6
+        # INTRADC + one slot per coefficient.  The default covers 24 slots
+        # per macroblock (typical P content uses ~6, intra-heavy ~12-20);
+        # overflow is a flagged, recoverable condition (ST_TAPE_OVERFLOW ->
+        # identity frame + device-resident status), mirroring the packed
+        # transport's pack_cap contract.
+        self.tape_len = tape_len or 24 * nmb
+        # Transfer bucket for the raw payload (bytes); frames above it fall
+        # back to the skip-frame path with a host-raised error.
+        self.max_frame_bytes = max_frame_bytes or 8192
+        self._fn = get_device_step_fn(height, width, self.tape_len, pallas)
+
+        self.ref_y = jnp.zeros((n_streams, self.h, self.w), dtype=jnp.uint8)
+        self.ref_cb = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
+        self.ref_cr = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
+        self.last_status = None        # device-resident int32 [S]
+        self._pictures = [None] * n_streams
+        self._skip: Optional[bytes] = None
+        # Ping-pong host staging for the payload leaf (device_put may read
+        # asynchronously — same reuse gate as batch.py).
+        Lw = (self.max_frame_bytes + 3) // 4
+        self._stage = [np.zeros((n_streams, Lw, 4), dtype=np.uint8)
+                       for _ in range(2)]
+        self._meta = [np.zeros((5, n_streams), dtype=np.int32)
+                      for _ in range(2)]
+        self._stage_idx = 0
+        self._in_flight = [None, None]
+
+    # -- host-side helpers ---------------------------------------------------
+
+    def _skip_frame_bytes(self) -> bytes:
+        """An all-uncoded P-frame: decodes to the identity frame."""
+        if self._skip is None:
+            from ..testing.encoder import MBSpec, encode_sorenson_picture
+
+            self._skip = encode_sorenson_picture(
+                self.w, self.h, PictureTypeCode.P_FRAME,
+                [MBSpec(kind="uncoded")] * (self.mb_w * self.mb_h),
+                temporal_reference=0)
+        return self._skip
+
+    def _next_stage(self):
+        self._stage_idx ^= 1
+        i = self._stage_idx
+        if self._in_flight[i] is not None:
+            with trace_stage("reclaim_wait"):
+                for a in self._in_flight[i]:
+                    a.block_until_ready()
+            self._in_flight[i] = None
+        return self._stage[i], self._meta[i]
+
+    def decode_step(self, buffers: Sequence[bytes]):
+        """Decode one frame per stream.  Returns device-resident (y, cb, cr)
+        uint8 batches; per-stream status lands in self.last_status (device).
+
+        Host-side failures (unparseable/oversized headers, out-of-scope
+        streams) substitute the skip frame for that stream and re-raise the
+        first error AFTER dispatch, preserving per-stream isolation.
+        """
+        import jax
+
+        if len(buffers) != self.n:
+            raise ValueError(f"expected {self.n} buffers, got {len(buffers)}")
+
+        stage, meta = self._next_stage()
+        first_err: Optional[Exception] = None
+        with trace_stage("host_parse"):
+            stage[:] = 0
+            start_bit, nbits, quant0, ptype, v1 = meta
+            for i, buf in enumerate(buffers):
+                if buf is None:
+                    buf = self._skip_frame_bytes()
+                try:
+                    if len(buf) > self.max_frame_bytes:
+                        raise H263Error(
+                            f"frame exceeds transfer bucket "
+                            f"({len(buf)} > {self.max_frame_bytes} bytes)")
+                    r = BitReader(buf)
+                    pic = decode_picture(r, self.decoder_options,
+                                         self._pictures[i])
+                    if pic is None or not df.supports(pic, pic.options):
+                        raise H263Error("outside device front-end scope")
+                    fmt = pic.format.width_and_height() if pic.format else None
+                    if fmt is not None and fmt != (self.w, self.h):
+                        raise H263Error(
+                            f"stream {i} resolution {fmt} != bucket "
+                            f"({self.w}, {self.h})")
+                    self._pictures[i] = pic
+                except H263Error as e:
+                    if first_err is None:
+                        first_err = e
+                    buf = self._skip_frame_bytes()
+                    r = BitReader(buf)
+                    pic = decode_picture(r, self.decoder_options, None)
+                flat = stage[i].reshape(-1)
+                flat[:len(buf)] = np.frombuffer(buf, dtype=np.uint8)
+                start_bit[i] = r.pos
+                nbits[i] = len(buf) * 8
+                quant0[i] = pic.quantizer
+                ptype[i] = (0 if pic.picture_type is PictureTypeCode.I_FRAME
+                            else 1 if pic.picture_type is PictureTypeCode.P_FRAME
+                            else 2)
+                v1[i] = 1 if pic.version == 1 else 0
+
+        with trace_stage("transfer"):
+            dev_stage = jax.device_put(stage)
+            dev_meta = jax.device_put(meta)
+
+        with trace_stage("reconstruct_dispatch"):
+            y, cb, cr, status = self._fn(
+                dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
+                dev_meta[3], dev_meta[4],
+                self.ref_y, self.ref_cb, self.ref_cr)
+        self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
+        self.last_status = status
+        self._in_flight[self._stage_idx] = (y, cb, cr)
+
+        if first_err is not None:
+            raise first_err
+        return y, cb, cr
+
+    def fetch_status(self) -> np.ndarray:
+        """Read back the last step's per-stream status (int32; 0 = ok).
+
+        SYNC POINT: on the tunneled TPU the first readback of a computed
+        array flips the process into synchronous dispatch — call this at
+        end-of-GOP / validation barriers, not per step."""
+        return np.asarray(self.last_status)
+
+    def present_rgba(self, deblock: Optional[bool] = None):
+        import jax.numpy as jnp
+
+        from ..decoder.reconstruct import get_present_fn
+        from ..ops.deblock import QUANT_TO_STRENGTH
+
+        from ..types import PictureOption
+
+        strength = np.zeros(self.n, dtype=np.int32)
+        flags = np.zeros(self.n, dtype=np.bool_)
+        for i, pic in enumerate(self._pictures):
+            if pic is None:
+                continue
+            strength[i] = int(QUANT_TO_STRENGTH[pic.quantizer & 31])
+            flags[i] = bool(pic.options & PictureOption.USE_DEBLOCKER)
+        if deblock is not None:
+            flags[:] = deblock
+        fn = get_present_fn(self.h, self.w)
+        return fn(self.ref_y, self.ref_cb, self.ref_cr,
+                  jnp.asarray(strength), jnp.asarray(flags))

@@ -235,3 +235,90 @@ class TestTruncationAndErrors:
             assert (dense[0] == 0).all()
             assert (mvs[0] == 0).all()
             assert inter[0].all()
+
+
+class TestDeviceFrontendDecoder:
+    """Full pipeline: DeviceFrontendDecoder vs the single-stream oracle and
+    the host-front-end batched decoder, over multi-frame GOPs."""
+
+    def test_gop_matches_single_stream_oracle(self):
+        from h263_tpu.decoder.state import H263Decoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(100 + i, n=4) for i in range(3)]
+        dec = DeviceFrontendDecoder(3, 48, 32, SORENSON)
+        oracles = [H263Decoder(SORENSON, backend="numpy") for _ in range(3)]
+        for t in range(4):
+            y, cb, cr = dec.decode_step([streams[i][t] for i in range(3)])
+            assert (dec.fetch_status() == 0).all()
+            for i in range(3):
+                pic = oracles[i].decode_next_picture(streams[i][t])
+                np.testing.assert_array_equal(
+                    np.asarray(y[i]), pic.as_luma(),
+                    err_msg=f"stream {i} frame {t} luma")
+                np.testing.assert_array_equal(
+                    np.asarray(cb[i]), pic.as_chroma_b(),
+                    err_msg=f"stream {i} frame {t} cb")
+                np.testing.assert_array_equal(
+                    np.asarray(cr[i]), pic.as_chroma_r(),
+                    err_msg=f"stream {i} frame {t} cr")
+
+    def test_matches_host_batched_decoder(self):
+        from h263_tpu.parallel.batch import BatchedStreamDecoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(200 + i, n=4) for i in range(4)]
+        dev = DeviceFrontendDecoder(4, 48, 32, SORENSON)
+        host = BatchedStreamDecoder(4, 48, 32, SORENSON)
+        for t in range(4):
+            bufs = [streams[i][t] for i in range(4)]
+            ya, cba, cra = dev.decode_step(bufs)
+            yb, cbb, crb = host.decode_step(bufs)
+            np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+            np.testing.assert_array_equal(np.asarray(cba), np.asarray(cbb))
+            np.testing.assert_array_equal(np.asarray(cra), np.asarray(crb))
+
+    def test_corrupt_stream_isolated(self):
+        """A corrupted stream decodes to the identity frame (reference
+        persists) without disturbing its batch neighbors; its status is
+        nonzero at the sync point."""
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(300 + i, n=3) for i in range(2)]
+        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON)
+        y0, _, _ = dec.decode_step([streams[0][0], streams[1][0]])
+        ref0 = np.asarray(y0)
+        # Frame 1: stream 1's payload is cut inside the block layer.
+        cut = streams[1][1][:14]
+        y1, _, _ = dec.decode_step([streams[0][1], cut])
+        status = dec.fetch_status()
+        if status[1] != 0:
+            np.testing.assert_array_equal(np.asarray(y1)[1], ref0[1])
+        # Stream 0 decoded normally either way; next frame still works.
+        y2, _, _ = dec.decode_step([streams[0][2], streams[1][2]])
+
+    def test_present_rgba_matches_host_path(self):
+        from h263_tpu.parallel.batch import BatchedStreamDecoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(400 + i, n=2) for i in range(2)]
+        dev = DeviceFrontendDecoder(2, 48, 32, SORENSON)
+        host = BatchedStreamDecoder(2, 48, 32, SORENSON)
+        for t in range(2):
+            bufs = [streams[i][t] for i in range(2)]
+            dev.decode_step(bufs)
+            host.decode_step(bufs)
+        np.testing.assert_array_equal(
+            np.asarray(dev.present_rgba(deblock=True)),
+            np.asarray(host.present_rgba(deblock=True)))
+
+    def test_oversized_frame_raises_and_skips(self):
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+        from h263_tpu.types import H263Error
+
+        streams = [rich_gop(500 + i, n=2) for i in range(2)]
+        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON,
+                                    max_frame_bytes=64)
+        big = streams[1][0] + b"\x00" * 80
+        with pytest.raises(H263Error):
+            dec.decode_step([streams[0][0], big])
