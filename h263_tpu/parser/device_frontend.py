@@ -233,27 +233,31 @@ def _lookup(table, maxlen, hi, c):
 # --------------------------------------------------------------------------
 
 
-def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
-                        *, mbh: int, mbw: int, tape_len: int):
-    """Vectorized batched entropy decode.
+def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
+              tables=None):
+    """Build the lockstep automaton for one batch: returns
+    (init_state, step) where step(state) -> (new_state, emissions).
+
+    The step function is pure int32/uint32 jnp — it lowers unchanged
+    through XLA (parse_frames_device wraps it in a lax.while_loop carrying
+    the tapes) and inside a Pallas TPU kernel (ops/parse_pallas.py stores
+    the emissions to output refs).
 
     Args:
       data_u32: uint32 [S, Lw] — frame payload bytes packed big-endian into
         32-bit words (zero-padded); the whole frame including the picture
-        header (`start_bit` skips the header, which the host parses).
-      start_bit: int32 [S] — absolute bit offset of the first macroblock.
-      nbits: int32 [S] — number of valid bits in the stream.
-      quant0: int32 [S] — PQUANT from the picture header.
+        header (the init state's start_bit skips the header, which the host
+        parses).
+      nbits: int32 [S] — number of valid bits in each stream.
       ptype: int32 [S] — 0 = I-frame, 1 = P-frame, 2 = other (a coded MB in
         an "other" picture raises UnimplementedDecoding, matching
         macroblock.rs:461-464; uncoded COD=1 MBs still parse).
       sorenson_v1: int32 [S] — 1 selects the flag-chosen 7/11-bit escape
         level (block.rs:693-709); 0 the 8-bit form.
       mbh, mbw: static macroblock grid dims.
-      tape_len: static iteration budget T (the transport cap).
 
-    Returns dict with coe_ord/coe_val int32 [S, T], rec_idx/rec_val int32
-    [S, T], status int32 [S], iterations int32 [] (diagnostic).
+    Emissions per step: coe_ord/coe_val (one coefficient or sentinel),
+    rec_idx/rec_val (one MV/discard record or sentinel), all int32 [S].
     """
     import jax
     import jax.numpy as jnp
@@ -261,19 +265,23 @@ def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
     S, Lw = data_u32.shape
     nmb = mbh * mbw
     RING = mbw + 2
-    T = tape_len
 
-    mcbpc_i = jnp.asarray(MCBPC_I_ARR)
-    mcbpc_p = jnp.asarray(MCBPC_P_ARR)
-    cbpy_t = jnp.asarray(CBPY_ARR)
-    mvd_t = jnp.asarray(MVD_ARR)
-    tcoef_t = jnp.asarray(TCOEF_ARR)
+    if tables is None:
+        tables = dict(mcbpc_i=jnp.asarray(MCBPC_I_ARR),
+                      mcbpc_p=jnp.asarray(MCBPC_P_ARR),
+                      cbpy=jnp.asarray(CBPY_ARR),
+                      mvd=jnp.asarray(MVD_ARR),
+                      tcoef=jnp.asarray(TCOEF_ARR))
+    mcbpc_i = tables["mcbpc_i"]
+    mcbpc_p = tables["mcbpc_p"]
+    cbpy_t = tables["cbpy"]
+    mvd_t = tables["mvd"]
+    tcoef_t = tables["tcoef"]
 
     u32 = lambda x: x.astype(jnp.uint32)
     i32 = lambda x: x.astype(jnp.int32)
 
     data_u32 = u32(data_u32)
-    start_bit = i32(start_bit)
     nbits = i32(nbits)
 
     ORD_SENTINEL = jnp.int32(2 ** 30)
@@ -361,8 +369,7 @@ def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
         upd["blk_discard"] = jnp.zeros_like(nb)
         return phase, upd
 
-    def body(carry):
-        st, tapes, t = carry
+    def step(st):
         st = refill(st)
         hi = st["hi"]
         rem = nbits - st["bitpos"]
@@ -753,49 +760,72 @@ def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
                    cur_quad=new_quad, ring=new_ring, **new_upd)
         st2 = consume(st2, consumed, active)
 
-        tapes = dict(
-            coe_ord=jax.lax.dynamic_update_slice_in_dim(
-                tapes["coe_ord"], coe_ord[:, None], t, axis=1),
-            coe_val=jax.lax.dynamic_update_slice_in_dim(
-                tapes["coe_val"], coe_val[:, None], t, axis=1),
-            rec_idx=jax.lax.dynamic_update_slice_in_dim(
-                tapes["rec_idx"], rec_idx[:, None], t, axis=1),
-            rec_val=jax.lax.dynamic_update_slice_in_dim(
-                tapes["rec_val"], rec_val[:, None], t, axis=1),
+        return st2, dict(coe_ord=coe_ord, coe_val=coe_val,
+                         rec_idx=rec_idx, rec_val=rec_val)
+
+    def init_state(start_bit, quant0):
+        start_bit = i32(start_bit)
+        zeros = jnp.zeros((S,), jnp.int32)
+        st0 = dict(
+            phase=zeros, bitpos=zeros, valid=zeros,
+            hi=jnp.zeros((S,), jnp.uint32), lo=jnp.zeros((S,), jnp.uint32),
+            wcur=zeros, mb=zeros, blk=zeros, zz=zeros,
+            quant=i32(quant0), cbp=zeros, mtype=zeros,
+            mvd_k=zeros, n_mvd=jnp.ones((S,), jnp.int32), blk_discard=zeros,
+            status=zeros,
+            cur_quad=jnp.zeros((S, 8), jnp.int32),
+            ring=jnp.zeros((S, RING, 8), jnp.int32),
         )
+        # Prime the window: two refills, then consume the header offset
+        # within the first word pair.
+        st0["wcur"] = start_bit >> 5
+        st0 = refill(st0)
+        st0 = refill(st0)
+        st0 = consume(st0, start_bit & 31, jnp.ones((S,), bool))
+        st0["bitpos"] = start_bit
+        return st0
+
+    return init_state, step
+
+
+def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
+                        *, mbh: int, mbw: int, tape_len: int):
+    """Vectorized batched entropy decode (XLA harness around make_step).
+
+    Returns dict with coe_ord/coe_val int32 [S, T], rec_idx/rec_val int32
+    [S, T], status int32 [S], iterations int32 [] (diagnostic).  See
+    make_step for argument semantics; tape_len is the static iteration
+    budget T (the transport cap — exceeding lanes flag ST_TAPE_OVERFLOW).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    S = data_u32.shape[0]
+    T = tape_len
+    init_state, step = make_step(data_u32, nbits, ptype, sorenson_v1,
+                                 mbh=mbh, mbw=mbw)
+    st0 = init_state(start_bit, quant0)
+
+    tapes0 = dict(
+        coe_ord=jnp.full((S, T), jnp.int32(2 ** 30)),
+        coe_val=jnp.zeros((S, T), jnp.int32),
+        rec_idx=jnp.full((S, T), jnp.int32(2 ** 30)),
+        rec_val=jnp.zeros((S, T), jnp.int32),
+    )
+
+    def body(carry):
+        st, tapes, t = carry
+        st2, em = step(st)
+        tapes = {
+            k: jax.lax.dynamic_update_slice_in_dim(
+                tapes[k], em[k][:, None], t, axis=1)
+            for k in tapes
+        }
         return st2, tapes, t + 1
 
     def cond(carry):
         st, _, t = carry
         return (t < T) & jnp.any(st["phase"] < PH_DONE)
-
-    zeros = jnp.zeros((S,), jnp.int32)
-    st0 = dict(
-        phase=zeros, bitpos=zeros, valid=zeros,
-        hi=jnp.zeros((S,), jnp.uint32), lo=jnp.zeros((S,), jnp.uint32),
-        wcur=zeros, mb=zeros, blk=zeros, zz=zeros,
-        quant=i32(quant0), cbp=zeros, mtype=zeros,
-        mvd_k=zeros, n_mvd=jnp.ones((S,), jnp.int32), blk_discard=zeros,
-        status=zeros,
-        cur_quad=jnp.zeros((S, 8), jnp.int32),
-        ring=jnp.zeros((S, RING, 8), jnp.int32),
-    )
-    # Prime the window: two refills, then consume the header offset within
-    # the first word pair.
-    st0["wcur"] = start_bit >> 5
-    st0 = refill(st0)
-    st0 = refill(st0)
-    st0 = consume(st0, start_bit & 31, jnp.ones((S,), bool))
-    st0["bitpos"] = start_bit
-
-    tapes0 = dict(
-        coe_ord=jnp.full((S, T), ORD_SENTINEL),
-        coe_val=jnp.zeros((S, T), jnp.int32),
-        rec_idx=jnp.full((S, T), REC_SENTINEL),
-        rec_val=jnp.zeros((S, T), jnp.int32),
-    )
-
-    import jax
 
     st, tapes, t = jax.lax.while_loop(cond, body, (st0, tapes0, jnp.int32(0)))
 

@@ -237,6 +237,56 @@ class TestTruncationAndErrors:
             assert inter[0].all()
 
 
+class TestPallasHarness:
+    """The Pallas kernel harness must produce identical tapes/status to the
+    XLA while_loop harness (they share the automaton body)."""
+
+    def _run_both(self, frames, width, height, tape_len=512):
+        import jax.numpy as jnp
+
+        from h263_tpu.ops.parse_pallas import parse_frames_pallas
+
+        mbh, mbw = -(-height // 16), -(-width // 16)
+        inputs, _ = df.prepare_batch(frames, SORENSON)
+        words = df.payload_words(jnp.asarray(inputs["data_u8"]))
+        args = (words, inputs["start_bit"], inputs["nbits"],
+                inputs["quant0"], inputs["ptype"], inputs["sorenson_v1"])
+        a = df.parse_frames_device(*args, mbh=mbh, mbw=mbw,
+                                   tape_len=tape_len)
+        b = parse_frames_pallas(*args, mbh=mbh, mbw=mbw, tape_len=tape_len,
+                                chunk=128, interpret=True)
+        return a, b
+
+    def test_tapes_match_xla_harness(self):
+        frames = rich_gop(77, n=3) + rich_gop(78, n=2, version=0)
+        a, b = self._run_both(frames, 48, 32)
+        np.testing.assert_array_equal(np.asarray(a["status"]),
+                                      np.asarray(b["status"]))
+        # The XLA harness stops at the last active iteration; the Pallas
+        # tape beyond it is sentinel-filled.  Compare the assembled result
+        # (scatter output), which is what downstream consumes.
+        da, mva, ia, oka = df.assemble(a, mbh=2, mbw=3)
+        db, mvb, ib, okb = df.assemble(b, mbh=2, mbw=3)
+        np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+        np.testing.assert_array_equal(np.asarray(mva), np.asarray(mvb))
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+
+    def test_truncation_matches(self):
+        base = rich_gop(79, n=2)[1]
+        r = BitReader(base)
+        decode_picture(r, SORENSON, None)
+        cuts = [base[:k] for k in range(r.pos // 8 + 1, len(base), 7)]
+        a, b = self._run_both(cuts, 48, 32)
+        np.testing.assert_array_equal(np.asarray(a["status"]),
+                                      np.asarray(b["status"]))
+        da, mva, ia, _ = df.assemble(a, mbh=2, mbw=3)
+        db, mvb, ib, _ = df.assemble(b, mbh=2, mbw=3)
+        np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+        np.testing.assert_array_equal(np.asarray(mva), np.asarray(mvb))
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+
 class TestDeviceFrontendDecoder:
     """Full pipeline: DeviceFrontendDecoder vs the single-stream oracle and
     the host-front-end batched decoder, over multi-frame GOPs."""
