@@ -755,3 +755,62 @@ class StandardBatchParser:
             exc = _ERROR_MAP.get(rc, InternalDecoderError)
             raise exc(f"stream {int(self._failed.value)}: native error {rc}")
         return self.hdr, self._counts, self._flags
+
+
+def _setup_device_prep_sig(lib):
+    import ctypes as C
+
+    lib.h263_device_prepare_batch.restype = C.c_int
+    lib.h263_device_prepare_batch.argtypes = [
+        C.c_void_p, C.c_void_p,              # buffers (ptr array), lengths
+        C.c_int32, C.c_int32, C.c_int32,     # n, expected w, h
+        C.c_void_p, C.c_int64,               # stage base, stride
+        C.c_void_p, C.c_void_p, C.c_void_p,  # meta [5][n], hdr [n][8], rc [n]
+    ]
+
+
+class DevicePrepBatch:
+    """Native host-side prep for the device entropy front-end: batched
+    Sorenson header parse + payload copy into the staging rows of the
+    single uint8 transfer leaf.  Replaces a ~8 ms/step Python loop at
+    S=256 with one FFI call (~0.1 ms)."""
+
+    __slots__ = ("_n", "_w", "_h", "_stride", "_lengths", "_ptrs",
+                 "hdr", "rc")
+
+    def __init__(self, n: int, width: int, height: int, stage_stride: int):
+        assert _lib is not None
+        if not hasattr(_lib, "_device_prep_sig_done"):
+            _setup_device_prep_sig(_lib)
+            _lib._device_prep_sig_done = True
+        self._n, self._w, self._h = n, width, height
+        self._stride = stage_stride
+        self._lengths = np.zeros(n, dtype=np.uint64)
+        self._ptrs = np.zeros(n, dtype=np.uint64)
+        self.hdr = np.zeros((n, 8), dtype=np.int32)
+        self.rc = np.zeros(n, dtype=np.int32)
+
+    def prepare(self, buffers, stage: np.ndarray, meta: np.ndarray) -> int:
+        """Fill `stage` (uint8 [n, stride... any trailing dims]) and `meta`
+        (int32 [5, n]); returns the number of failed streams (see
+        entropy.cpp h263_device_prepare_batch for per-stream rc)."""
+        n = self._n
+        assert len(buffers) == n
+        assert stage.dtype == np.uint8 and stage.flags["C_CONTIGUOUS"]
+        assert stage.strides[0] == self._stride
+        assert meta.shape == (5, n) and meta.dtype == np.int32
+        if _fastcall is not None:
+            _fastcall.gather_ptrs(buffers, self._ptrs.ctypes.data,
+                                  self._lengths.ctypes.data)
+            ptrs_addr = self._ptrs.ctypes.data
+            keepalive = buffers
+        else:
+            keepalive = (ctypes.c_char_p * n)(*buffers)
+            self._lengths[:] = [len(b) for b in buffers]
+            ptrs_addr = ctypes.addressof(keepalive)
+        failed = _lib.h263_device_prepare_batch(
+            ptrs_addr, self._lengths.ctypes.data, n, self._w, self._h,
+            stage.ctypes.data, self._stride,
+            meta.ctypes.data, self.hdr.ctypes.data, self.rc.ctypes.data)
+        del keepalive
+        return int(failed)

@@ -1355,6 +1355,64 @@ int h263_sorenson_decode_batch_fused(
   return OK;
 }
 
+// Device-front-end batch prep (parser/device_frontend.py): parse each
+// stream's Sorenson picture header natively and copy its payload into one
+// staging row of the single uint8 transfer leaf.  The macroblock layer is
+// NOT parsed — that is the device automaton's job.
+//
+// meta: int32 [5][n] row-major, the layout the device program consumes:
+//   row 0 start_bit, 1 nbits, 2 quantizer, 3 ptype class (0 I / 1 P /
+//   2 other — DisposableP and reserved both dispatch as "other", matching
+//   macroblock.rs:461-464), 4 sorenson-v1 escape flag.
+// hdr_all: int32 [n][8] as in h263_sorenson_header (TR / deblocker /
+//   dims for host bookkeeping).
+// rc_out: per-stream OK / E_EOF / E_INVALID_BITSTREAM; failed rows are
+//   zeroed and their meta set to a benign empty stream (nbits=0 parses
+//   as an immediate EOF picture) — the Python layer decides skip/raise
+//   semantics.  Oversized payloads (len > stage_stride) and bucket
+//   mismatches (dims != expected) report E_INVALID_BITSTREAM.
+// Returns the number of failed streams.
+int h263_device_prepare_batch(
+    const uint8_t** bufs, const uint64_t* lens, int32_t n,
+    int32_t exp_width, int32_t exp_height,
+    uint8_t* stage, int64_t stage_stride,
+    int32_t* meta, int32_t* hdr_all, int32_t* rc_out) {
+  int32_t failed = 0;
+  for (int32_t i = 0; i < n; i++) {
+    uint8_t* row = stage + (size_t)i * (size_t)stage_stride;
+    int32_t* hdr = hdr_all + (size_t)i * 8;
+    uint64_t end_bit = 0;
+    int rc = OK;
+    if (lens[i] > (uint64_t)stage_stride) {
+      rc = E_INVALID_BITSTREAM;
+    } else {
+      rc = h263_sorenson_header(bufs[i], lens[i], 0, hdr, &end_bit);
+      if (rc == OK && (hdr[2] != exp_width || hdr[3] != exp_height)) {
+        rc = E_INVALID_BITSTREAM;
+      }
+    }
+    rc_out[i] = rc;
+    if (rc != OK) {
+      failed++;
+      std::memset(row, 0, (size_t)stage_stride);
+      meta[0 * n + i] = 0;
+      meta[1 * n + i] = 0;
+      meta[2 * n + i] = 1;
+      meta[3 * n + i] = 1;
+      meta[4 * n + i] = 0;
+      continue;
+    }
+    std::memcpy(row, bufs[i], (size_t)lens[i]);
+    std::memset(row + lens[i], 0, (size_t)stage_stride - (size_t)lens[i]);
+    meta[0 * n + i] = (int32_t)end_bit;
+    meta[1 * n + i] = (int32_t)(lens[i] * 8);
+    meta[2 * n + i] = hdr[6];
+    meta[3 * n + i] = hdr[4] == 0 ? 0 : (hdr[4] == 1 ? 1 : 2);
+    meta[4 * n + i] = hdr[0] == 1 ? 1 : 0;
+  }
+  return failed;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

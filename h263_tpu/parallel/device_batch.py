@@ -119,6 +119,11 @@ class DeviceFrontendDecoder:
         self.last_status = None        # device-resident int32 [S]
         self._pictures = [None] * n_streams
         self._skip: Optional[bytes] = None
+        # Last-good per-stream presentation params (quantizer -> deblock
+        # strength, advisory deblocker flag) — kept as plain arrays so the
+        # native prep path needs no Picture objects.
+        self._last_quant = np.full(n_streams, 8, dtype=np.int32)
+        self._last_deblock = np.zeros(n_streams, dtype=np.bool_)
         # Ping-pong host staging for the payload leaf (device_put may read
         # asynchronously — same reuse gate as batch.py).
         Lw = (self.max_frame_bytes + 3) // 4
@@ -128,6 +133,19 @@ class DeviceFrontendDecoder:
                       for _ in range(2)]
         self._stage_idx = 0
         self._in_flight = [None, None]
+        # Native host prep (batched header parse + staging copy): one FFI
+        # call instead of a ~8 ms/step Python header loop at S=256.
+        self._prep = None
+        import os
+
+        if not os.environ.get("H263_TPU_NO_NATIVE"):
+            from ..native import ensure_built
+
+            if ensure_built():
+                from ..native.bindings import DevicePrepBatch
+
+                self._prep = DevicePrepBatch(n_streams, width, height,
+                                             Lw * 4)
 
     # -- host-side helpers ---------------------------------------------------
 
@@ -168,42 +186,64 @@ class DeviceFrontendDecoder:
         stage, meta = self._next_stage()
         first_err: Optional[Exception] = None
         with trace_stage("host_parse"):
-            stage[:] = 0
-            start_bit, nbits, quant0, ptype, v1 = meta
-            for i, buf in enumerate(buffers):
-                if buf is None:
-                    buf = self._skip_frame_bytes()
-                try:
-                    if len(buf) > self.max_frame_bytes:
-                        raise H263Error(
-                            f"frame exceeds transfer bucket "
-                            f"({len(buf)} > {self.max_frame_bytes} bytes)")
-                    r = BitReader(buf)
-                    pic = decode_picture(r, self.decoder_options,
-                                         self._pictures[i])
-                    if pic is None or not df.supports(pic, pic.options):
-                        raise H263Error("outside device front-end scope")
-                    fmt = pic.format.width_and_height() if pic.format else None
-                    if fmt is not None and fmt != (self.w, self.h):
-                        raise H263Error(
-                            f"stream {i} resolution {fmt} != bucket "
-                            f"({self.w}, {self.h})")
-                    self._pictures[i] = pic
-                except H263Error as e:
-                    if first_err is None:
-                        first_err = e
-                    buf = self._skip_frame_bytes()
-                    r = BitReader(buf)
-                    pic = decode_picture(r, self.decoder_options, None)
-                flat = stage[i].reshape(-1)
-                flat[:len(buf)] = np.frombuffer(buf, dtype=np.uint8)
-                start_bit[i] = r.pos
-                nbits[i] = len(buf) * 8
-                quant0[i] = pic.quantizer
-                ptype[i] = (0 if pic.picture_type is PictureTypeCode.I_FRAME
-                            else 1 if pic.picture_type is PictureTypeCode.P_FRAME
-                            else 2)
-                v1[i] = 1 if pic.version == 1 else 0
+            if self._prep is not None:
+                bufs = [self._skip_frame_bytes() if b is None else b
+                        for b in buffers]
+                failed = self._prep.prepare(bufs, stage, meta)
+                hdr = self._prep.hdr
+                okm = self._prep.rc == 0
+                np.copyto(self._last_quant, hdr[:, 6], where=okm)
+                np.copyto(self._last_deblock, hdr[:, 5] != 0, where=okm)
+                if failed:
+                    # Failed rows were staged as empty streams (identity
+                    # frames); surface the first failure like the host
+                    # batched path, after the step below still dispatches.
+                    i = int(np.argmin(okm))
+                    first_err = H263Error(
+                        f"stream {i}: header rejected by device front-end "
+                        f"prep (rc {int(self._prep.rc[i])})")
+            else:
+                stage[:] = 0
+                start_bit, nbits, quant0, ptype, v1 = meta
+                for i, buf in enumerate(buffers):
+                    if buf is None:
+                        buf = self._skip_frame_bytes()
+                    try:
+                        if len(buf) > self.max_frame_bytes:
+                            raise H263Error(
+                                f"frame exceeds transfer bucket "
+                                f"({len(buf)} > {self.max_frame_bytes} bytes)")
+                        r = BitReader(buf)
+                        pic = decode_picture(r, self.decoder_options,
+                                             self._pictures[i])
+                        if pic is None or not df.supports(pic, pic.options):
+                            raise H263Error("outside device front-end scope")
+                        fmt = pic.format.width_and_height() if pic.format else None
+                        if fmt is not None and fmt != (self.w, self.h):
+                            raise H263Error(
+                                f"stream {i} resolution {fmt} != bucket "
+                                f"({self.w}, {self.h})")
+                        self._pictures[i] = pic
+                        self._last_quant[i] = pic.quantizer
+                        from ..types import PictureOption
+
+                        self._last_deblock[i] = bool(
+                            pic.options & PictureOption.USE_DEBLOCKER)
+                    except H263Error as e:
+                        if first_err is None:
+                            first_err = e
+                        buf = self._skip_frame_bytes()
+                        r = BitReader(buf)
+                        pic = decode_picture(r, self.decoder_options, None)
+                    flat = stage[i].reshape(-1)
+                    flat[:len(buf)] = np.frombuffer(buf, dtype=np.uint8)
+                    start_bit[i] = r.pos
+                    nbits[i] = len(buf) * 8
+                    quant0[i] = pic.quantizer
+                    ptype[i] = (0 if pic.picture_type is PictureTypeCode.I_FRAME
+                                else 1 if pic.picture_type is PictureTypeCode.P_FRAME
+                                else 2)
+                    v1[i] = 1 if pic.version == 1 else 0
 
         with trace_stage("transfer"):
             dev_stage = jax.device_put(stage)
@@ -236,17 +276,9 @@ class DeviceFrontendDecoder:
         from ..decoder.reconstruct import get_present_fn
         from ..ops.deblock import QUANT_TO_STRENGTH
 
-        from ..types import PictureOption
-
-        strength = np.zeros(self.n, dtype=np.int32)
-        flags = np.zeros(self.n, dtype=np.bool_)
-        for i, pic in enumerate(self._pictures):
-            if pic is None:
-                continue
-            strength[i] = int(QUANT_TO_STRENGTH[pic.quantizer & 31])
-            flags[i] = bool(pic.options & PictureOption.USE_DEBLOCKER)
-        if deblock is not None:
-            flags[:] = deblock
+        strength = QUANT_TO_STRENGTH[self._last_quant & 31].astype(np.int32)
+        flags = (self._last_deblock if deblock is None
+                 else np.full(self.n, deblock, dtype=np.bool_))
         fn = get_present_fn(self.h, self.w)
         return fn(self.ref_y, self.ref_cb, self.ref_cr,
                   jnp.asarray(strength), jnp.asarray(flags))

@@ -287,6 +287,55 @@ class TestPallasHarness:
         np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
 
 
+class TestNativePrep:
+    def test_matches_python_prepare_batch(self):
+        """DevicePrepBatch (one FFI call) fills the same meta rows and
+        payload bytes as the Python header loop."""
+        from h263_tpu.native import ensure_built
+
+        if not ensure_built():
+            pytest.skip("native unavailable")
+        from h263_tpu.native.bindings import DevicePrepBatch
+
+        frames = rich_gop(800, n=3) + [rich_gop(801, n=1, version=0)[0]]
+        n = len(frames)
+        inputs, _ = df.prepare_batch(frames, SORENSON,
+                                     max_bytes=2048)
+        Lw = (2048 + 3) // 4
+        stage = np.ones((n, Lw, 4), dtype=np.uint8)  # dirty: prep must clear
+        meta = np.zeros((5, n), dtype=np.int32)
+        prep = DevicePrepBatch(n, 48, 32, Lw * 4)
+        failed = prep.prepare(frames, stage, meta)
+        assert failed == 0
+        np.testing.assert_array_equal(meta[0], inputs["start_bit"])
+        np.testing.assert_array_equal(meta[1], inputs["nbits"])
+        np.testing.assert_array_equal(meta[2], inputs["quant0"])
+        np.testing.assert_array_equal(meta[3], inputs["ptype"])
+        np.testing.assert_array_equal(meta[4], inputs["sorenson_v1"])
+        np.testing.assert_array_equal(stage, inputs["data_u8"])
+
+    def test_rejects_wrong_bucket_and_oversize(self):
+        from h263_tpu.native import ensure_built
+
+        if not ensure_built():
+            pytest.skip("native unavailable")
+        from h263_tpu.native.bindings import DevicePrepBatch
+
+        good = rich_gop(810, n=1)[0]          # 48x32
+        wrong = rich_gop(811, n=1, width=32, height=32)[0]
+        Lw = 64
+        stage = np.ones((3, Lw, 4), dtype=np.uint8)
+        meta = np.zeros((5, 3), dtype=np.int32)
+        prep = DevicePrepBatch(3, 48, 32, Lw * 4)
+        big = good + b"\x00" * Lw * 4
+        failed = prep.prepare([good, wrong, big], stage, meta)
+        assert failed == 2 and prep.rc[0] == 0
+        assert prep.rc[1] != 0 and prep.rc[2] != 0
+        # Failed rows stage as empty streams -> identity frames.
+        assert meta[1, 1] == 0 and meta[1, 2] == 0
+        assert (stage[1] == 0).all() and (stage[2] == 0).all()
+
+
 class TestDeviceFrontendDecoder:
     """Full pipeline: DeviceFrontendDecoder vs the single-stream oracle and
     the host-front-end batched decoder, over multi-frame GOPs."""
