@@ -485,6 +485,68 @@ def main():
     else:
         log("second CIF sample skipped: budget exhausted")
 
+    # --- device entropy front-end (round 3+, diagnostic) --------------------
+    # The alternative path: raw frame bytes ship to the device and the VLC
+    # automaton decodes all streams as parallel lanes (parser/
+    # device_frontend.py).  Measured for both harnesses when budget allows;
+    # the end-of-section status/equality fetches are the process's FIRST
+    # readbacks (sync-mode trap) so this section must stay after all other
+    # timing and immediately before the strict gate.
+    devfe = None
+    if budget_left() > 120:
+        devfe = {}
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        for harness in ("xla", "pallas"):
+            if harness == "pallas" and args.pallas == "off":
+                continue
+            if budget_left() < 60:
+                log(f"device front-end [{harness}] skipped: budget")
+                break
+            try:
+                dfe = DeviceFrontendDecoder(
+                    S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                    pallas=args.pallas, tape_len=8 * mbs_per_frame,
+                    max_frame_bytes=8192, harness=harness)
+                best_d, worst_d, stages_d = measure_e2e(
+                    dfe, dist_lists, budget_left())
+                devfe[harness] = {
+                    "end_to_end_distinct_fps": round(best_d, 1),
+                    "end_to_end_distinct_worst_fps": round(worst_d, 1),
+                    "stages_ms": stages_d,
+                }
+                log(f"device front-end [{harness}] e2e: {best_d:.1f} "
+                    f"frames/s/chip distinct (worst {worst_d:.1f})")
+            except Exception as e:  # pragma: no cover
+                log(f"device front-end [{harness}] failed: {e!r}")
+                devfe[harness] = {"error": repr(e)[:200]}
+        # Post-timing validation: replay the distinct GOP through both
+        # front-ends (still in fast dispatch mode), then do the run's FIRST
+        # readbacks — status count and an on-device plane equality scalar.
+        # NB: on a bare CPU backend (no conftest) the two distinct jitted
+        # programs fuse differently and FMA-contract differently, so the
+        # planes legitimately diverge by the known 1-ulp IDCT artifact;
+        # with --xla_disable_hlo_passes=fusion (or on TPU, which is
+        # reference-strict) they are bit-identical (verified CIF-scale).
+        try:
+            if devfe and "end_to_end_distinct_fps" in devfe.get("xla", {}):
+                import jax.numpy as jnp
+
+                for t in range(F):
+                    y, _, _ = dec.decode_step(dist_lists[t])
+                for t in range(F):
+                    y2, _, _ = dfe.decode_step(dist_lists[t])
+                eq = jnp.array_equal(y, y2)
+                ok_count = (dfe.last_status == 0).sum()
+                devfe["status_ok_streams"] = int(np.asarray(ok_count))
+                devfe["plane_match_vs_host"] = bool(np.asarray(eq))
+                log(f"device front-end validation: "
+                    f"{devfe['status_ok_streams']}/{S} ok, planes match "
+                    f"host: {devfe['plane_match_vs_host']}")
+        except Exception as e:  # pragma: no cover
+            log(f"device front-end validation skipped: {e!r}")
+    result["detail"]["device_frontend"] = devfe
+
     # Correctness gate last (it reads back a pixel — see note above).  On
     # failure the FINAL line (the one a tail-parsing driver records) zeroes
     # the headline: a build that fails bit-exactness has no throughput.

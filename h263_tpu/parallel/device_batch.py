@@ -46,10 +46,16 @@ from ..utils.trace import trace_stage
 
 
 @functools.lru_cache(maxsize=32)
-def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off"):
+def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off",
+                       harness: str = "xla"):
     """The jitted whole-step program for an h x w bucket: raw bytes to
-    planes.  Static over (dims, tape bucket, kernel flavor) so the jit
-    cache stays bounded."""
+    planes.  Static over (dims, tape bucket, kernel flavor, parse harness)
+    so the jit cache stays bounded.
+
+    harness: "xla" runs the automaton as a lax.while_loop; "pallas" as the
+    Pallas TPU kernel (ops/parse_pallas.py); "pallas_interpret" the same
+    kernel under the interpreter (CPU testing).
+    """
     import jax
 
     mbh, mbw = -(-h // 16), -(-w // 16)
@@ -59,9 +65,17 @@ def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off"):
         from ..decoder.reconstruct import reconstruct_from_dense
 
         words = df.payload_words(data_u8)
-        tapes = df.parse_frames_device(
-            words, start_bit, nbits, quant0, ptype, v1,
-            mbh=mbh, mbw=mbw, tape_len=tape_len)
+        if harness == "xla":
+            tapes = df.parse_frames_device(
+                words, start_bit, nbits, quant0, ptype, v1,
+                mbh=mbh, mbw=mbw, tape_len=tape_len)
+        else:
+            from ..ops.parse_pallas import parse_frames_pallas
+
+            tapes = parse_frames_pallas(
+                words, start_bit, nbits, quant0, ptype, v1,
+                mbh=mbh, mbw=mbw, tape_len=tape_len,
+                interpret=(harness == "pallas_interpret"))
         dense, mvs, inter, ok = df.assemble(tapes, mbh=mbh, mbw=mbw)
         y, cb, cr = reconstruct_from_dense(
             dense, mvs, inter, ref_y, ref_cb, ref_cr, pallas=pallas)
@@ -80,7 +94,8 @@ class DeviceFrontendDecoder:
     def __init__(self, n_streams: int, width: int, height: int,
                  decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
                  pallas: str = "auto", tape_len: Optional[int] = None,
-                 max_frame_bytes: Optional[int] = None):
+                 max_frame_bytes: Optional[int] = None,
+                 harness: str = "xla"):
         import jax
         import jax.numpy as jnp
 
@@ -111,7 +126,9 @@ class DeviceFrontendDecoder:
         # Transfer bucket for the raw payload (bytes); frames above it fall
         # back to the skip-frame path with a host-raised error.
         self.max_frame_bytes = max_frame_bytes or 8192
-        self._fn = get_device_step_fn(height, width, self.tape_len, pallas)
+        self.harness = harness
+        self._fn = get_device_step_fn(height, width, self.tape_len, pallas,
+                                      harness)
 
         self.ref_y = jnp.zeros((n_streams, self.h, self.w), dtype=jnp.uint8)
         self.ref_cb = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
