@@ -90,6 +90,34 @@ ST_UNIMPLEMENTED = 9       # coded MB in a non-I/P picture (macroblock.rs:461-46
 ST_TAPE_OVERFLOW = 10      # iteration budget exhausted (transport cap; see
                            # DeviceFrontend docs — caller re-decodes on host)
 
+
+def status_error_class(status: int):
+    """Map a device status code to the host error class the host parser
+    would have raised for the same stream (None for OK/overflow)."""
+    from ..types import (
+        BitstreamExhausted,
+        InvalidBitstream,
+        InvalidIntraDc,
+        InvalidLongCoefficient,
+        InvalidMacroblockCodedBits,
+        InvalidMacroblockHeader,
+        InvalidMvd,
+        InvalidShortCoefficient,
+        UnimplementedDecoding,
+    )
+
+    return {
+        ST_EOF_IN_BLOCK: BitstreamExhausted,
+        ST_BAD_MCBPC: InvalidMacroblockHeader,
+        ST_BAD_CBPY: InvalidMacroblockCodedBits,
+        ST_BAD_MVD: InvalidMvd,
+        ST_BAD_INTRADC: InvalidIntraDc,
+        ST_BAD_TCOEF: InvalidShortCoefficient,
+        ST_BAD_ESCAPE: InvalidLongCoefficient,
+        ST_BEYOND_NMB: InvalidBitstream,
+        ST_UNIMPLEMENTED: UnimplementedDecoding,
+    }.get(int(status))
+
 # Macroblock types, numerically identical to types.MacroblockType.
 _MT_INTER, _MT_INTER_Q, _MT_INTER_4V, _MT_INTRA, _MT_INTRA_Q, _MT_INTER_4V_Q = range(6)
 

@@ -434,6 +434,88 @@ def _fused_scenario(rng: np.random.Generator, width: int, height: int,
     return cases, fails
 
 
+@functools.lru_cache(maxsize=8)
+def _device_parse_fn(mbh: int, mbw: int, Lw: int, tape_len: int):
+    import functools as ft
+
+    import jax
+
+    from ..parser import device_frontend as df
+
+    def run(data_u8, start_bit, nbits, quant0, ptype, v1):
+        words = df.payload_words(data_u8)
+        tapes = df.parse_frames_device(
+            words, start_bit, nbits, quant0, ptype, v1,
+            mbh=mbh, mbw=mbw, tape_len=tape_len)
+        return df.assemble(tapes, mbh=mbh, mbw=mbw) + (tapes["status"],)
+
+    return jax.jit(run)
+
+
+def _agree_device(buf: bytes, width: int, height: int) -> tuple[bool, str]:
+    """Differential: the device entropy automaton vs the Python host
+    parser — dense coefficients / MVs / INTER must match exactly on
+    success, and error CLASSES must match on failure
+    (df.status_error_class).  Cases whose picture header fails to parse
+    are out of scope (headers are host work in the device path)."""
+    from ..parser import device_frontend as df
+
+    try:
+        r = BitReader(buf)
+        pic = decode_picture(r, _OPTS, None)
+        if pic is None or not df.supports(pic, pic.options):
+            return True, ""
+    except H263Error:
+        return True, ""  # host-side header reject; device never dispatches
+
+    mb_w, mb_h = -(-width // 16), -(-height // 16)
+    nmb = mb_w * mb_h
+    # NB: _outcome_python's `pic` parameter is for header-LESS buffers (the
+    # UMV flavor); here buf carries its header, so let it re-decode it and
+    # advance its own reader past it.
+    try:
+        a, ea = _outcome_python(buf, width, height, _OPTS,
+                                pic.options), None
+    except H263Error as e:
+        a, ea = None, type(e)
+
+    BUCKET = 4096
+    if len(buf) > BUCKET:
+        return True, ""  # outside the fuzz transfer bucket
+    data_u8, nbits = df.pack_payloads([buf], BUCKET)
+    fn = _device_parse_fn(mb_h, mb_w, BUCKET // 4, 96 * nmb)
+    from ..types import PictureTypeCode
+
+    ptype = (0 if pic.picture_type is PictureTypeCode.I_FRAME
+             else 1 if pic.picture_type is PictureTypeCode.P_FRAME else 2)
+    dense, mvs, inter, ok, status = fn(
+        data_u8, np.array([r.pos], np.int32), nbits,
+        np.array([pic.quantizer], np.int32), np.array([ptype], np.int32),
+        np.array([1 if pic.version == 1 else 0], np.int32))
+    st = int(np.asarray(status)[0])
+
+    if st == df.ST_TAPE_OVERFLOW:
+        # Documented fallback (production re-decodes on host), not a
+        # divergence — mirrors _agree_d24's PackOverflow skip.
+        return True, "overflow-skip"
+    if a is None:
+        cls = df.status_error_class(st)
+        return (cls is ea), f"python={ea.__name__} device_status={st}"
+    if st != 0:
+        return False, f"python=ok device_status={st}"
+    dense_host = np.concatenate([
+        a.coeffs_y.reshape(4 * nmb, 64),
+        a.coeffs_cb.reshape(nmb, 64),
+        a.coeffs_cr.reshape(nmb, 64)], axis=0)
+    if not np.array_equal(np.asarray(dense)[0], dense_host):
+        return False, "dense coefficients differ"
+    if not np.array_equal(np.asarray(mvs)[0], a.mvs):
+        return False, "mvs differ"
+    if not np.array_equal(np.asarray(inter)[0], a.inter):
+        return False, "inter differs"
+    return True, ""
+
+
 def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
                  height: int = 80, mutations_per_base: int = 10,
                  on_fail=None, flavor: str = "sorenson") -> tuple[int, int]:
@@ -477,13 +559,17 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
             total += c
             fails += f
         return total, fails
-    if flavor == "d24":
+    if flavor in ("d24", "device"):
+        # Both flavors run the _rand_d24_frame generator (rich in discard /
+        # escape / sparsity edges); "device" checks the device entropy
+        # automaton against the Python parser (tensors + error classes).
+        agree = _agree_d24 if flavor == "d24" else _agree_device
         rng = np.random.default_rng(seed)
         report = on_fail or (lambda tag, why: print(f"MISMATCH {tag}: {why}"))
         total = fails = 0
         for i in range(n_base):
             base = _rand_d24_frame(rng, width, height)
-            ok, why = _agree_d24(base, width, height)
+            ok, why = agree(base, width, height)
             total += 1
             if not ok:
                 fails += 1
@@ -491,7 +577,7 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
             for m in range(mutations_per_base):
                 mut = _mutate(rng, base,
                               lambda: _rand_d24_frame(rng, width, height))
-                ok, why = _agree_d24(mut, width, height)
+                ok, why = agree(mut, width, height)
                 total += 1
                 if not ok:
                     fails += 1

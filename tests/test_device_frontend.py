@@ -237,6 +237,23 @@ class TestTruncationAndErrors:
             assert inter[0].all()
 
 
+def test_differential_fuzz_campaign_device():
+    """Device-automaton flavor of the differential fuzz: random d24-biased
+    frames + structured mutations (byte flips, truncations, splices,
+    garbage tails) through the device entropy automaton vs the Python host
+    parser — identical dense/MV/INTER tensors on success, matching error
+    classes on failure (df.status_error_class).  A 5,280-case campaign
+    (seeds 11-14, n_base=120 each) ran clean in round 3."""
+    from h263_tpu.testing.fuzz import run_campaign
+
+    failures = []
+    total, fails = run_campaign(seed=11, n_base=8, mutations_per_base=5,
+                                flavor="device",
+                                on_fail=lambda tag, why: failures.append((tag, why)))
+    assert fails == 0, failures[:5]
+    assert total == 8 * 6
+
+
 class TestPallasHarness:
     """The Pallas kernel harness must produce identical tapes/status to the
     XLA while_loop harness (they share the automaton body)."""
