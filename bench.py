@@ -504,9 +504,13 @@ def main():
                 log(f"device front-end [{harness}] skipped: budget")
                 break
             try:
+                # Tape budget: the corpus I-frame costs ~9.5 automaton
+                # iterations per MB (1 header + 6 INTRADC + 1-4 ACs); 16
+                # clears it with margin.  8 would overflow frame 0 and
+                # poison the whole section (identity I-frames).
                 dfe = DeviceFrontendDecoder(
                     S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
-                    pallas=args.pallas, tape_len=8 * mbs_per_frame,
+                    pallas=args.pallas, tape_len=16 * mbs_per_frame,
                     max_frame_bytes=8192, harness=harness)
                 best_d, worst_d, stages_d = measure_e2e(
                     dfe, dist_lists, budget_left())
@@ -515,6 +519,8 @@ def main():
                     "end_to_end_distinct_worst_fps": round(worst_d, 1),
                     "stages_ms": stages_d,
                 }
+                if harness == "xla":
+                    dfe_xla = dfe
                 log(f"device front-end [{harness}] e2e: {best_d:.1f} "
                     f"frames/s/chip distinct (worst {worst_d:.1f})")
             except Exception as e:  # pragma: no cover
@@ -535,9 +541,9 @@ def main():
                 for t in range(F):
                     y, _, _ = dec.decode_step(dist_lists[t])
                 for t in range(F):
-                    y2, _, _ = dfe.decode_step(dist_lists[t])
+                    y2, _, _ = dfe_xla.decode_step(dist_lists[t])
                 eq = jnp.array_equal(y, y2)
-                ok_count = (dfe.last_status == 0).sum()
+                ok_count = (dfe_xla.last_status == 0).sum()
                 devfe["status_ok_streams"] = int(np.asarray(ok_count))
                 devfe["plane_match_vs_host"] = bool(np.asarray(eq))
                 log(f"device front-end validation: "

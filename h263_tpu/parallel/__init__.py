@@ -7,8 +7,15 @@ parallel, so XLA inserts no cross-chip collectives.
 """
 
 from .batch import BatchedStreamDecoder
+from .device_batch import DeviceFrontendDecoder
 from .pool import PoolStepResult, StreamPool
-from .sharding import make_stream_mesh, shard_present_fn, shard_reconstruct_fn
+from .sharding import (
+    make_stream_mesh,
+    shard_device_frontend_fn,
+    shard_present_fn,
+    shard_reconstruct_fn,
+)
 
-__all__ = ["BatchedStreamDecoder", "PoolStepResult", "StreamPool",
-           "make_stream_mesh", "shard_present_fn", "shard_reconstruct_fn"]
+__all__ = ["BatchedStreamDecoder", "DeviceFrontendDecoder", "PoolStepResult",
+           "StreamPool", "make_stream_mesh", "shard_device_frontend_fn",
+           "shard_present_fn", "shard_reconstruct_fn"]

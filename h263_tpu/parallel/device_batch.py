@@ -45,19 +45,16 @@ from ..types import DecoderOption, H263Error, PictureTypeCode
 from ..utils.trace import trace_stage
 
 
-@functools.lru_cache(maxsize=32)
-def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off",
-                       harness: str = "xla"):
-    """The jitted whole-step program for an h x w bucket: raw bytes to
-    planes.  Static over (dims, tape bucket, kernel flavor, parse harness)
-    so the jit cache stays bounded.
+def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
+                    harness: str = "xla"):
+    """The (unjitted) whole-step program for an h x w bucket: raw bytes to
+    planes.  Signature: step(data_u8, start_bit, nbits, quant0, ptype, v1,
+    ref_y, ref_cb, ref_cr) -> (y, cb, cr, status).
 
     harness: "xla" runs the automaton as a lax.while_loop; "pallas" as the
     Pallas TPU kernel (ops/parse_pallas.py); "pallas_interpret" the same
     kernel under the interpreter (CPU testing).
     """
-    import jax
-
     mbh, mbw = -(-h // 16), -(-w // 16)
 
     def step(data_u8, start_bit, nbits, quant0, ptype, v1,
@@ -81,7 +78,17 @@ def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off",
             dense, mvs, inter, ref_y, ref_cb, ref_cr, pallas=pallas)
         return y, cb, cr, tapes["status"]
 
-    return jax.jit(step)
+    return step
+
+
+@functools.lru_cache(maxsize=32)
+def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off",
+                       harness: str = "xla"):
+    """Jitted make_whole_step, cached over (dims, tape bucket, kernel
+    flavor, parse harness) so the jit cache stays bounded."""
+    import jax
+
+    return jax.jit(make_whole_step(h, w, tape_len, pallas, harness))
 
 
 class DeviceFrontendDecoder:
@@ -95,7 +102,7 @@ class DeviceFrontendDecoder:
                  decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
                  pallas: str = "auto", tape_len: Optional[int] = None,
                  max_frame_bytes: Optional[int] = None,
-                 harness: str = "xla"):
+                 harness: str = "xla", step_fn=None):
         import jax
         import jax.numpy as jnp
 
@@ -127,8 +134,12 @@ class DeviceFrontendDecoder:
         # back to the skip-frame path with a host-raised error.
         self.max_frame_bytes = max_frame_bytes or 8192
         self.harness = harness
-        self._fn = get_device_step_fn(height, width, self.tape_len, pallas,
-                                      harness)
+        # step_fn injection: a pre-jitted whole-step program (e.g. the
+        # mesh-sharded one from sharding.shard_device_frontend_fn) replaces
+        # the default single-device jit.  Must have make_whole_step's
+        # signature and THIS decoder's tape_len/dims.
+        self._fn = step_fn or get_device_step_fn(
+            height, width, self.tape_len, pallas, harness)
 
         self.ref_y = jnp.zeros((n_streams, self.h, self.w), dtype=jnp.uint8)
         self.ref_cb = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)

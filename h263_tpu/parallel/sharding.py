@@ -71,6 +71,31 @@ def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off",
     )
 
 
+def shard_device_frontend_fn(mesh, h: int, w: int, tape_len: int,
+                             pallas="off", harness="xla"):
+    """A jitted, stream-sharded device-front-end step program.
+
+    The raw-bytes-in, planes-out step (parallel/device_batch.py): payload
+    words -> lockstep VLC automaton -> tape scatters -> dense tensors ->
+    reconstruction.  Every input/output (including the uint8 payload leaf
+    and the int32 meta vectors) is sharded on the stream axis, so each
+    chip entropy-decodes only its own streams — the parse itself scales
+    over the mesh, unlike the host front-end where the parse is a
+    host-side serial stage.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .device_batch import make_whole_step
+
+    stream_sharding = NamedSharding(mesh, P("stream"))
+    return jax.jit(
+        make_whole_step(h, w, tape_len, pallas, harness),
+        in_shardings=(stream_sharding,) * 9,
+        out_shardings=(stream_sharding,) * 4,
+    )
+
+
 def shard_present_fn(mesh):
     """A jitted, stream-sharded presentation program (deblock + BT.601).
 
