@@ -817,19 +817,28 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
 
 
 def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
-                        *, mbh: int, mbw: int, tape_len: int):
+                        *, mbh: int, mbw: int, tape_len: int,
+                        unroll: int = 4):
     """Vectorized batched entropy decode (XLA harness around make_step).
 
     Returns dict with coe_ord/coe_val int32 [S, T], rec_idx/rec_val int32
     [S, T], status int32 [S], iterations int32 [] (diagnostic).  See
     make_step for argument semantics; tape_len is the static iteration
     budget T (the transport cap — exceeding lanes flag ST_TAPE_OVERFLOW).
+
+    `unroll` runs that many automaton steps per while_loop body (one
+    (S, unroll) tape block store instead of `unroll` column stores),
+    amortizing the loop's per-iteration overhead — the XLA harness
+    round-trips the ~20 small state arrays through HBM once per BODY.
+    Finished lanes pass through extra sub-steps as masked no-ops, so any
+    unroll factor is semantics-preserving; T rounds up to a multiple.
     """
     import jax
     import jax.numpy as jnp
 
     S = data_u32.shape[0]
-    T = tape_len
+    U = max(1, unroll)
+    T = -(-tape_len // U) * U
     init_state, step = make_step(data_u32, nbits, ptype, sorenson_v1,
                                  mbh=mbh, mbw=mbw)
     st0 = init_state(start_bit, quant0)
@@ -843,13 +852,17 @@ def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
 
     def body(carry):
         st, tapes, t = carry
-        st2, em = step(st)
+        cols = {k: [] for k in tapes0}
+        for _ in range(U):
+            st, em = step(st)
+            for k in cols:
+                cols[k].append(em[k])
         tapes = {
             k: jax.lax.dynamic_update_slice_in_dim(
-                tapes[k], em[k][:, None], t, axis=1)
+                tapes[k], jnp.stack(cols[k], axis=1), t, axis=1)
             for k in tapes
         }
-        return st2, tapes, t + 1
+        return st, tapes, t + U
 
     def cond(carry):
         st, _, t = carry
