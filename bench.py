@@ -526,6 +526,33 @@ def main():
             except Exception as e:  # pragma: no cover
                 log(f"device front-end [{harness}] failed: {e!r}")
                 devfe[harness] = {"error": repr(e)[:200]}
+        # Batch-size scaling probe: the automaton's wall-clock is its
+        # serial iteration count x per-iteration cost; if the latter is
+        # latency-bound (not S-bound), a larger batch raises frames/s/chip
+        # nearly linearly — the lever the host front-end lacks.  One extra
+        # size, xla harness, tape/transfer buckets unchanged.
+        S_big = 4 * S
+        if budget_left() > 90 and "end_to_end_distinct_fps" in devfe.get(
+                "xla", {}):
+            try:
+                big_lists = [[distinct[s % n_corp][t] for s in range(S_big)]
+                             for t in range(F)]
+                dfe_big = DeviceFrontendDecoder(
+                    S_big, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                    pallas=args.pallas, tape_len=16 * mbs_per_frame,
+                    max_frame_bytes=8192, harness="xla")
+                best_b, worst_b, _ = measure_e2e(
+                    dfe_big, big_lists, budget_left())
+                devfe[f"xla_S{S_big}"] = {
+                    "end_to_end_distinct_fps": round(best_b, 1),
+                    "end_to_end_distinct_worst_fps": round(worst_b, 1),
+                }
+                log(f"device front-end [xla S={S_big}] e2e: {best_b:.1f} "
+                    f"frames/s/chip distinct (worst {worst_b:.1f})")
+                del dfe_big, big_lists
+            except Exception as e:  # pragma: no cover
+                log(f"device front-end S-scaling probe failed: {e!r}")
+                devfe[f"xla_S{S_big}"] = {"error": repr(e)[:200]}
         # Post-timing validation: replay the distinct GOP through both
         # front-ends (still in fast dispatch mode), then do the run's FIRST
         # readbacks — status count and an on-device plane equality scalar.

@@ -428,6 +428,27 @@ class TestDeviceFrontendDecoder:
             np.asarray(dev.present_rgba(deblock=True)),
             np.asarray(host.present_rgba(deblock=True)))
 
+    def test_absent_stream_keeps_planes(self):
+        """A None buffer decodes the skip frame: planes and state persist,
+        and the stream resumes cleanly on the next real frame."""
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(600 + i, n=3) for i in range(2)]
+        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON)
+        y0, _, _ = dec.decode_step([streams[0][0], streams[1][0]])
+        ref1 = np.asarray(y0)[1].copy()
+        y1, _, _ = dec.decode_step([streams[0][1], None])
+        assert (dec.fetch_status() == 0).all()
+        np.testing.assert_array_equal(np.asarray(y1)[1], ref1)
+        # Stream 1 skipped frame 1; from the decoder's perspective its next
+        # frame predicts against frame 0's planes — same as a fresh decoder
+        # fed frames {0, 2}.
+        y2, _, _ = dec.decode_step([streams[0][2], streams[1][2]])
+        solo = DeviceFrontendDecoder(1, 48, 32, SORENSON)
+        sy, _, _ = solo.decode_step([streams[1][0]])
+        sy, _, _ = solo.decode_step([streams[1][2]])
+        np.testing.assert_array_equal(np.asarray(y2)[1], np.asarray(sy)[0])
+
     def test_oversized_frame_raises_and_skips(self):
         from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
         from h263_tpu.types import H263Error
