@@ -43,6 +43,38 @@ from .picture import DecodedPicture
 from .reconstruct import get_reconstruct_fn
 
 
+def reconstruct_frame_numpy(frame: FrameData, ry: np.ndarray,
+                            rcb: np.ndarray, rcr: np.ndarray):
+    """Scalar-faithful single-frame reconstruction (the golden oracle):
+    FrameData + reference planes -> (y, cb, cr) uint8 numpy planes.
+
+    Shared by H263Decoder's numpy backend and host-side repair paths (the
+    device front-end's tape-overflow fallback)."""
+    h, w = frame.height, frame.width
+    ch, cw = frame.chroma_height, frame.chroma_width
+
+    # Per-8x8-block luma MVs and mask.
+    luma_mvs = np.zeros((2 * frame.mb_h, 2 * frame.mb_w, 2), dtype=np.int32)
+    for k in range(4):
+        luma_mvs[(k >> 1)::2, (k & 1)::2] = frame.mvs[:, :, k, :]
+    luma_mask = np.repeat(np.repeat(frame.inter, 2, axis=0), 2, axis=1)
+
+    # Chroma MV (types.rs:759-768).
+    s = frame.mvs.astype(np.int32).sum(axis=2)
+    whole = (s >> 4) << 1
+    fracs = s & 0x0F
+    cmv = whole + np.where(fracs <= 2, 0, np.where(fracs >= 14, 2, 1))
+
+    pred_y = golden_gather_plane(ry, luma_mvs, luma_mask, out_shape=(h, w))
+    pred_cb = golden_gather_plane(rcb, cmv, frame.inter, out_shape=(ch, cw))
+    pred_cr = golden_gather_plane(rcr, cmv, frame.inter, out_shape=(ch, cw))
+
+    y = golden_idct_channel(frame.coeffs_y, frame.class_y, pred_y)
+    cb = golden_idct_channel(frame.coeffs_cb, frame.class_cb, pred_cb)
+    cr = golden_idct_channel(frame.coeffs_cr, frame.class_cr, pred_cr)
+    return y, cb, cr
+
+
 class H263Decoder:
     """Stateful decoder for a single H.263 / Sorenson Spark stream."""
 
@@ -190,19 +222,6 @@ class H263Decoder:
     def _reconstruct_numpy(self, frame: FrameData, reference, header, fmt):
         h, w = frame.height, frame.width
         ch, cw = frame.chroma_height, frame.chroma_width
-
-        # Per-8x8-block luma MVs and mask.
-        luma_mvs = np.zeros((2 * frame.mb_h, 2 * frame.mb_w, 2), dtype=np.int32)
-        for k in range(4):
-            luma_mvs[(k >> 1)::2, (k & 1)::2] = frame.mvs[:, :, k, :]
-        luma_mask = np.repeat(np.repeat(frame.inter, 2, axis=0), 2, axis=1)
-
-        # Chroma MV (types.rs:759-768).
-        s = frame.mvs.astype(np.int32).sum(axis=2)
-        whole = (s >> 4) << 1
-        fracs = s & 0x0F
-        cmv = whole + np.where(fracs <= 2, 0, np.where(fracs >= 14, 2, 1))
-
         if reference is not None:
             ry, rcb, rcr = (reference.as_luma(), reference.as_chroma_b(),
                             reference.as_chroma_r())
@@ -210,14 +229,7 @@ class H263Decoder:
             ry = np.zeros((h, w), dtype=np.uint8)
             rcb = np.zeros((ch, cw), dtype=np.uint8)
             rcr = np.zeros((ch, cw), dtype=np.uint8)
-
-        pred_y = golden_gather_plane(ry, luma_mvs, luma_mask, out_shape=(h, w))
-        pred_cb = golden_gather_plane(rcb, cmv, frame.inter, out_shape=(ch, cw))
-        pred_cr = golden_gather_plane(rcr, cmv, frame.inter, out_shape=(ch, cw))
-
-        y = golden_idct_channel(frame.coeffs_y, frame.class_y, pred_y)
-        cb = golden_idct_channel(frame.coeffs_cb, frame.class_cb, pred_cb)
-        cr = golden_idct_channel(frame.coeffs_cr, frame.class_cr, pred_cr)
+        y, cb, cr = reconstruct_frame_numpy(frame, ry, rcb, rcr)
         return DecodedPicture(header, fmt, y, cb, cr)
 
     # -- presentation helpers (SURVEY.md §3.4) ---------------------------------

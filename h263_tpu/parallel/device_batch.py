@@ -127,8 +127,9 @@ class DeviceFrontendDecoder:
         # INTRADC + one slot per coefficient.  The default covers 24 slots
         # per macroblock (typical P content uses ~6, intra-heavy ~12-20);
         # overflow is a flagged, recoverable condition (ST_TAPE_OVERFLOW ->
-        # identity frame + device-resident status), mirroring the packed
-        # transport's pack_cap contract.
+        # identity frame + device-resident status; resolve_overflows()
+        # repairs the lane host-side at the next sync point), mirroring
+        # the packed transport's pack_cap contract.
         self.tape_len = tape_len or 24 * nmb
         # Transfer bucket for the raw payload (bytes); frames above it fall
         # back to the skip-frame path with a host-raised error.
@@ -146,6 +147,7 @@ class DeviceFrontendDecoder:
         self.ref_cr = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
         self.last_status = None        # device-resident int32 [S]
         self._pictures = [None] * n_streams
+        self._last_buffers: list = [None] * n_streams
         self._skip: Optional[bytes] = None
         # Last-good per-stream presentation params (quantizer -> deblock
         # strength, advisory deblocker flag) — kept as plain arrays so the
@@ -285,10 +287,62 @@ class DeviceFrontendDecoder:
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         self.last_status = status
         self._in_flight[self._stage_idx] = (y, cb, cr)
+        self._last_buffers = list(buffers)
 
         if first_err is not None:
             raise first_err
         return y, cb, cr
+
+    def resolve_overflows(self, status: Optional[np.ndarray] = None) -> list:
+        """Repair lanes whose LAST step hit ST_TAPE_OVERFLOW by re-decoding
+        their frame through the host front-end (the documented fallback —
+        overflow is a transport-capacity artifact, not a stream error).
+
+        Call at a sync point, right after the step whose status flagged the
+        overflow and BEFORE the next decode_step (the identity planes the
+        overflow left behind are exactly that frame's reference, which the
+        host re-decode consumes).  Per-lane cost: one sliced plane readback
+        + a host parse + golden reconstruction + one device plane update —
+        sync-point work, like fetch_status itself.
+
+        Frames that ALSO fail to parse on the host keep the identity frame
+        (the normal errored-lane contract).  Returns the repaired lane
+        indices; repaired lanes' last_status entries reset to 0.
+        """
+        from ..decoder.state import reconstruct_frame_numpy
+        from ..parser.frame import parse_frame_auto
+
+        if status is None:
+            status = self.fetch_status()
+        lanes = [i for i in range(self.n)
+                 if status[i] == df.ST_TAPE_OVERFLOW
+                 and self._last_buffers[i] is not None]
+        if not lanes:
+            return []
+        repaired = []
+        for i in lanes:
+            buf = bytes(self._last_buffers[i])
+            try:
+                r = BitReader(buf)
+                pic = decode_picture(r, self.decoder_options, None)
+                frame = parse_frame_auto(r, pic, self.decoder_options,
+                                         pic.options, self.w, self.h)
+                # The overflowed step emitted the identity frame, so this
+                # lane's current planes ARE the frame's reference planes.
+                ry = np.asarray(self.ref_y[i])
+                rcb = np.asarray(self.ref_cb[i])
+                rcr = np.asarray(self.ref_cr[i])
+                y, cb, cr = reconstruct_frame_numpy(frame, ry, rcb, rcr)
+            except H263Error:
+                continue  # genuinely bad stream: identity frame stands
+            self.ref_y = self.ref_y.at[i].set(y)
+            self.ref_cb = self.ref_cb.at[i].set(cb)
+            self.ref_cr = self.ref_cr.at[i].set(cr)
+            repaired.append(i)
+        if repaired:
+            idx = np.asarray(repaired, dtype=np.int32)
+            self.last_status = self.last_status.at[idx].set(0)
+        return repaired
 
     def fetch_status(self) -> np.ndarray:
         """Read back the last step's per-stream status (int32; 0 = ok).

@@ -428,6 +428,46 @@ class TestDeviceFrontendDecoder:
             np.asarray(dev.present_rgba(deblock=True)),
             np.asarray(host.present_rgba(deblock=True)))
 
+    def test_resolve_overflows_repairs_via_host(self):
+        """ST_TAPE_OVERFLOW is a capacity artifact, not a stream error: a
+        legal frame that exhausts the tape leaves the identity frame, and
+        resolve_overflows() re-decodes it host-side at the sync point —
+        after which the GOP continues bit-identically to the host path."""
+        from h263_tpu.parallel.batch import BatchedStreamDecoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(700 + i, n=4) for i in range(2)]
+        # tape_len 512 fits these 48x32 frames; a 6-slot tape does not.
+        dev = DeviceFrontendDecoder(2, 48, 32, SORENSON, tape_len=512)
+        tiny = DeviceFrontendDecoder(2, 48, 32, SORENSON, tape_len=8)
+        host = BatchedStreamDecoder(2, 48, 32, SORENSON)
+        for t in range(4):
+            bufs = [streams[i][t] for i in range(2)]
+            dec = tiny if t == 2 else dev
+            if t > 0 and dec is tiny:
+                # carry state across decoders (same plane shapes)
+                tiny.ref_y, tiny.ref_cb, tiny.ref_cr = (
+                    dev.ref_y, dev.ref_cb, dev.ref_cr)
+            y, cb, cr = dec.decode_step(bufs)
+            if dec is tiny:
+                status = tiny.fetch_status()
+                assert (status == df.ST_TAPE_OVERFLOW).all()
+                repaired = tiny.resolve_overflows(status)
+                assert repaired == [0, 1]
+                assert (tiny.fetch_status() == 0).all()
+                dev.ref_y, dev.ref_cb, dev.ref_cr = (
+                    tiny.ref_y, tiny.ref_cb, tiny.ref_cr)
+            else:
+                assert (dev.fetch_status() == 0).all()
+            yh, cbh, crh = host.decode_step(bufs)
+            src = tiny if dec is tiny else dev
+            np.testing.assert_array_equal(np.asarray(src.ref_y),
+                                          np.asarray(yh), err_msg=f"t={t}")
+            np.testing.assert_array_equal(np.asarray(src.ref_cb),
+                                          np.asarray(cbh), err_msg=f"t={t}")
+            np.testing.assert_array_equal(np.asarray(src.ref_cr),
+                                          np.asarray(crh), err_msg=f"t={t}")
+
     def test_absent_stream_keeps_planes(self):
         """A None buffer decodes the skip frame: planes and state persist,
         and the stream resumes cleanly on the next real frame."""
