@@ -221,9 +221,15 @@ class DeviceFrontendDecoder:
                         for b in buffers]
                 failed = self._prep.prepare(bufs, stage, meta)
                 hdr = self._prep.hdr
+                # Absent (None) lanes decode the skip frame but must keep
+                # their LAST REAL frame's presentation params (quantizer ->
+                # deblock strength, advisory flag) — same header-commit
+                # suppression as the host batched path's masked slots.
                 okm = self._prep.rc == 0
-                np.copyto(self._last_quant, hdr[:, 6], where=okm)
-                np.copyto(self._last_deblock, hdr[:, 5] != 0, where=okm)
+                commit = okm & np.array(
+                    [b is not None for b in buffers], dtype=bool)
+                np.copyto(self._last_quant, hdr[:, 6], where=commit)
+                np.copyto(self._last_deblock, hdr[:, 5] != 0, where=commit)
                 if failed:
                     # Failed rows were staged as empty streams (identity
                     # frames); surface the first failure like the host
@@ -236,7 +242,8 @@ class DeviceFrontendDecoder:
                 stage[:] = 0
                 start_bit, nbits, quant0, ptype, v1 = meta
                 for i, buf in enumerate(buffers):
-                    if buf is None:
+                    absent = buf is None
+                    if absent:
                         buf = self._skip_frame_bytes()
                     try:
                         if len(buf) > self.max_frame_bytes:
@@ -253,12 +260,16 @@ class DeviceFrontendDecoder:
                             raise H263Error(
                                 f"stream {i} resolution {fmt} != bucket "
                                 f"({self.w}, {self.h})")
-                        self._pictures[i] = pic
-                        self._last_quant[i] = pic.quantizer
-                        from ..types import PictureOption
+                        if not absent:
+                            # Absent lanes keep their last real frame's
+                            # presentation params (header-commit
+                            # suppression, as the host path's masked slots).
+                            self._pictures[i] = pic
+                            self._last_quant[i] = pic.quantizer
+                            from ..types import PictureOption
 
-                        self._last_deblock[i] = bool(
-                            pic.options & PictureOption.USE_DEBLOCKER)
+                            self._last_deblock[i] = bool(
+                                pic.options & PictureOption.USE_DEBLOCKER)
                     except H263Error as e:
                         if first_err is None:
                             first_err = e

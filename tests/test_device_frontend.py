@@ -477,9 +477,13 @@ class TestDeviceFrontendDecoder:
         dec = DeviceFrontendDecoder(2, 48, 32, SORENSON)
         y0, _, _ = dec.decode_step([streams[0][0], streams[1][0]])
         ref1 = np.asarray(y0)[1].copy()
+        quant1 = int(dec._last_quant[1])
         y1, _, _ = dec.decode_step([streams[0][1], None])
         assert (dec.fetch_status() == 0).all()
         np.testing.assert_array_equal(np.asarray(y1)[1], ref1)
+        # Presentation params (quant -> deblock strength) survive absence:
+        # the skip frame's header must not commit.
+        assert int(dec._last_quant[1]) == quant1
         # Stream 1 skipped frame 1; from the decoder's perspective its next
         # frame predicts against frame 0's planes — same as a fresh decoder
         # fed frames {0, 2}.
