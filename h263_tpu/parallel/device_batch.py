@@ -200,9 +200,13 @@ class DeviceFrontendDecoder:
             self._in_flight[i] = None
         return self._stage[i], self._meta[i]
 
-    def decode_step(self, buffers: Sequence[bytes]):
+    def decode_step(self, buffers: Sequence[bytes], mask=None):
         """Decode one frame per stream.  Returns device-resident (y, cb, cr)
         uint8 batches; per-stream status lands in self.last_status (device).
+
+        `mask` (bool per slot, optional): False slots decode the cached
+        skip frame with header commit suppressed — identical to passing
+        None for that slot (the StreamPool absent-stream contract).
 
         Host-side failures (unparseable/oversized headers, out-of-scope
         streams) substitute the skip frame for that stream and re-raise the
@@ -212,6 +216,8 @@ class DeviceFrontendDecoder:
 
         if len(buffers) != self.n:
             raise ValueError(f"expected {self.n} buffers, got {len(buffers)}")
+        if mask is not None:
+            buffers = [b if mask[i] else None for i, b in enumerate(buffers)]
 
         stage, meta = self._next_stage()
         first_err: Optional[Exception] = None
@@ -303,6 +309,19 @@ class DeviceFrontendDecoder:
         if first_err is not None:
             raise first_err
         return y, cb, cr
+
+    def reset_slot_state(self, slot: int, running=None) -> None:
+        """Reset one lane to the fresh-stream state (planes zeroed, no
+        previous header) — the StreamPool slot-recycle contract.  `running`
+        is accepted for API parity with BatchedStreamDecoder; Sorenson
+        headers are self-contained so it is unused here."""
+        self.ref_y = self.ref_y.at[slot].set(0)
+        self.ref_cb = self.ref_cb.at[slot].set(0)
+        self.ref_cr = self.ref_cr.at[slot].set(0)
+        self._pictures[slot] = None
+        self._last_buffers[slot] = None
+        self._last_quant[slot] = 8
+        self._last_deblock[slot] = False
 
     def resolve_overflows(self, status: Optional[np.ndarray] = None) -> list:
         """Repair lanes whose LAST step hit ST_TAPE_OVERFLOW by re-decoding

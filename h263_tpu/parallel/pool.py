@@ -20,6 +20,10 @@ padding, giving a serving-shaped lifecycle (VERDICT r1 item 4):
   I-frame semantics, state.rs:464-470).  A non-I frame at wrong
   dimensions is a per-stream error (there is no reference picture at the
   new size to predict from).
+
+Buckets decode with either entropy front-end (`frontend="host"` — the
+default BatchedStreamDecoder — or `"device"` — the device entropy
+automaton, Sorenson-only); the lifecycle above is front-end-agnostic.
 """
 
 from __future__ import annotations
@@ -170,12 +174,32 @@ class StreamPool:
     """
 
     def __init__(self, decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
-                 **decoder_kwargs):
+                 frontend: str = "host", **decoder_kwargs):
+        """`frontend` selects each bucket's decoder: "host" (the default
+        BatchedStreamDecoder — host entropy parse, packed transports) or
+        "device" (DeviceFrontendDecoder — the device entropy automaton,
+        Sorenson-only).  `decoder_kwargs` pass through to that decoder."""
+        if frontend not in ("host", "device"):
+            raise ValueError(f"unknown frontend {frontend!r}")
+        if frontend == "device" and not (
+                decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
+            raise ValueError("frontend='device' is Sorenson-only")
         self.decoder_options = decoder_options
+        self.frontend = frontend
         self.decoder_kwargs = decoder_kwargs
         self._pending: dict = {}          # (w, h) -> [stream_id, ...]
         self._buckets: dict = {}          # (w, h) -> _Bucket
         self._dims: dict = {}             # stream_id -> (w, h)
+
+    def _make_decoder(self, n: int, width: int, height: int):
+        if self.frontend == "device":
+            from .device_batch import DeviceFrontendDecoder
+
+            return DeviceFrontendDecoder(n, width, height,
+                                         self.decoder_options,
+                                         **self.decoder_kwargs)
+        return BatchedStreamDecoder(n, width, height, self.decoder_options,
+                                    **self.decoder_kwargs)
 
     # -- membership -----------------------------------------------------------
 
@@ -221,8 +245,7 @@ class StreamPool:
 
     def _finalize(self, key):
         ids = self._pending.pop(key)
-        dec = BatchedStreamDecoder(len(ids), key[0], key[1],
-                                   self.decoder_options, **self.decoder_kwargs)
+        dec = self._make_decoder(len(ids), key[0], key[1])
         bucket = _Bucket(dec)
         self._buckets[key] = bucket
         for sid in ids:
@@ -238,16 +261,22 @@ class StreamPool:
 
         old = self._buckets[key]
         n_new = max(2 * old.dec.n, 1)
-        dec = BatchedStreamDecoder(n_new, key[0], key[1],
-                                   self.decoder_options, **self.decoder_kwargs)
-        for i, st in enumerate(old.dec.states):
-            dec.states[i] = st
-        dec._std_prev_fmt[:old.dec.n] = old.dec._std_prev_fmt
+        dec = self._make_decoder(n_new, key[0], key[1])
+        if self.frontend == "device":
+            n_old = old.dec.n
+            dec._pictures[:n_old] = old.dec._pictures
+            dec._last_buffers[:n_old] = old.dec._last_buffers
+            dec._last_quant[:n_old] = old.dec._last_quant
+            dec._last_deblock[:n_old] = old.dec._last_deblock
+        else:
+            for i, st in enumerate(old.dec.states):
+                dec.states[i] = st
+            dec._std_prev_fmt[:old.dec.n] = old.dec._std_prev_fmt
+            dec._mv_full = old.dec._mv_full
         pad = [(0, n_new - old.dec.n)] + [(0, 0)] * (old.dec.ref_y.ndim - 1)
         dec.ref_y = jnp.pad(old.dec.ref_y, pad)
         dec.ref_cb = jnp.pad(old.dec.ref_cb, pad)
         dec.ref_cr = jnp.pad(old.dec.ref_cr, pad)
-        dec._mv_full = old.dec._mv_full
         bucket = _Bucket(dec)
         bucket.slots = dict(old.slots)
         bucket.free = [i for i in range(n_new)[::-1]
@@ -298,7 +327,11 @@ class StreamPool:
             return
         bucket = self._buckets[old_key]
         slot = bucket.slots.pop(stream_id)
-        running = bucket.dec.states[slot].running_options
+        # Carry running options across the rebucket (standard H.263 only;
+        # Sorenson headers are self-contained and the device front-end
+        # keeps no cross-frame parser state).
+        states = getattr(bucket.dec, "states", None)
+        running = states[slot].running_options if states is not None else None
         self._reset_slot(bucket.dec, slot)
         bucket.free.append(slot)
         self._dims[stream_id] = new_key
@@ -349,6 +382,20 @@ class StreamPool:
             for sid, slot in bucket.slots.items():
                 if mask[slot]:
                     out._add(sid, y, cb, cr, slot)
+        return out
+
+    def resolve_overflows(self) -> list:
+        """Device-frontend pools only: repair lanes whose last step hit
+        ST_TAPE_OVERFLOW (DeviceFrontendDecoder.resolve_overflows) across
+        all buckets.  A sync point — call between steps, not per frame.
+        Returns the repaired stream ids."""
+        if self.frontend != "device":
+            return []
+        out = []
+        for bucket in self._buckets.values():
+            repaired = set(bucket.dec.resolve_overflows())
+            out.extend(sid for sid, slot in bucket.slots.items()
+                       if slot in repaired)
         return out
 
     def present_rgba(self, deblock: Optional[bool] = None) -> dict:

@@ -303,3 +303,85 @@ def test_pool_result_views_are_reiterable():
     assert len(first) == len(second) == 1
     assert [sid for sid, _ in second] == ["a"]
     assert len(list(res.values())) == len(list(res.values())) == 1
+
+
+class TestDeviceFrontendPool:
+    """The pool lifecycle over DeviceFrontendDecoder buckets
+    (frontend="device"): same join/leave/recycle/growth/absent semantics,
+    decode bit-exact vs single-stream oracles, plus the device-only
+    tape-overflow repair surfaced per stream id."""
+
+    def test_mixed_resolutions_churn_bitexact(self):
+        pool = StreamPool(SORENSON, frontend="device")
+        refs = {}
+
+        def start(sid, seed, w, h, n=4):
+            pool.add_stream(sid, w, h)
+            refs[sid] = [H263Decoder(SORENSON, backend="numpy"),
+                         _frames(seed, w, h, n=n), 0]
+
+        def check(out, sid):
+            dec, frames, t = refs[sid]
+            pic = dec.decode_next_picture(frames[t])
+            refs[sid][2] += 1
+            y, cb, cr = out[sid]
+            np.testing.assert_array_equal(y, pic.as_luma(),
+                                          err_msg=f"{sid}@{t}")
+            np.testing.assert_array_equal(cb, pic.as_chroma_b())
+            np.testing.assert_array_equal(cr, pic.as_chroma_r())
+
+        start("a", 1, 32, 32)
+        start("b", 2, 32, 32)
+        start("q", 3, 48, 32)
+        feed = lambda sids: pool.decode_step(
+            {sid: refs[sid][1][refs[sid][2]] for sid in sids})
+        out = feed(["a", "b", "q"])
+        for sid in ("a", "b", "q"):
+            check(out, sid)
+        # "b" sits out (slot masks; planes/state persist).
+        out = feed(["a", "q"])
+        check(out, "a"); check(out, "q")
+        assert "b" not in out
+        # join forces 32x32 bucket growth (2 -> 4 slots); leave + rejoin
+        # recycles.
+        start("c", 4, 32, 32)
+        out = feed(["a", "b", "c", "q"])
+        for sid in ("a", "b", "c", "q"):
+            check(out, sid)
+        pool.remove_stream("b")
+        del refs["b"]
+        start("d", 5, 32, 32)
+        out = feed(["a", "c", "d", "q"])
+        for sid in ("a", "c", "d", "q"):
+            check(out, sid)
+        rgba = pool.present_rgba(deblock=False)
+        assert rgba["q"].shape == (32, 48, 4)
+
+    def test_overflow_repair_by_stream_id(self):
+        # A 8-slot tape can't fit these frames: every decoded lane
+        # overflows; resolve_overflows() repairs them host-side and
+        # reports the stream ids.
+        pool = StreamPool(SORENSON, frontend="device", tape_len=8)
+        refs = {}
+        for sid, seed in (("x", 11), ("y", 12)):
+            pool.add_stream(sid, 32, 32)
+            refs[sid] = (H263Decoder(SORENSON, backend="numpy"),
+                         _frames(seed, 32, 32, n=2))
+        for t in range(2):
+            pool.decode_step({sid: refs[sid][1][t] for sid in refs})
+            repaired = sorted(pool.resolve_overflows())
+            assert repaired == ["x", "y"]
+        for sid, (dec, frames) in refs.items():
+            for f in frames:
+                pic = dec.decode_next_picture(f)
+            bucket = pool._buckets[(32, 32)]
+            slot = bucket.slots[sid]
+            np.testing.assert_array_equal(
+                np.asarray(bucket.dec.ref_y[slot]), pic.as_luma(),
+                err_msg=sid)
+
+    def test_device_pool_requires_sorenson(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            StreamPool(DecoderOption.NONE, frontend="device")
