@@ -14,7 +14,7 @@ Every decoded frame is checked bit-exact against an independent
 single-stream H263Decoder.  Runs self-contained (the bitstreams come from
 the spec-table test encoder).
 
-Usage: python examples/serving_pool.py [--steps N]
+Usage: python examples/serving_pool.py [--steps N] [--frontend device]
 """
 
 from __future__ import annotations
@@ -68,9 +68,12 @@ class SimStream:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--frontend", choices=("host", "device"), default="host",
+                    help="bucket decoder: host entropy parse (default) or "
+                         "the device entropy automaton")
     args = ap.parse_args()
 
-    pool = StreamPool(SORENSON)
+    pool = StreamPool(SORENSON, frontend=args.frontend)
     streams = {}
 
     def start(sid, seed, w, h, n=20):
