@@ -337,11 +337,16 @@ class DeviceFrontendDecoder:
 
         Frames that ALSO fail to parse on the host keep the identity frame
         (the normal errored-lane contract).  Returns the repaired lane
-        indices; repaired lanes' last_status entries reset to 0.
+        indices; repaired lanes' last_status entries reset to 0.  NB: the
+        repair lands in self.ref_* (and every later step/present); arrays
+        the overflowing decode_step already RETURNED are immutable and
+        keep the identity planes — re-slice from the decoder after repair.
         """
         from ..decoder.state import reconstruct_frame_numpy
         from ..parser.frame import parse_frame_auto
 
+        if self.last_status is None:
+            return []  # never stepped: nothing to repair
         if status is None:
             status = self.fetch_status()
         lanes = [i for i in range(self.n)

@@ -268,6 +268,11 @@ class StreamPool:
             dec._last_buffers[:n_old] = old.dec._last_buffers
             dec._last_quant[:n_old] = old.dec._last_quant
             dec._last_deblock[:n_old] = old.dec._last_deblock
+            if old.dec.last_status is not None:
+                # Keep pre-growth statuses visible so an overflow flagged
+                # by the step right before the growth stays repairable.
+                dec.last_status = jnp.pad(old.dec.last_status,
+                                          (0, n_new - n_old))
         else:
             for i, st in enumerate(old.dec.states):
                 dec.states[i] = st
@@ -384,18 +389,29 @@ class StreamPool:
                     out._add(sid, y, cb, cr, slot)
         return out
 
-    def resolve_overflows(self) -> list:
+    def resolve_overflows(self, result: Optional[PoolStepResult] = None) -> list:
         """Device-frontend pools only: repair lanes whose last step hit
         ST_TAPE_OVERFLOW (DeviceFrontendDecoder.resolve_overflows) across
         all buckets.  A sync point — call between steps, not per frame.
-        Returns the repaired stream ids."""
+
+        The repair lands in each bucket decoder's reference planes (the
+        next step / present_rgba see it); the arrays inside an
+        already-returned PoolStepResult are immutable, so pass that step's
+        `result` to have the repaired sids' entries re-pointed at the
+        fixed planes.  Returns the repaired stream ids."""
         if self.frontend != "device":
             return []
         out = []
         for bucket in self._buckets.values():
             repaired = set(bucket.dec.resolve_overflows())
-            out.extend(sid for sid, slot in bucket.slots.items()
-                       if slot in repaired)
+            for sid, slot in bucket.slots.items():
+                if slot not in repaired:
+                    continue
+                out.append(sid)
+                if result is not None and sid in result:
+                    result._add(sid, bucket.dec.ref_y, bucket.dec.ref_cb,
+                                bucket.dec.ref_cr, slot)
+                    result._cache.pop(sid, None)
         return out
 
     def present_rgba(self, deblock: Optional[bool] = None) -> dict:

@@ -435,9 +435,7 @@ def _fused_scenario(rng: np.random.Generator, width: int, height: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _device_parse_fn(mbh: int, mbw: int, Lw: int, tape_len: int):
-    import functools as ft
-
+def _device_parse_fn(mbh: int, mbw: int, tape_len: int):
     import jax
 
     from ..parser import device_frontend as df
@@ -483,7 +481,7 @@ def _agree_device(buf: bytes, width: int, height: int) -> tuple[bool, str]:
     if len(buf) > BUCKET:
         return True, ""  # outside the fuzz transfer bucket
     data_u8, nbits = df.pack_payloads([buf], BUCKET)
-    fn = _device_parse_fn(mb_h, mb_w, BUCKET // 4, 96 * nmb)
+    fn = _device_parse_fn(mb_h, mb_w, 96 * nmb)
     from ..types import PictureTypeCode
 
     ptype = (0 if pic.picture_type is PictureTypeCode.I_FRAME

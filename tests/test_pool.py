@@ -367,18 +367,50 @@ class TestDeviceFrontendPool:
             pool.add_stream(sid, 32, 32)
             refs[sid] = (H263Decoder(SORENSON, backend="numpy"),
                          _frames(seed, 32, 32, n=2))
+        results = []
         for t in range(2):
-            pool.decode_step({sid: refs[sid][1][t] for sid in refs})
-            repaired = sorted(pool.resolve_overflows())
+            res = pool.decode_step({sid: refs[sid][1][t] for sid in refs})
+            repaired = sorted(pool.resolve_overflows(res))
             assert repaired == ["x", "y"]
+            results.append(res)
         for sid, (dec, frames) in refs.items():
-            for f in frames:
-                pic = dec.decode_next_picture(f)
+            pics = [dec.decode_next_picture(f) for f in frames]
             bucket = pool._buckets[(32, 32)]
             slot = bucket.slots[sid]
             np.testing.assert_array_equal(
-                np.asarray(bucket.dec.ref_y[slot]), pic.as_luma(),
+                np.asarray(bucket.dec.ref_y[slot]), pics[-1].as_luma(),
                 err_msg=sid)
+            # Passing the step result re-points its entries at the fixed
+            # planes (the returned arrays themselves are immutable).
+            for t, res in enumerate(results):
+                y, cb, cr = res[sid]
+                np.testing.assert_array_equal(y, pics[t].as_luma(),
+                                              err_msg=f"{sid} result@{t}")
+
+    def test_overflow_edge_cases_never_stepped_and_growth(self):
+        """resolve_overflows is a no-op on a bucket that was finalized but
+        never decoded (regression: fetch_status on last_status=None), and
+        an overflow flagged right before a bucket growth stays repairable
+        (growth migrates last_status)."""
+        pool = StreamPool(SORENSON, frontend="device", tape_len=8)
+        pool.add_stream("a", 32, 32)
+        pool.add_stream("b", 48, 32)
+        fa = _frames(21, 32, 32, n=2)
+        # b's bucket finalizes but decodes nothing this step.
+        res = pool.decode_step({"a": fa[0]})
+        assert sorted(pool.resolve_overflows(res)) == ["a"]
+        # Overflow on the next step, then grow a's bucket BEFORE repair
+        # (the 32x32 bucket has one slot, so this join doubles it).
+        res = pool.decode_step({"a": fa[1]})
+        pool.add_stream("c", 32, 32)
+        assert pool._buckets[(32, 32)].dec.n == 2
+        assert sorted(pool.resolve_overflows(res)) == ["a"]
+        oracle = H263Decoder(SORENSON, backend="numpy")
+        pics = [oracle.decode_next_picture(f) for f in fa]
+        bucket = pool._buckets[(32, 32)]
+        np.testing.assert_array_equal(
+            np.asarray(bucket.dec.ref_y[bucket.slots["a"]]),
+            pics[-1].as_luma())
 
     def test_device_pool_requires_sorenson(self):
         import pytest
