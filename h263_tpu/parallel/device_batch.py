@@ -106,9 +106,11 @@ class DeviceFrontendDecoder:
         import jax
         import jax.numpy as jnp
 
-        if not (decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
-            raise ValueError("DeviceFrontendDecoder is Sorenson-only (v1); "
-                             "standard H.263 uses the host front-end")
+        # Both bitstream flavors decode here (the automaton speaks the
+        # shared MB layer); per-frame gates remain — UMV /
+        # MODIFIED_QUANTIZATION pictures and standard payloads carrying
+        # GOB start codes fall back per stream (df.supports /
+        # df.has_embedded_start_code).
         if pallas == "auto":
             try:
                 backend = jax.default_backend()
@@ -168,7 +170,11 @@ class DeviceFrontendDecoder:
         self._prep = None
         import os
 
-        if not os.environ.get("H263_TPU_NO_NATIVE"):
+        if (not os.environ.get("H263_TPU_NO_NATIVE")
+                and decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
+            # The native prep parses Sorenson headers; standard pictures
+            # (PTYPE/PLUSPTYPE chains + the GOB-scan gate) stay on the
+            # Python prep loop.
             from ..native import ensure_built
 
             if ensure_built():
@@ -180,11 +186,20 @@ class DeviceFrontendDecoder:
     # -- host-side helpers ---------------------------------------------------
 
     def _skip_frame_bytes(self) -> bytes:
-        """An all-uncoded P-frame: decodes to the identity frame."""
+        """An all-uncoded P-frame: decodes to the identity frame.  Encoded
+        in the decoder's own flavor so its header parses under the same
+        options."""
         if self._skip is None:
-            from ..testing.encoder import MBSpec, encode_sorenson_picture
+            from ..testing.encoder import (
+                MBSpec,
+                encode_sorenson_picture,
+                encode_standard_picture,
+            )
 
-            self._skip = encode_sorenson_picture(
+            enc = (encode_sorenson_picture
+                   if self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM
+                   else encode_standard_picture)
+            self._skip = enc(
                 self.w, self.h, PictureTypeCode.P_FRAME,
                 [MBSpec(kind="uncoded")] * (self.mb_w * self.mb_h),
                 temporal_reference=0)
@@ -261,6 +276,11 @@ class DeviceFrontendDecoder:
                                              self._pictures[i])
                         if pic is None or not df.supports(pic, pic.options):
                             raise H263Error("outside device front-end scope")
+                        if (pic.version is None
+                                and df.has_embedded_start_code(buf, r.pos)):
+                            raise H263Error(
+                                "embedded start code: GOB resync is host "
+                                "front-end work")
                         fmt = pic.format.width_and_height() if pic.format else None
                         if fmt is not None and fmt != (self.w, self.h):
                             raise H263Error(
@@ -287,9 +307,7 @@ class DeviceFrontendDecoder:
                     start_bit[i] = r.pos
                     nbits[i] = len(buf) * 8
                     quant0[i] = pic.quantizer
-                    ptype[i] = (0 if pic.picture_type is PictureTypeCode.I_FRAME
-                                else 1 if pic.picture_type is PictureTypeCode.P_FRAME
-                                else 2)
+                    ptype[i] = df.encode_ptype(pic)
                     v1[i] = 1 if pic.version == 1 else 0
 
         with trace_stage("transfer"):
@@ -359,7 +377,8 @@ class DeviceFrontendDecoder:
             buf = bytes(self._last_buffers[i])
             try:
                 r = BitReader(buf)
-                pic = decode_picture(r, self.decoder_options, None)
+                pic = decode_picture(r, self.decoder_options,
+                                     self._pictures[i])
                 frame = parse_frame_auto(r, pic, self.decoder_options,
                                          pic.options, self.w, self.h)
                 # The overflowed step emitted the identity frame, so this

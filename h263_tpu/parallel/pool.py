@@ -23,7 +23,8 @@ padding, giving a serving-shaped lifecycle (VERDICT r1 item 4):
 
 Buckets decode with either entropy front-end (`frontend="host"` — the
 default BatchedStreamDecoder — or `"device"` — the device entropy
-automaton, Sorenson-only); the lifecycle above is front-end-agnostic.
+automaton; out-of-scope frames fall back per stream); the lifecycle
+above is front-end-agnostic.
 """
 
 from __future__ import annotations
@@ -177,13 +178,10 @@ class StreamPool:
                  frontend: str = "host", **decoder_kwargs):
         """`frontend` selects each bucket's decoder: "host" (the default
         BatchedStreamDecoder — host entropy parse, packed transports) or
-        "device" (DeviceFrontendDecoder — the device entropy automaton,
-        Sorenson-only).  `decoder_kwargs` pass through to that decoder."""
+        "device" (DeviceFrontendDecoder — the device entropy automaton).
+        `decoder_kwargs` pass through to that decoder."""
         if frontend not in ("host", "device"):
             raise ValueError(f"unknown frontend {frontend!r}")
-        if frontend == "device" and not (
-                decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
-            raise ValueError("frontend='device' is Sorenson-only")
         self.decoder_options = decoder_options
         self.frontend = frontend
         self.decoder_kwargs = decoder_kwargs
@@ -300,7 +298,10 @@ class StreamPool:
         bucket = self._buckets.get(key)
         last = None
         if bucket is not None and stream_id in bucket.slots:
-            last = bucket.dec.states[bucket.slots[stream_id]].last_header
+            slot = bucket.slots[stream_id]
+            states = getattr(bucket.dec, "states", None)
+            last = (states[slot].last_header if states is not None
+                    else bucket.dec._pictures[slot])
         try:
             pic = decode_picture(BitReader(bytes(buf)), self.decoder_options,
                                  last)

@@ -21,10 +21,11 @@ cite the reference implementation (read-only, /root/reference):
   macroblock *header* (COD..MVDs) ends the picture with INTER/zero-MV
   tail-fill; EOF inside the *block* layer fails the whole picture.
 
-Scope (v1): Sorenson Spark I/P frames without UMV — the framework's
-headline serving path.  Standard-H.263 streams (PLUSPTYPE, UMV, GOB
-resync) stay on the host front-end; `DeviceFrontend.supports()` gates
-dispatch.  Per-stream errors are recorded in a device-resident status
+Scope: Sorenson Spark AND standard H.263 I/P frames without UMV /
+MODIFIED_QUANTIZATION (the two options that alter the MB layer), and —
+for standard pictures — without embedded GOB start codes (resync is host
+work; `has_embedded_start_code` gates).  `supports()` gates dispatch;
+out-of-scope streams stay on the host front-end.  Per-stream errors are recorded in a device-resident status
 vector (never implicitly read back — CLAUDE.md "AXON READBACK TRAP");
 an errored lane yields the identity frame (all-INTER, zero MVs, zero
 coefficients == repeat of the reference picture), matching the
@@ -277,11 +278,20 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         header (the init state's start_bit skips the header, which the host
         parses).
       nbits: int32 [S] — number of valid bits in each stream.
-      ptype: int32 [S] — 0 = I-frame, 1 = P-frame, 2 = other (a coded MB in
-        an "other" picture raises UnimplementedDecoding, matching
-        macroblock.rs:461-464; uncoded COD=1 MBs still parse).
+      ptype: int32 [S] — bits 0-1: 0 = I-frame, 1 = P-frame, 2 = other (a
+        coded MB in an "other" picture raises UnimplementedDecoding,
+        matching macroblock.rs:461-464; uncoded COD=1 MBs still parse).
+        Bit 2 (value +4) marks a STANDARD (non-Sorenson) picture: its
+        MB layer is identical except that invalid MCBPC/CBPY codes are
+        SOFT — the host resyncs to the next GOB start code
+        (frame.py:186-198), and in-scope standard payloads carry none
+        (prepare gates on has_embedded_start_code), so the scan hits EOF
+        and the picture ends tail-filled.  Every other error class
+        (MVD/DC/TCOEF/escape/beyond-count/unimplemented) hard-fails the
+        frame for both flavors (error.rs:82-85: only those two classes
+        trigger resync).
       sorenson_v1: int32 [S] — 1 selects the flag-chosen 7/11-bit escape
-        level (block.rs:693-709); 0 the 8-bit form.
+        level (block.rs:693-709); 0 the 8-bit form (incl. standard).
       mbh, mbw: static macroblock grid dims.
 
     Emissions per step: coe_ord/coe_val (one coefficient or sentinel),
@@ -426,7 +436,9 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         in_coef = active & (phase == PH_COEF)
 
         # ================= HEADER (macroblock.rs:445-549) ==================
-        is_p_like = ptype != 0
+        is_std = ptype >= 4           # standard (non-Sorenson) lane
+        pt = jnp.where(is_std, ptype - 4, ptype)
+        is_p_like = pt != 0
         cod_bits = jnp.where(is_p_like, 1, 0)
         cod = jnp.where(is_p_like, i32(_peek(hi, 0, 1)), 0)
         uncoded = is_p_like & (cod == 1)
@@ -435,13 +447,13 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         # Coded MB in a non-I/P picture: UnimplementedDecoding raised
         # BEFORE any MCBPC read (macroblock.rs:461-464), so no later read's
         # EOF can mask it.
-        h_unimpl = (~uncoded) & (ptype == 2)
+        h_unimpl = (~uncoded) & (pt == 2)
         reads_on = (~uncoded) & ~h_unimpl           # header reads continue
 
         entI, lenI = _lookup(mcbpc_i, MCBPC_I_LEN, hi, c0)
         entP, lenP = _lookup(mcbpc_p, MCBPC_P_LEN, hi, c0)
-        ent_m = jnp.where(ptype == 0, entI, entP)
-        len_m = jnp.where(ptype == 0, lenI, lenP)
+        ent_m = jnp.where(pt == 0, entI, entP)
+        len_m = jnp.where(pt == 0, lenI, lenP)
         # EOF/invalid precedence is staged in read order, matching the
         # sequential bitio reads: an invalid code with sufficient bits fails
         # the frame immediately — a later field's EOF must not turn that
@@ -494,15 +506,20 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         h_beyond = (~uncoded) & ~stuffing & is_intra_t & (mb >= nmb)
         h_err = jnp.where(h_beyond & ~h_eof & (h_err == 0), ST_BEYOND_NMB, h_err)
 
-        h_fail = (h_err != 0) & ~h_eof
-        h_ok = ~h_eof & ~h_fail
+        # Standard lanes: invalid MCBPC/CBPY are macroblock-class errors
+        # (error.rs:82-85) — the host's GOB resync finds no start code in
+        # an in-scope payload and the picture ends tail-filled, i.e. the
+        # same outcome as header EOF.  All other classes stay hard.
+        h_soft = is_std & (h_bad_m | h_bad_y)
+        h_fail = (h_err != 0) & ~h_eof & ~h_soft
+        h_ok = ~h_eof & ~h_soft & ~h_fail
 
         # Header-phase results --------------------------------------------
         hdr_consumed = jnp.where(
-            h_eof, 0,
+            h_eof | h_soft, 0,
             jnp.where(uncoded, 1, jnp.where(stuffing, c1, c3)))
         hdr_phase = jnp.where(
-            h_eof, PH_DONE,
+            h_eof | h_soft, PH_DONE,
             jnp.where(h_fail, PH_ERR,
                       jnp.where(uncoded | stuffing, PH_HEADER, PH_HEADER)))
         # (coded-MB phase transitions applied below via enter_blocks / MVD)
@@ -995,16 +1012,45 @@ def assemble(tapes, *, mbh: int, mbw: int):
 
 
 def supports(picture, running_options) -> bool:
-    """Dispatch gate for the device front-end (v1 scope): Sorenson-flavor
-    pictures without UMV/MODIFIED_QUANTIZATION.  Standard-H.263 streams
-    keep the host front-end."""
+    """Dispatch gate for the device front-end: Sorenson OR standard
+    pictures whose MB layer the automaton speaks — i.e. without the two
+    options that change it (UMV's table-D.3 MVDs, MODIFIED_QUANTIZATION's
+    extended DQUANT; every other option is MB-layer-inert in the host
+    parser too, macroblock.rs:445-549).  Standard payloads additionally
+    need the has_embedded_start_code scan (GOB resync is host work)."""
     from ..types import PictureOption
 
-    if picture.version is None:          # not a Sorenson header
-        return False
     blocked = (PictureOption.UNRESTRICTED_MOTION_VECTORS
                | PictureOption.MODIFIED_QUANTIZATION)
     return not (running_options & blocked)
+
+
+def has_embedded_start_code(buf: bytes, start_bit: int) -> bool:
+    """True if a start-code-shaped run (>=16 consecutive zero bits) exists
+    at or after `start_bit` (the first MB-layer bit).  Standard H.263
+    pictures may carry GOB headers mid-picture; resync is host work, so
+    such payloads must not dispatch to the device.  VLC data cannot
+    emulate 16 zero bits (start-code emulation prevention), so a hit IS a
+    boundary (or corruption — either way, host).  Runs beginning up to 15
+    bits before start_bit are counted (a run crossing the header/MB seam
+    still contains a boundary)."""
+    bits = np.unpackbits(np.frombuffer(bytes(buf), dtype=np.uint8))
+    lo = max(0, start_bit - 15)
+    z = (bits[lo:] == 0).astype(np.int32)
+    if z.size < 16:
+        return False
+    w = np.convolve(z, np.ones(16, dtype=np.int32), mode="valid")
+    return bool((w == 16).any())
+
+
+def encode_ptype(picture) -> int:
+    """The automaton's ptype field for a parsed picture header: bits 0-1
+    the type (0 I / 1 P / 2 other), +4 for standard (non-Sorenson)."""
+    from ..types import PictureTypeCode
+
+    base = (0 if picture.picture_type is PictureTypeCode.I_FRAME
+            else 1 if picture.picture_type is PictureTypeCode.P_FRAME else 2)
+    return base + (0 if picture.version is not None else 4)
 
 
 def prepare_batch(frames: list[bytes], decoder_options,
@@ -1019,7 +1065,6 @@ def prepare_batch(frames: list[bytes], decoder_options,
     the device front-end's scope (callers should gate with supports()).
     """
     from ..bitio import BitReader
-    from ..types import PictureTypeCode
     from .picture import decode_picture
 
     S = len(frames)
@@ -1037,11 +1082,12 @@ def prepare_batch(frames: list[bytes], decoder_options,
         pic = decode_picture(r, decoder_options, prev[i])
         if pic is None or not supports(pic, pic.options):
             raise ValueError(f"stream {i} outside device front-end scope")
+        if pic.version is None and has_embedded_start_code(buf, r.pos):
+            raise ValueError(f"stream {i}: embedded start code "
+                             f"(GOB resync is host work)")
         start_bit[i] = r.pos
         quant0[i] = pic.quantizer
-        ptype[i] = (0 if pic.picture_type is PictureTypeCode.I_FRAME
-                    else 1 if pic.picture_type is PictureTypeCode.P_FRAME
-                    else 2)
+        ptype[i] = encode_ptype(pic)
         v1[i] = 1 if pic.version == 1 else 0
         pictures.append(pic)
     return dict(data_u8=data_u8, start_bit=start_bit, nbits=nbits,

@@ -450,19 +450,24 @@ def _device_parse_fn(mbh: int, mbw: int, tape_len: int):
     return jax.jit(run)
 
 
-def _agree_device(buf: bytes, width: int, height: int) -> tuple[bool, str]:
+def _agree_device(buf: bytes, width: int, height: int,
+                  opts=_OPTS) -> tuple[bool, str]:
     """Differential: the device entropy automaton vs the Python host
     parser — dense coefficients / MVs / INTER must match exactly on
     success, and error CLASSES must match on failure
     (df.status_error_class).  Cases whose picture header fails to parse
-    are out of scope (headers are host work in the device path)."""
+    are out of scope (headers are host work in the device path), as are
+    standard payloads carrying embedded start codes (GOB resync is host
+    work; the production prep gates them identically)."""
     from ..parser import device_frontend as df
 
     try:
         r = BitReader(buf)
-        pic = decode_picture(r, _OPTS, None)
+        pic = decode_picture(r, opts, None)
         if pic is None or not df.supports(pic, pic.options):
             return True, ""
+        if pic.version is None and df.has_embedded_start_code(buf, r.pos):
+            return True, ""  # dispatch-gated to the host front-end
     except H263Error:
         return True, ""  # host-side header reject; device never dispatches
 
@@ -472,7 +477,7 @@ def _agree_device(buf: bytes, width: int, height: int) -> tuple[bool, str]:
     # UMV flavor); here buf carries its header, so let it re-decode it and
     # advance its own reader past it.
     try:
-        a, ea = _outcome_python(buf, width, height, _OPTS,
+        a, ea = _outcome_python(buf, width, height, opts,
                                 pic.options), None
     except H263Error as e:
         a, ea = None, type(e)
@@ -482,13 +487,11 @@ def _agree_device(buf: bytes, width: int, height: int) -> tuple[bool, str]:
         return True, ""  # outside the fuzz transfer bucket
     data_u8, nbits = df.pack_payloads([buf], BUCKET)
     fn = _device_parse_fn(mb_h, mb_w, 96 * nmb)
-    from ..types import PictureTypeCode
 
-    ptype = (0 if pic.picture_type is PictureTypeCode.I_FRAME
-             else 1 if pic.picture_type is PictureTypeCode.P_FRAME else 2)
     dense, mvs, inter, ok, status = fn(
         data_u8, np.array([r.pos], np.int32), nbits,
-        np.array([pic.quantizer], np.int32), np.array([ptype], np.int32),
+        np.array([pic.quantizer], np.int32),
+        np.array([df.encode_ptype(pic)], np.int32),
         np.array([1 if pic.version == 1 else 0], np.int32))
     st = int(np.asarray(status)[0])
 
@@ -557,24 +560,35 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
             total += c
             fails += f
         return total, fails
-    if flavor in ("d24", "device"):
-        # Both flavors run the _rand_d24_frame generator (rich in discard /
-        # escape / sparsity edges); "device" checks the device entropy
-        # automaton against the Python parser (tensors + error classes).
-        agree = _agree_d24 if flavor == "d24" else _agree_device
+    if flavor in ("d24", "device", "device_std"):
+        # "d24"/"device" run the _rand_d24_frame generator (rich in
+        # discard / escape / sparsity edges); "device" checks the device
+        # entropy automaton against the Python parser (tensors + error
+        # classes), "device_std" does the same over STANDARD plain-PTYPE
+        # pictures at CIF-family dims (soft MCBPC/CBPY semantics; the UMV
+        # half of the generator exercises the supports() dispatch gate).
+        if flavor == "device_std":
+            if (width, height) == (96, 80):
+                width, height = 128, 96
+            gen = lambda rng: _rand_frame(rng, width, height,
+                                          flavor="standard")
+            agree = lambda b, w, h: _agree_device(b, w, h,
+                                                  DecoderOption.NONE)
+        else:
+            gen = lambda rng: _rand_d24_frame(rng, width, height)
+            agree = _agree_d24 if flavor == "d24" else _agree_device
         rng = np.random.default_rng(seed)
         report = on_fail or (lambda tag, why: print(f"MISMATCH {tag}: {why}"))
         total = fails = 0
         for i in range(n_base):
-            base = _rand_d24_frame(rng, width, height)
+            base = gen(rng)
             ok, why = agree(base, width, height)
             total += 1
             if not ok:
                 fails += 1
                 report(f"base[{i}]", why)
             for m in range(mutations_per_base):
-                mut = _mutate(rng, base,
-                              lambda: _rand_d24_frame(rng, width, height))
+                mut = _mutate(rng, base, lambda: gen(rng))
                 ok, why = agree(mut, width, height)
                 total += 1
                 if not ok:

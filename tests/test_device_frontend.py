@@ -22,11 +22,11 @@ from h263_tpu.types import DecoderOption, H263Error, PictureTypeCode
 SORENSON = DecoderOption.SORENSON_SPARK_BITSTREAM
 
 
-def host_parse(buf: bytes, width: int, height: int):
+def host_parse(buf: bytes, width: int, height: int, opts=SORENSON):
     """Host reference: (dense [6nmb, 64] i16, mvs, inter) or an exception."""
     r = BitReader(buf)
-    pic = decode_picture(r, SORENSON, None)
-    fd = parse_frame(r, pic, SORENSON, pic.options, width, height)
+    pic = decode_picture(r, opts, None)
+    fd = parse_frame(r, pic, opts, pic.options, width, height)
     nmb = fd.mb_w * fd.mb_h
     dense = np.concatenate([
         fd.coeffs_y.reshape(4 * nmb, 64),
@@ -37,11 +37,11 @@ def host_parse(buf: bytes, width: int, height: int):
 
 
 def device_parse(frames: list[bytes], width: int, height: int,
-                 tape_len: int = 2048):
+                 tape_len: int = 2048, opts=SORENSON):
     import jax.numpy as jnp
 
     mbh, mbw = -(-height // 16), -(-width // 16)
-    inputs, _ = df.prepare_batch(frames, SORENSON)
+    inputs, _ = df.prepare_batch(frames, opts)
     words = df.payload_words(jnp.asarray(inputs["data_u8"]))
     tapes = df.parse_frames_device(
         words, inputs["start_bit"], inputs["nbits"], inputs["quant0"],
@@ -52,12 +52,12 @@ def device_parse(frames: list[bytes], width: int, height: int,
             np.asarray(ok), np.asarray(tapes["status"]))
 
 
-def assert_matches_host(frames, width, height, tape_len=2048):
+def assert_matches_host(frames, width, height, tape_len=2048, opts=SORENSON):
     dense, mvs, inter, ok, status = device_parse(
-        frames, width, height, tape_len)
+        frames, width, height, tape_len, opts=opts)
     for i, buf in enumerate(frames):
         try:
-            hd, hmv, hin = host_parse(buf, width, height)
+            hd, hmv, hin = host_parse(buf, width, height, opts=opts)
         except H263Error:
             assert not ok[i], f"stream {i}: host raised but device ok"
             continue
@@ -237,6 +237,136 @@ class TestTruncationAndErrors:
             assert inter[0].all()
 
 
+class TestStandardStreams:
+    """Standard (non-Sorenson) H.263 through the device automaton: the MB
+    layer is shared with Sorenson except 8-bit escapes (the v0 path) and
+    SOFT MCBPC/CBPY errors (host GOB resync finds no start code in an
+    in-scope payload -> tail-filled picture end, frame.py:186-198)."""
+
+    OPTS = DecoderOption.NONE
+
+    def rich_std_gop(self, seed, n=4):
+        from h263_tpu.testing.encoder import encode_standard_picture
+
+        rng = np.random.default_rng(seed)
+        W, H, nmb = 128, 96, 8 * 6
+        frames = [encode_standard_picture(
+            W, H, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra",
+                    intradc=[int(rng.integers(1, 128)) * 8] * 6,
+                    blocks=[[(int(rng.integers(0, 5)),
+                              int(rng.integers(1, 9)))], [], [], [], [], []]
+                    if rng.random() < 0.5 else [[]] * 6,
+                    dquant=int(rng.integers(-2, 3)) if rng.random() < .3 else 0)
+             for _ in range(nmb)], quantizer=int(rng.integers(2, 14)))]
+        for tr in range(1, n):
+            mbs = []
+            for _ in range(nmb):
+                roll = rng.random()
+                if roll < 0.25:
+                    mbs.append(MBSpec(kind="uncoded"))
+                    continue
+                blocks = [[]] * 6
+                if rng.random() < 0.5:
+                    lvl = int(rng.integers(1, 120))  # escapes past 12 mag
+                    blocks = [[(int(rng.integers(0, 8)),
+                                lvl if rng.random() < .5 else -lvl)],
+                              [], [], [], [], []]
+                kind = "inter4v" if rng.random() < 0.2 else "inter"
+                mvd = [(int(rng.integers(-10, 11)), int(rng.integers(-10, 11)))
+                       for _ in range(4 if kind == "inter4v" else 1)]
+                mbs.append(MBSpec(kind=kind, mvd=mvd, blocks=blocks,
+                                  dquant=int(rng.integers(-2, 3))
+                                  if rng.random() < .3 else 0))
+            frames.append(encode_standard_picture(
+                W, H, PictureTypeCode.P_FRAME, mbs, temporal_reference=tr,
+                quantizer=int(rng.integers(2, 14))))
+        return frames
+
+    def test_rich_gop_matches_host(self):
+        frames = self.rich_std_gop(60) + self.rich_std_gop(61, n=3)
+        assert_matches_host(frames, 128, 96, tape_len=4096, opts=self.OPTS)
+
+    def test_truncations_match_host(self):
+        base = self.rich_std_gop(62, n=2)[1]
+        r = BitReader(base)
+        decode_picture(r, self.OPTS, None)
+        cuts = [base[:k] for k in range(r.pos // 8 + 1, len(base), 5)]
+        assert_matches_host(cuts, 128, 96, tape_len=4096, opts=self.OPTS)
+
+    def test_soft_mcbpc_tail_fills(self):
+        """An invalid MCBPC mid-picture is a macroblock-class error: the
+        host resyncs, finds no start code, and ends the picture with the
+        already-decoded MBs kept + the rest tail-filled; the device lane
+        must finish OK with identical tensors (not an errored lane)."""
+        from h263_tpu.testing.encoder import BitWriter, encode_macroblock
+
+        # A 13-bit pattern marked INVALID in the packed MCBPC-P table,
+        # ending in 1 so byte padding can't extend it into a start code.
+        inv = next(i for i in range(1 << 13)
+                   if (int(df.MCBPC_P_ARR[i]) >> 25) & 1 and (i & 1))
+        W, H, nmb = 128, 96, 48
+        w = BitWriter()
+        w.write_bits(1, 17); w.write_bits(0, 5); w.write_bits(1, 8)
+        w.write_code("10"); w.write_code("000")
+        w.write_bits(1, 3)              # source format: SUB-QCIF (128x96)
+        w.write_bits(0, 1); w.write_bits(0, 1); w.write_bits(0, 1)
+        w.write_bits(0, 1); w.write_bits(0, 1)
+        w.write_bits(8, 5); w.write_bits(0, 1); w.write_bits(0, 1)
+        for k in range(nmb // 2):       # half the picture decodes
+            encode_macroblock(w, MBSpec(
+                kind="inter", mvd=[(2, -2)],
+                blocks=[[(0, 5)], [], [], [], [], []]),
+                PictureTypeCode.P_FRAME, None)
+        w.write_bits(0, 1)              # COD=0: coded MB follows
+        w.write_bits(inv, 13)           # ...with an invalid MCBPC
+        buf = w.to_bytes()
+        # Only meaningful if the header round-trips at these dims.
+        pic = decode_picture(BitReader(buf), self.OPTS, None)
+        if pic.format is None or pic.format.width_and_height() != (W, H):
+            import pytest
+
+            pytest.skip("format bits drifted; regenerate the header")
+        dense, mvs, inter, ok, status = device_parse(
+            [buf], W, H, tape_len=4096, opts=self.OPTS)
+        assert ok[0] and status[0] == 0, status
+        hd, hmv, hin = host_parse(buf, W, H, opts=self.OPTS)
+        np.testing.assert_array_equal(dense[0], hd)
+        np.testing.assert_array_equal(mvs[0], hmv)
+        np.testing.assert_array_equal(inter[0], hin)
+        # The first half really decoded (soft end kept prior MBs).
+        assert np.any(dense[0] != 0)
+
+    def test_gob_payloads_are_gated(self):
+        """A standard payload containing a second start code must not
+        dispatch (resync is host work): prepare_batch refuses it."""
+        import pytest
+
+        frames = self.rich_std_gop(63, n=2)
+        gob = frames[0] + b"\x00\x00\x80\x02"  # embedded start-code bytes
+        assert df.has_embedded_start_code(gob, 40)
+        with pytest.raises(ValueError):
+            df.prepare_batch([gob], self.OPTS)
+
+    def test_decoder_end_to_end_standard(self):
+        from h263_tpu.decoder.state import H263Decoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [self.rich_std_gop(70 + i, n=3) for i in range(2)]
+        dec = DeviceFrontendDecoder(2, 128, 96, self.OPTS)
+        oracles = [H263Decoder(self.OPTS, backend="numpy") for _ in range(2)]
+        for t in range(3):
+            y, cb, cr = dec.decode_step([streams[i][t] for i in range(2)])
+            assert (dec.fetch_status() == 0).all()
+            for i in range(2):
+                pic = oracles[i].decode_next_picture(streams[i][t])
+                np.testing.assert_array_equal(
+                    np.asarray(y[i]), pic.as_luma(),
+                    err_msg=f"stream {i} frame {t}")
+                np.testing.assert_array_equal(
+                    np.asarray(cb[i]), pic.as_chroma_b())
+
+
 def test_differential_fuzz_campaign_device():
     """Device-automaton flavor of the differential fuzz: random d24-biased
     frames + structured mutations (byte flips, truncations, splices,
@@ -252,6 +382,21 @@ def test_differential_fuzz_campaign_device():
                                 on_fail=lambda tag, why: failures.append((tag, why)))
     assert fails == 0, failures[:5]
     assert total == 8 * 6
+
+
+def test_differential_fuzz_campaign_device_std():
+    """Standard-H.263 flavor of the device differential fuzz: plain-PTYPE
+    pictures (8-bit escapes, soft MCBPC/CBPY semantics, the UMV half of
+    the generator exercising the supports() gate) vs the Python parser.
+    A 4,950-case campaign (seeds 51-53) ran clean in round 3."""
+    from h263_tpu.testing.fuzz import run_campaign
+
+    failures = []
+    total, fails = run_campaign(seed=51, n_base=6, mutations_per_base=5,
+                                flavor="device_std",
+                                on_fail=lambda tag, why: failures.append((tag, why)))
+    assert fails == 0, failures[:5]
+    assert total == 6 * 6
 
 
 class TestPallasHarness:

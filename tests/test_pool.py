@@ -412,8 +412,42 @@ class TestDeviceFrontendPool:
             np.asarray(bucket.dec.ref_y[bucket.slots["a"]]),
             pics[-1].as_luma())
 
-    def test_device_pool_requires_sorenson(self):
-        import pytest
+    def test_device_pool_standard_streams(self):
+        """A standard-H.263 device-frontend pool decodes bit-exact vs the
+        single-stream oracle (incl. a skipped step)."""
+        from h263_tpu.testing.encoder import encode_standard_picture
 
-        with pytest.raises(ValueError):
-            StreamPool(DecoderOption.NONE, frontend="device")
+        def std_frames(seed, n=3):
+            rng = np.random.default_rng(seed)
+            nmb = 8 * 6
+            out = [encode_standard_picture(
+                128, 96, PictureTypeCode.I_FRAME,
+                [MBSpec(kind="intra",
+                        intradc=[int(rng.integers(1, 128)) * 8] * 6)
+                 for _ in range(nmb)])]
+            for tr in range(1, n):
+                out.append(encode_standard_picture(
+                    128, 96, PictureTypeCode.P_FRAME,
+                    [MBSpec(kind="inter", mvd=[(2, 0)],
+                            blocks=[[(0, 3)], [], [], [], [], []])] * nmb,
+                    temporal_reference=tr))
+            return out
+
+        pool = StreamPool(DecoderOption.NONE, frontend="device")
+        refs = {}
+        for sid, seed in (("a", 31), ("b", 32)):
+            pool.add_stream(sid, 128, 96)
+            refs[sid] = (H263Decoder(DecoderOption.NONE, backend="numpy"),
+                         std_frames(seed))
+        cursor = {"a": 0, "b": 0}
+        for t in range(3):
+            feed = {sid: refs[sid][1][cursor[sid]] for sid in refs
+                    if not (t == 1 and sid == "b")}
+            out = pool.decode_step(feed)
+            for sid in feed:
+                dec, frames = refs[sid]
+                pic = dec.decode_next_picture(frames[cursor[sid]])
+                cursor[sid] += 1
+                y, cb, cr = out[sid]
+                np.testing.assert_array_equal(y, pic.as_luma(),
+                                              err_msg=f"{sid}@{t}")
