@@ -108,6 +108,9 @@ def main():
     ap.add_argument("--width", type=int, default=176)
     ap.add_argument("--height", type=int, default=144)
     ap.add_argument("--present-every", type=int, default=15)
+    ap.add_argument("--frontend", choices=("host", "device"), default="host",
+                    help="entropy front-end under soak: the host batched "
+                         "path (default) or the device automaton")
     args = ap.parse_args()
 
     import os
@@ -171,7 +174,16 @@ def main():
 
     # TPU decode through the production path; keep device outputs, fetch
     # nothing until every comparison is device-resident.
-    dec = BatchedStreamDecoder(S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
+    if args.frontend == "device":
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        dec = DeviceFrontendDecoder(
+            S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
+        tag = f"harness={dec.harness}"
+    else:
+        dec = BatchedStreamDecoder(S, W, H,
+                                   DecoderOption.SORENSON_SPARK_BITSTREAM)
+        tag = f"fused={dec._fused_enabled}"
     outs, pres = [], {}
     t0 = time.perf_counter()
     for t in range(T):
@@ -181,7 +193,7 @@ def main():
             pres[t] = dec.present_rgba(deblock=True)
     outs[-1][0].block_until_ready()
     print(f"TPU decode: {T} steps in {time.perf_counter() - t0:.1f}s "
-          f"(fused={dec._fused_enabled})", file=sys.stderr)
+          f"({tag})", file=sys.stderr)
 
     count = jax.jit(lambda a, b: jnp.sum(jnp.not_equal(a, b),
                                          dtype=jnp.int32))
