@@ -42,10 +42,75 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# Last-resort init watchdog.  When the TPU tunnel is unreachable the axon
+# plugin blocks INSIDE `import jax` / device init in C code (observed
+# 2026-08-17..18: a 300 s probe never returned from the import), so no
+# in-process timeout (signal or thread) is guaranteed to fire.  A forked
+# child shares our stdout: if the parent has not written the sentinel file
+# within the timeout, the child prints a zeroed-headline JSON record —
+# which becomes the LAST stdout line once it SIGKILLs the parent — so the
+# driver's round artifact records the outage instead of hanging forever.
+_WATCHDOG_SRC = r"""
+import json, os, signal, sys, time
+sent, ppid, timeout = sys.argv[1], int(sys.argv[2]), float(sys.argv[3])
+deadline = time.time() + timeout
+while time.time() < deadline:
+    if os.path.exists(sent):
+        sys.exit(0)
+    try:
+        os.kill(ppid, 0)
+    except OSError:
+        sys.exit(0)
+    time.sleep(2)
+if os.path.exists(sent):
+    sys.exit(0)
+print(json.dumps({
+    "metric": "cif_decode_frames_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "frames/s",
+    "vs_baseline": 0.0,
+    "detail": {"error": "tpu_init_timeout", "timeout_s": timeout,
+               "note": "jax import/device init did not complete; "
+                       "TPU tunnel presumed down"},
+}), flush=True)
+try:
+    os.kill(ppid, signal.SIGKILL)
+except OSError:
+    pass
+"""
+
+
+def _spawn_init_watchdog(timeout_s: float):
+    """Arm the init watchdog; returns a callable that disarms it."""
+    sentinel = f"/tmp/h263_bench_init_{os.getpid()}"
+    try:
+        os.unlink(sentinel)
+    except OSError:
+        pass
+    child = subprocess.Popen(
+        [sys.executable, "-c", _WATCHDOG_SRC, sentinel, str(os.getpid()),
+         str(float(timeout_s))])
+
+    def disarm():
+        with open(sentinel, "w"):
+            pass
+        try:
+            child.wait(timeout=10)
+        except subprocess.TimeoutExpired:  # pragma: no cover
+            child.kill()
+        try:
+            os.unlink(sentinel)
+        except OSError:
+            pass
+
+    return disarm
 
 
 def build_corpus(width: int, height: int, n_frames: int, seed: int = 7):
@@ -210,9 +275,19 @@ def main():
     ap.add_argument("--budget", type=float, default=600.0,
                     help="soft wall-clock budget (s); extra best-of passes "
                          "and the 720p section are skipped once exceeded")
+    ap.add_argument("--init-timeout", type=float, default=600.0,
+                    help="hard bound (s) on jax import + device discovery; "
+                         "if exceeded (TPU tunnel down) a zeroed JSON "
+                         "record is emitted and the bench aborts instead "
+                         "of hanging.  <=0 disables the watchdog")
     args = ap.parse_args()
 
+    disarm_watchdog = (_spawn_init_watchdog(args.init_timeout)
+                       if args.init_timeout > 0 else (lambda: None))
     import jax
+
+    jax.devices()  # force platform init under the watchdog
+    disarm_watchdog()
 
     # NB: do NOT enable the persistent compilation cache here: the axon
     # plugin's executable deserialization produces a pathologically slow
