@@ -16,6 +16,12 @@ magic to pick the path.
 
 Seeking beyond a checkpoint still requires restarting at an I-frame
 (documented contract, state.rs:134-137).
+
+Covered surfaces: the single-stream ``H263Decoder``, the batched
+``BatchedStreamDecoder``, the ``DeviceFrontendDecoder`` (device entropy
+automaton), and the serving ``StreamPool`` (whole-pool membership +
+per-bucket decoder states).  Saving is a host readback — a SYNC POINT on
+the tunneled TPU; checkpoint at GOP barriers.
 """
 
 from __future__ import annotations
@@ -242,6 +248,7 @@ def save_batched_state(dec) -> bytes:
         "h": dec.h,
         "decoder_options": int(dec.decoder_options),
         "pack_cap": dec.pack_cap,
+        "mv_full": bool(dec._mv_full),
         "states": [
             {"running_options": int(s.running_options),
              "last_header": picture_to_dict(s.last_header),
@@ -253,6 +260,10 @@ def save_batched_state(dec) -> bytes:
         "ref_y": np.asarray(dec.ref_y),
         "ref_cb": np.asarray(dec.ref_cb),
         "ref_cr": np.asarray(dec.ref_cr),
+        # Standard-H.263 format-inheritance sticky (batch.py _std_prev_fmt):
+        # a P-frame right after resume would otherwise lose the previous
+        # picture's source-format bits and take the slow/strict path.
+        "std_prev_fmt": np.asarray(dec._std_prev_fmt),
     }
     return _pack(meta, arrays)
 
@@ -276,11 +287,203 @@ def load_batched_state(blob: bytes, **kwargs):
     dec.ref_y = jnp.asarray(z["ref_y"])
     dec.ref_cb = jnp.asarray(z["ref_cb"])
     dec.ref_cr = jnp.asarray(z["ref_cr"])
+    # Optional members: absent in blobs written before these fields were
+    # checkpointed; the defaults (fresh-decoder values) then apply.
+    dec._mv_full = bool(meta.get("mv_full", False))
+    if "std_prev_fmt" in getattr(z, "files", ()):
+        dec._std_prev_fmt[:] = z["std_prev_fmt"]
     for s, sd in zip(dec.states, meta["states"]):
         s.running_options = PictureOption(sd["running_options"])
         s.last_header = picture_from_dict(sd["last_header"])
         s.has_reference = sd["has_reference"]
     return dec
+
+
+# ---------------------------------------------------------------------------
+# Device-front-end decoder state
+# ---------------------------------------------------------------------------
+
+
+def save_device_frontend_state(dec) -> bytes:
+    """Snapshot a DeviceFrontendDecoder (format v2).
+
+    SYNC POINT: materializes the reference planes (and per-stream status)
+    to host memory — on the tunneled TPU do this at end-of-GOP barriers,
+    like fetch_status (CLAUDE.md readback trap)."""
+    bufs = [b if b is None else bytes(b) for b in dec._last_buffers]
+    blob_bufs = b"".join(b for b in bufs if b is not None)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "device_frontend",
+        "n": dec.n,
+        "w": dec.w,
+        "h": dec.h,
+        "decoder_options": int(dec.decoder_options),
+        "tape_len": dec.tape_len,
+        "max_frame_bytes": dec.max_frame_bytes,
+        "harness": dec.harness,
+        "pallas": dec.pallas,
+        "pictures": [picture_to_dict(p) for p in dec._pictures],
+        # Per-stream last raw frame (resolve_overflows' repair input);
+        # -1 marks streams with none.  Lengths index into the "bufs" blob.
+        "buf_lens": [-1 if b is None else len(b) for b in bufs],
+        "has_status": dec.last_status is not None,
+    }
+    arrays = {
+        "ref_y": np.asarray(dec.ref_y),
+        "ref_cb": np.asarray(dec.ref_cb),
+        "ref_cr": np.asarray(dec.ref_cr),
+        "last_quant": np.asarray(dec._last_quant),
+        "last_deblock": np.asarray(dec._last_deblock),
+        "bufs": np.frombuffer(blob_bufs, dtype=np.uint8).copy(),
+    }
+    if dec.last_status is not None:
+        arrays["status"] = np.asarray(dec.last_status)
+    return _pack(meta, arrays)
+
+
+def load_device_frontend_state(blob: bytes, **kwargs):
+    """Reconstruct a DeviceFrontendDecoder from save_device_frontend_state
+    output.  `kwargs` override the saved constructor knobs (e.g. pass
+    ``pallas="off"``/``harness="xla"`` when resuming a TPU-written blob on
+    a CPU backend)."""
+    import jax.numpy as jnp
+
+    from ..parallel.device_batch import DeviceFrontendDecoder
+    from ..types import DecoderOption
+
+    meta, z = _unpack(blob)
+    assert meta["format_version"] == FORMAT_VERSION
+    assert meta["kind"] == "device_frontend"
+    ctor = {
+        "pallas": meta["pallas"],
+        "tape_len": meta["tape_len"],
+        "max_frame_bytes": meta["max_frame_bytes"],
+        "harness": meta["harness"],
+    }
+    ctor.update(kwargs)
+    dec = DeviceFrontendDecoder(meta["n"], meta["w"], meta["h"],
+                                DecoderOption(meta["decoder_options"]),
+                                **ctor)
+    dec.ref_y = jnp.asarray(z["ref_y"])
+    dec.ref_cb = jnp.asarray(z["ref_cb"])
+    dec.ref_cr = jnp.asarray(z["ref_cr"])
+    dec._last_quant[:] = z["last_quant"]
+    dec._last_deblock[:] = z["last_deblock"]
+    if meta["has_status"]:
+        dec.last_status = jnp.asarray(z["status"])
+    dec._pictures = [picture_from_dict(p) for p in meta["pictures"]]
+    raw = bytes(z["bufs"])
+    bufs, off = [], 0
+    for ln in meta["buf_lens"]:
+        if ln < 0:
+            bufs.append(None)
+        else:
+            bufs.append(raw[off:off + ln])
+            off += ln
+    dec._last_buffers = bufs
+    return dec
+
+
+# ---------------------------------------------------------------------------
+# Serving-pool state
+# ---------------------------------------------------------------------------
+
+# Stream ids serialize as [tag, value] pairs so int and str ids round-trip
+# distinguishably through JSON.
+_SID_TAGS = {str: "s", int: "i"}
+
+
+def _sid_to_json(sid):
+    tag = _SID_TAGS.get(type(sid))
+    if tag is None:
+        raise TypeError(
+            f"stream id {sid!r} is not checkpointable (str or int only)")
+    return [tag, sid]
+
+
+def _sid_from_json(pair):
+    tag, value = pair
+    return str(value) if tag == "s" else int(value)
+
+
+def save_pool_state(pool) -> bytes:
+    """Snapshot a StreamPool: membership, per-bucket decoder states, free
+    slots, and pending (never-decoded) registrations (format v2).
+
+    Stream ids must be str or int; ``decoder_kwargs`` must be
+    JSON-serializable.  SYNC POINT, like the per-decoder savers."""
+    try:
+        json.dumps(pool.decoder_kwargs)
+    except TypeError as e:
+        raise TypeError(
+            f"pool decoder_kwargs are not checkpointable: {e}") from None
+    save_bucket = (save_device_frontend_state
+                   if pool.frontend == "device" else save_batched_state)
+    buckets = []
+    arrays = {}
+    for idx, ((w, h), bucket) in enumerate(sorted(pool._buckets.items())):
+        member = f"bucket{idx}"
+        buckets.append({
+            "w": w,
+            "h": h,
+            "member": member,
+            "slots": [[_sid_to_json(sid), slot]
+                      for sid, slot in bucket.slots.items()],
+            "free": list(bucket.free),
+        })
+        arrays[member] = np.frombuffer(save_bucket(bucket.dec),
+                                       dtype=np.uint8).copy()
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "pool",
+        "decoder_options": int(pool.decoder_options),
+        "frontend": pool.frontend,
+        "decoder_kwargs": pool.decoder_kwargs,
+        "dims": [[_sid_to_json(sid), w, h]
+                 for sid, (w, h) in pool._dims.items()],
+        "pending": [[w, h, [_sid_to_json(sid) for sid in sids]]
+                    for (w, h), sids in pool._pending.items()],
+        "buckets": buckets,
+    }
+    return _pack(meta, arrays)
+
+
+def load_pool_state(blob: bytes, **decoder_kwargs_override):
+    """Reconstruct a StreamPool from save_pool_state output.  Keyword
+    arguments override the saved per-bucket decoder kwargs (e.g.
+    ``pallas="off"`` when resuming on a different backend)."""
+    from ..parallel.pool import StreamPool, _Bucket
+    from ..types import DecoderOption
+
+    meta, z = _unpack(blob)
+    assert meta["format_version"] == FORMAT_VERSION
+    assert meta["kind"] == "pool"
+    kwargs = dict(meta["decoder_kwargs"])
+    kwargs.update(decoder_kwargs_override)
+    pool = StreamPool(DecoderOption(meta["decoder_options"]),
+                      frontend=meta["frontend"], **kwargs)
+    pool._dims = {_sid_from_json(sid): (w, h)
+                  for sid, w, h in meta["dims"]}
+    pool._pending = {(w, h): [_sid_from_json(sid) for sid in sids]
+                     for w, h, sids in meta["pending"]}
+    # The per-bucket loaders take their constructor knobs from their own
+    # sub-blob meta; pool-level kwargs that duplicate those knobs must not
+    # be passed twice.
+    if meta["frontend"] == "device":
+        load_bucket = load_device_frontend_state
+        meta_owned = ("tape_len", "max_frame_bytes", "harness")
+    else:
+        load_bucket = load_batched_state
+        meta_owned = ("pack_cap",)
+    sub_kwargs = {k: v for k, v in kwargs.items() if k not in meta_owned}
+    for b in meta["buckets"]:
+        dec = load_bucket(bytes(z[b["member"]]), **sub_kwargs)
+        bucket = _Bucket(dec)
+        bucket.slots = {_sid_from_json(sid): slot for sid, slot in b["slots"]}
+        bucket.free = list(b["free"])
+        pool._buckets[(b["w"], b["h"])] = bucket
+    return pool
 
 
 def _load_batched_state_v1(blob: bytes, **kwargs):
