@@ -28,7 +28,10 @@ The LAST line on stdout is the authoritative record.  A crash-safe
 preliminary line (detail.strict_rounding == "pending", no 720p) precedes
 the 720p section and the strict-rounding gate, each of which can block on
 a 30-600 s tunnel compile; the final line supersedes it — with the
-headline zeroed if the bit-exactness gate fails.
+headline zeroed if the bit-exactness gate fails.  Two forked watchdogs
+keep the record non-empty even if the TPU tunnel is down or dies mid-run:
+init hang -> zeroed record (--init-timeout); mid-run hang -> the last
+emitted line is replayed and the process killed (--overall-timeout).
 
 vs_baseline is against the north-star target of 1000 concurrent real-time
 CIF streams per chip = 30000 frames/s (BASELINE.json; the reference
@@ -60,6 +63,7 @@ import numpy as np
 _WATCHDOG_SRC = r"""
 import json, os, signal, sys, time
 sent, ppid, timeout = sys.argv[1], int(sys.argv[2]), float(sys.argv[3])
+sidecar = sys.argv[4] if len(sys.argv) > 4 else None
 deadline = time.time() + timeout
 while time.time() < deadline:
     if os.path.exists(sent):
@@ -71,15 +75,25 @@ while time.time() < deadline:
     time.sleep(2)
 if os.path.exists(sent):
     sys.exit(0)
-print(json.dumps({
-    "metric": "cif_decode_frames_per_sec_per_chip",
-    "value": 0.0,
-    "unit": "frames/s",
-    "vs_baseline": 0.0,
-    "detail": {"error": "tpu_init_timeout", "timeout_s": timeout,
-               "note": "jax import/device init did not complete; "
-                       "TPU tunnel presumed down"},
-}), flush=True)
+# Mid-run mode: replay the last JSON line the parent managed to emit (the
+# crash-safe preliminary) so the driver records real numbers, not silence.
+line = None
+if sidecar and os.path.exists(sidecar):
+    lines = [l for l in open(sidecar).read().splitlines() if l.strip()]
+    line = lines[-1] if lines else None
+if line is None:
+    err, note = (("tpu_init_timeout", "jax import/device init did not "
+                  "complete; TPU tunnel presumed down") if sidecar is None
+                 else ("bench_hung", "bench produced no record within the "
+                       "overall timeout (tunnel died mid-run?)"))
+    line = json.dumps({
+        "metric": "cif_decode_frames_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "detail": {"error": err, "timeout_s": timeout, "note": note},
+    })
+print(line, flush=True)
 try:
     os.kill(ppid, signal.SIGKILL)
 except OSError:
@@ -87,16 +101,23 @@ except OSError:
 """
 
 
-def _spawn_init_watchdog(timeout_s: float):
-    """Arm the init watchdog; returns a callable that disarms it."""
-    sentinel = f"/tmp/h263_bench_init_{os.getpid()}"
+def _spawn_watchdog(timeout_s: float, sidecar: str = None):
+    """Arm a kill-and-report watchdog; returns a callable that disarms it.
+
+    Without `sidecar` (init phase): emits a zeroed record on timeout.
+    With `sidecar` (mid-run phase): replays the parent's last emitted JSON
+    line — the tunnel can die mid-compile AFTER init succeeded, which
+    would otherwise hang the bench past any numbers it already measured."""
+    sentinel = f"/tmp/h263_bench_wd_{os.getpid()}_{timeout_s:.0f}"
     try:
         os.unlink(sentinel)
     except OSError:
         pass
-    child = subprocess.Popen(
-        [sys.executable, "-c", _WATCHDOG_SRC, sentinel, str(os.getpid()),
-         str(float(timeout_s))])
+    argv = [sys.executable, "-c", _WATCHDOG_SRC, sentinel, str(os.getpid()),
+            str(float(timeout_s))]
+    if sidecar is not None:
+        argv.append(sidecar)
+    child = subprocess.Popen(argv)
 
     def disarm():
         with open(sentinel, "w"):
@@ -280,14 +301,33 @@ def main():
                          "if exceeded (TPU tunnel down) a zeroed JSON "
                          "record is emitted and the bench aborts instead "
                          "of hanging.  <=0 disables the watchdog")
+    ap.add_argument("--overall-timeout", type=float, default=5400.0,
+                    help="hard bound (s) on the whole bench after init; on "
+                         "expiry the last emitted JSON line (the crash-"
+                         "safe preliminary) is replayed and the process "
+                         "is killed — covers the tunnel dying mid-compile. "
+                         "<=0 disables")
     args = ap.parse_args()
 
-    disarm_watchdog = (_spawn_init_watchdog(args.init_timeout)
+    disarm_watchdog = (_spawn_watchdog(args.init_timeout)
                        if args.init_timeout > 0 else (lambda: None))
     import jax
 
     jax.devices()  # force platform init under the watchdog
     disarm_watchdog()
+    sidecar = f"/tmp/h263_bench_last_{os.getpid()}.json"
+    try:
+        os.unlink(sidecar)
+    except OSError:
+        pass
+    disarm_overall = (_spawn_watchdog(args.overall_timeout, sidecar)
+                      if args.overall_timeout > 0 else (lambda: None))
+
+    def emit(obj):
+        line = json.dumps(obj)
+        with open(sidecar, "a") as f:
+            f.write(line + "\n")
+        print(line, flush=True)
 
     # NB: do NOT enable the persistent compilation cache here: the axon
     # plugin's executable deserialization produces a pathologically slow
@@ -477,7 +517,7 @@ def main():
     # each hit a 30-600 s tunnel compile; if an outer timeout kills the
     # process there, the CIF result above still reaches stdout.  The final
     # (superset) line below supersedes it when everything completes.
-    print(json.dumps(result), flush=True)
+    emit(result)
 
     # --- 720p secondary metric (VERDICT r2 #5) ------------------------------
     p720 = None
@@ -664,12 +704,18 @@ def main():
         result["value"] = 0.0
         result["vs_baseline"] = 0.0
         result["detail"]["strict_rounding"] = "FAILED"
-        print(json.dumps(result), flush=True)
+        emit(result)
+        disarm_overall()
         raise
     log("strict f32 rounding verified on device")
     result["detail"]["strict_rounding"] = "verified"
 
-    print(json.dumps(result), flush=True)
+    emit(result)
+    disarm_overall()
+    try:
+        os.unlink(sidecar)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
