@@ -42,7 +42,7 @@ from ..bitio import BitReader
 from ..parser import device_frontend as df
 from ..parser.picture import decode_picture
 from ..types import DecoderOption, H263Error, PictureTypeCode
-from ..utils.trace import trace_stage
+from ..utils.trace import incr, trace_stage
 
 
 def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
@@ -140,7 +140,9 @@ class DeviceFrontendDecoder:
         # step_fn injection: a pre-jitted whole-step program (e.g. the
         # mesh-sharded one from sharding.shard_device_frontend_fn) replaces
         # the default single-device jit.  Must have make_whole_step's
-        # signature and THIS decoder's tape_len/dims.
+        # signature and THIS decoder's tape_len/dims.  Injected programs
+        # opt out of the pallas->xla harness fallback below.
+        self._fn_injected = step_fn is not None
         self._fn = step_fn or get_device_step_fn(
             height, width, self.tape_len, pallas, harness)
 
@@ -315,10 +317,28 @@ class DeviceFrontendDecoder:
             dev_meta = jax.device_put(meta)
 
         with trace_stage("reconstruct_dispatch"):
-            y, cb, cr, status = self._fn(
-                dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
-                dev_meta[3], dev_meta[4],
-                self.ref_y, self.ref_cb, self.ref_cr)
+            try:
+                y, cb, cr, status = self._fn(
+                    dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
+                    dev_meta[3], dev_meta[4],
+                    self.ref_y, self.ref_cb, self.ref_cr)
+            except Exception:
+                # The Pallas automaton kernel is semantically identical to
+                # the XLA while_loop harness but its Mosaic lowering is a
+                # backend property (dynamic gathers may not lower on a
+                # given TPU generation).  A compile/dispatch failure there
+                # falls back to the XLA harness — sticky, observable, and
+                # state-safe (the failed call mutated nothing).
+                if self._fn_injected or not self.harness.startswith("pallas"):
+                    raise
+                incr("device_frontend_pallas_fallback")
+                self.harness = "xla"
+                self._fn = get_device_step_fn(
+                    self.h, self.w, self.tape_len, self.pallas, "xla")
+                y, cb, cr, status = self._fn(
+                    dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
+                    dev_meta[3], dev_meta[4],
+                    self.ref_y, self.ref_cb, self.ref_cr)
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         self.last_status = status
         self._in_flight[self._stage_idx] = (y, cb, cr)

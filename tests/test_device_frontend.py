@@ -524,6 +524,28 @@ class TestDeviceFrontendDecoder:
                     np.asarray(cr[i]), pic.as_chroma_r(),
                     err_msg=f"stream {i} frame {t} cr")
 
+    def test_pallas_harness_falls_back_to_xla(self):
+        """A Pallas-harness compile/dispatch failure falls back to the XLA
+        while_loop harness sticky, with correct planes and a counter bump.
+        (On CPU the Mosaic kernel never lowers — the same failure mode a
+        TPU generation without dynamic-gather support would hit.)"""
+        from h263_tpu.decoder.state import H263Decoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+        from h263_tpu.utils.trace import get_counters
+
+        streams = [rich_gop(400 + i, n=3) for i in range(2)]
+        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON, harness="pallas")
+        before = get_counters().get("device_frontend_pallas_fallback", 0)
+        oracles = [H263Decoder(SORENSON, backend="numpy") for _ in range(2)]
+        for t in range(3):
+            y, _, _ = dec.decode_step([streams[i][t] for i in range(2)])
+            for i in range(2):
+                pic = oracles[i].decode_next_picture(streams[i][t])
+                np.testing.assert_array_equal(np.asarray(y[i]),
+                                              pic.as_luma())
+        assert dec.harness == "xla"
+        assert get_counters()["device_frontend_pallas_fallback"] == before + 1
+
     def test_matches_host_batched_decoder(self):
         from h263_tpu.parallel.batch import BatchedStreamDecoder
         from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
