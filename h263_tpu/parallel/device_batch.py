@@ -46,14 +46,16 @@ from ..utils.trace import incr, trace_stage
 
 
 def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
-                    harness: str = "xla"):
+                    harness: str = "xla", unroll: int = 4):
     """The (unjitted) whole-step program for an h x w bucket: raw bytes to
     planes.  Signature: step(data_u8, start_bit, nbits, quant0, ptype, v1,
     ref_y, ref_cb, ref_cr) -> (y, cb, cr, status).
 
     harness: "xla" runs the automaton as a lax.while_loop; "pallas" as the
     Pallas TPU kernel (ops/parse_pallas.py); "pallas_interpret" the same
-    kernel under the interpreter (CPU testing).
+    kernel under the interpreter (CPU testing).  `unroll` (xla harness
+    only) trades compile time for loop overhead — automaton steps per
+    while_loop body (see df.parse_frames_device).
     """
     mbh, mbw = -(-h // 16), -(-w // 16)
 
@@ -65,7 +67,7 @@ def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
         if harness == "xla":
             tapes = df.parse_frames_device(
                 words, start_bit, nbits, quant0, ptype, v1,
-                mbh=mbh, mbw=mbw, tape_len=tape_len)
+                mbh=mbh, mbw=mbw, tape_len=tape_len, unroll=unroll)
         else:
             from ..ops.parse_pallas import parse_frames_pallas
 
@@ -83,12 +85,12 @@ def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
 
 @functools.lru_cache(maxsize=32)
 def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off",
-                       harness: str = "xla"):
+                       harness: str = "xla", unroll: int = 4):
     """Jitted make_whole_step, cached over (dims, tape bucket, kernel
-    flavor, parse harness) so the jit cache stays bounded."""
+    flavor, parse harness, unroll) so the jit cache stays bounded."""
     import jax
 
-    return jax.jit(make_whole_step(h, w, tape_len, pallas, harness))
+    return jax.jit(make_whole_step(h, w, tape_len, pallas, harness, unroll))
 
 
 class DeviceFrontendDecoder:
@@ -102,7 +104,7 @@ class DeviceFrontendDecoder:
                  decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
                  pallas: str = "auto", tape_len: Optional[int] = None,
                  max_frame_bytes: Optional[int] = None,
-                 harness: str = "xla", step_fn=None):
+                 harness: str = "xla", unroll: int = 4, step_fn=None):
         import jax
         import jax.numpy as jnp
 
@@ -137,6 +139,7 @@ class DeviceFrontendDecoder:
         # back to the skip-frame path with a host-raised error.
         self.max_frame_bytes = max_frame_bytes or 8192
         self.harness = harness
+        self.unroll = unroll
         # step_fn injection: a pre-jitted whole-step program (e.g. the
         # mesh-sharded one from sharding.shard_device_frontend_fn) replaces
         # the default single-device jit.  Must have make_whole_step's
@@ -144,7 +147,7 @@ class DeviceFrontendDecoder:
         # opt out of the pallas->xla harness fallback below.
         self._fn_injected = step_fn is not None
         self._fn = step_fn or get_device_step_fn(
-            height, width, self.tape_len, pallas, harness)
+            height, width, self.tape_len, pallas, harness, unroll)
 
         self.ref_y = jnp.zeros((n_streams, self.h, self.w), dtype=jnp.uint8)
         self.ref_cb = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
@@ -334,7 +337,8 @@ class DeviceFrontendDecoder:
                 incr("device_frontend_pallas_fallback")
                 self.harness = "xla"
                 self._fn = get_device_step_fn(
-                    self.h, self.w, self.tape_len, self.pallas, "xla")
+                    self.h, self.w, self.tape_len, self.pallas, "xla",
+                    self.unroll)
                 y, cb, cr, status = self._fn(
                     dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
                     dev_meta[3], dev_meta[4],

@@ -72,7 +72,7 @@ def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off",
 
 
 def shard_device_frontend_fn(mesh, h: int, w: int, tape_len: int,
-                             pallas="off", harness="xla"):
+                             pallas="off", harness="xla", unroll: int = 4):
     """A jitted, stream-sharded device-front-end step program.
 
     The raw-bytes-in, planes-out step (parallel/device_batch.py): payload
@@ -90,7 +90,7 @@ def shard_device_frontend_fn(mesh, h: int, w: int, tape_len: int,
 
     stream_sharding = NamedSharding(mesh, P("stream"))
     return jax.jit(
-        make_whole_step(h, w, tape_len, pallas, harness),
+        make_whole_step(h, w, tape_len, pallas, harness, unroll),
         in_shardings=(stream_sharding,) * 9,
         out_shardings=(stream_sharding,) * 4,
     )

@@ -322,6 +322,7 @@ def save_device_frontend_state(dec) -> bytes:
         "tape_len": dec.tape_len,
         "max_frame_bytes": dec.max_frame_bytes,
         "harness": dec.harness,
+        "unroll": dec.unroll,
         "pallas": dec.pallas,
         "pictures": [picture_to_dict(p) for p in dec._pictures],
         # Per-stream last raw frame (resolve_overflows' repair input);
@@ -360,6 +361,7 @@ def load_device_frontend_state(blob: bytes, **kwargs):
         "tape_len": meta["tape_len"],
         "max_frame_bytes": meta["max_frame_bytes"],
         "harness": meta["harness"],
+        "unroll": meta.get("unroll", 4),
     }
     ctor.update(kwargs)
     dec = DeviceFrontendDecoder(meta["n"], meta["w"], meta["h"],

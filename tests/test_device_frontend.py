@@ -524,6 +524,23 @@ class TestDeviceFrontendDecoder:
                     np.asarray(cr[i]), pic.as_chroma_r(),
                     err_msg=f"stream {i} frame {t} cr")
 
+    def test_unroll_factor_is_semantics_preserving(self):
+        """Any while_loop-body unroll factor decodes identically (finished
+        lanes pass extra sub-steps as masked no-ops)."""
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(500 + i, n=3) for i in range(2)]
+        a = DeviceFrontendDecoder(2, 48, 32, SORENSON, unroll=1)
+        b = DeviceFrontendDecoder(2, 48, 32, SORENSON, unroll=5)
+        for t in range(3):
+            bufs = [streams[i][t] for i in range(2)]
+            ya, cba, cra = a.decode_step(bufs)
+            yb, cbb, crb = b.decode_step(bufs)
+            np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+            np.testing.assert_array_equal(np.asarray(cba), np.asarray(cbb))
+            np.testing.assert_array_equal(np.asarray(cra), np.asarray(crb))
+        np.testing.assert_array_equal(a.fetch_status(), b.fetch_status())
+
     def test_pallas_harness_falls_back_to_xla(self):
         """A Pallas-harness compile/dispatch failure falls back to the XLA
         while_loop harness sticky, with correct planes and a counter bump.

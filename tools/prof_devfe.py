@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--harnesses", default="xla,pallas")
     ap.add_argument("--tape-per-mb", type=int, default=16)
+    ap.add_argument("--unroll", type=int, default=4,
+                    help="xla-harness automaton steps per while_loop body "
+                         "(compile time vs loop overhead)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (the axon plugin ignores "
                          "JAX_PLATFORMS; this uses jax.config)")
@@ -116,7 +119,7 @@ def main():
             dfe = DeviceFrontendDecoder(
                 S0, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
                 pallas=pallas, tape_len=tape, max_frame_bytes=8192,
-                harness=h)
+                harness=h, unroll=args.unroll)
             res["harness"][harness] = measure(dfe, lists0, args.passes,
                                               f"devfe/{harness} S={S0}")
             dfes[harness] = dfe
@@ -130,7 +133,7 @@ def main():
             dfe = DeviceFrontendDecoder(
                 S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
                 pallas=pallas, tape_len=tape, max_frame_bytes=8192,
-                harness="xla")
+                harness="xla", unroll=args.unroll)
             res["sweep_xla"][f"S{S}"] = measure(
                 dfe, lists_for(S), args.passes, f"devfe/xla S={S}")
         except Exception as e:
