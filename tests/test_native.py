@@ -326,3 +326,64 @@ def test_excess_macroblock_predictor_bounds():
         assert ok, why
         ok, why = _agree_d24(buf, w, h)
         assert ok, why
+
+
+def test_native_build_readonly_install(monkeypatch, tmp_path):
+    """A read-only install (site-packages) still builds the entropy
+    library: regeneration + compile land in the fallback build dir, with
+    the source copied next to the regenerated header so the quoted
+    include resolves fresh.  (chmod can't simulate this under root — DAC
+    override — so the writability checks are monkeypatched.)"""
+    import os
+    import shutil
+
+    from h263_tpu.native import bindings
+
+    pkg = tmp_path / "pkg"
+    srcdir = pkg / "native"
+    srcdir.mkdir(parents=True)
+    real_dir = os.path.dirname(bindings.__file__)
+    shutil.copyfile(os.path.join(real_dir, "entropy.cpp"),
+                    srcdir / "entropy.cpp")
+    shutil.copyfile(os.path.join(os.path.dirname(real_dir), "vlc_tables.py"),
+                    pkg / "vlc_tables.py")
+    # A stale shipped header forces regeneration.
+    (srcdir / "tables.h").write_text("#error stale shipped header\n")
+    os.utime(srcdir / "tables.h", (0, 0))
+
+    build = tmp_path / "cache_build"
+    monkeypatch.setattr(bindings, "_DIR", str(srcdir))
+    monkeypatch.setattr(bindings, "_BUILD_DIR", str(build))
+    monkeypatch.setattr(bindings, "_LIB_PATH",
+                        str(build / "libh263entropy.so"))
+    real_access = os.access
+    monkeypatch.setattr(
+        bindings.os, "access",
+        lambda p, m, *a, **k: (False if str(p) == str(srcdir)
+                               else real_access(p, m, *a, **k)))
+
+    assert bindings._build()
+    assert (build / "libh263entropy.so").exists()
+    assert (build / "tables.h").exists()          # regenerated in fallback
+    assert (build / "entropy.cpp").exists()       # compiled from the copy
+    assert "stale" in (srcdir / "tables.h").read_text()  # untouched
+
+
+def test_pick_build_dir_falls_back_to_cache(monkeypatch, tmp_path):
+    import os
+
+    from h263_tpu.native import bindings
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    pkg_build = os.path.join(bindings._DIR, "build")
+    real_makedirs = os.makedirs
+
+    def fake_makedirs(d, *a, **k):
+        if str(d) == pkg_build:
+            raise OSError(30, "Read-only file system")
+        return real_makedirs(d, *a, **k)
+
+    monkeypatch.setattr(bindings.os, "makedirs", fake_makedirs)
+    d = bindings._pick_build_dir()
+    assert d == str(tmp_path / "xdg" / "h263_tpu" / "build")
+    assert os.path.isdir(d)
