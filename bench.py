@@ -71,10 +71,13 @@ while time.time() < deadline:
     try:
         os.kill(ppid, 0)
     except OSError:
-        sys.exit(0)
+        break  # parent crashed without disarming: record the outage below
     time.sleep(2)
 if os.path.exists(sent):
     sys.exit(0)
+# Timed out, or the parent died to a raised plugin/XLA error (as real a
+# tunnel death as a hang): either way, end the stream with an
+# authoritative JSON record — the replayed sidecar line, or zeroed.
 # Mid-run mode: replay the last JSON line the parent managed to emit (the
 # crash-safe preliminary) so the driver records real numbers, not silence.
 line = None

@@ -38,8 +38,12 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def _pick_build_dir() -> str:
-    """native/build/ next to the sources when writable (the repo case);
-    otherwise a per-user cache dir (read-only site-packages installs)."""
+    """native/build/ next to the sources when writable (the repo case) or
+    when it already holds a built library (image built as root, run as a
+    different user: reuse it read-only); otherwise a per-user cache dir
+    (read-only site-packages installs).  Never raises — an unusable cache
+    dir just means _build() later fails and ensure_built() returns False
+    (the documented pure-Python degradation)."""
     d = os.path.join(_DIR, "build")
     try:
         os.makedirs(d, exist_ok=True)
@@ -49,11 +53,12 @@ def _pick_build_dir() -> str:
         os.unlink(probe)
         return d
     except OSError:
-        base = os.environ.get(
-            "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache"))
-        d = os.path.join(base, "h263_tpu", "build")
-        os.makedirs(d, exist_ok=True)
-        return d
+        pass
+    if os.path.exists(os.path.join(d, "libh263entropy.so")):
+        return d  # prebuilt, read-only: loadable even if never rebuildable
+    base = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "h263_tpu", "build")
 
 
 _BUILD_DIR = _pick_build_dir()
@@ -92,7 +97,6 @@ F_PACK_DELTA24 = 16
 
 
 def _build() -> bool:
-    os.makedirs(_BUILD_DIR, exist_ok=True)
     tables_h = os.path.join(_DIR, "tables.h")
     src = os.path.join(_DIR, "entropy.cpp")
     vlc_src = os.path.join(os.path.dirname(_DIR), "vlc_tables.py")
@@ -102,6 +106,14 @@ def _build() -> bool:
             os.path.getmtime(p) >= os.path.getmtime(vlc_src))
 
     try:
+        # A prebuilt, up-to-date library is usable even when nothing here
+        # is writable (read-only deploy images without g++).
+        if (os.path.exists(_LIB_PATH)
+                and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)
+                and fresh(tables_h)
+                and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(tables_h)):
+            return True
+        os.makedirs(_BUILD_DIR, exist_ok=True)
         if not fresh(tables_h):
             if os.access(_DIR, os.W_OK):
                 from . import gen_tables
@@ -111,7 +123,9 @@ def _build() -> bool:
                 # Read-only install: regenerate in the build dir and
                 # compile a copy of the source from there, so the quoted
                 # include resolves to the fresh header (the including
-                # file's directory is searched first).
+                # file's directory is searched first).  copy2 preserves
+                # the source mtime — otherwise every import would see
+                # lib-older-than-src and recompile.
                 import shutil
 
                 tables_h = os.path.join(_BUILD_DIR, "tables.h")
@@ -120,7 +134,9 @@ def _build() -> bool:
 
                     gen_tables.main(tables_h)
                 src2 = os.path.join(_BUILD_DIR, "entropy.cpp")
-                shutil.copyfile(src, src2)
+                if (not os.path.exists(src2) or os.path.getmtime(src2)
+                        != os.path.getmtime(src)):
+                    shutil.copy2(src, src2)
                 src = src2
         need = (not os.path.exists(_LIB_PATH)
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)

@@ -146,6 +146,7 @@ class DeviceFrontendDecoder:
         # signature and THIS decoder's tape_len/dims.  Injected programs
         # opt out of the pallas->xla harness fallback below.
         self._fn_injected = step_fn is not None
+        self._dispatch_ok = False  # set once a step fn call has succeeded
         self._fn = step_fn or get_device_step_fn(
             height, width, self.tape_len, pallas, harness, unroll)
 
@@ -329,10 +330,16 @@ class DeviceFrontendDecoder:
                 # The Pallas automaton kernel is semantically identical to
                 # the XLA while_loop harness but its Mosaic lowering is a
                 # backend property (dynamic gathers may not lower on a
-                # given TPU generation).  A compile/dispatch failure there
+                # given TPU generation).  A FIRST-dispatch failure there
                 # falls back to the XLA harness — sticky, observable, and
-                # state-safe (the failed call mutated nothing).
-                if self._fn_injected or not self.harness.startswith("pallas"):
+                # state-safe (the failed call mutated nothing).  Once a
+                # pallas step has succeeded the kernel provably lowers, so
+                # later errors (transient tunnel RPC failures, OOM) raise
+                # instead of silently demoting the configured harness; and
+                # "pallas_interpret" (CPU parity testing) never falls back
+                # — masking interpreter-mode kernel bugs would defeat it.
+                if (self._fn_injected or self.harness != "pallas"
+                        or self._dispatch_ok):
                     raise
                 incr("device_frontend_pallas_fallback")
                 self.harness = "xla"
@@ -343,6 +350,7 @@ class DeviceFrontendDecoder:
                     dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
                     dev_meta[3], dev_meta[4],
                     self.ref_y, self.ref_cb, self.ref_cr)
+        self._dispatch_ok = True
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         self.last_status = status
         self._in_flight[self._stage_idx] = (y, cb, cr)

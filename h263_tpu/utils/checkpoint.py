@@ -20,8 +20,15 @@ Seeking beyond a checkpoint still requires restarting at an I-frame
 Covered surfaces: the single-stream ``H263Decoder``, the batched
 ``BatchedStreamDecoder``, the ``DeviceFrontendDecoder`` (device entropy
 automaton), and the serving ``StreamPool`` (whole-pool membership +
-per-bucket decoder states).  Saving is a host readback — a SYNC POINT on
-the tunneled TPU; checkpoint at GOP barriers.
+per-bucket decoder states).
+
+Saving fetches the reference planes to host memory.  On the tunneled-axon
+TPU platform that is not merely slow: the FIRST readback of a computed
+array permanently flips the process into ~1 s-per-dispatch synchronous
+mode (CLAUDE.md "readback trap"), and a whole-batch plane fetch can stall
+for minutes.  There, save is a SUSPEND/MIGRATE operation — checkpoint and
+then exit (resume in a fresh process) — not a mid-serving snapshot.  On
+directly-attached backends it is an ordinary sync point.
 """
 
 from __future__ import annotations
@@ -307,9 +314,11 @@ def load_batched_state(blob: bytes, **kwargs):
 def save_device_frontend_state(dec) -> bytes:
     """Snapshot a DeviceFrontendDecoder (format v2).
 
-    SYNC POINT: materializes the reference planes (and per-stream status)
-    to host memory — on the tunneled TPU do this at end-of-GOP barriers,
-    like fetch_status (CLAUDE.md readback trap)."""
+    Materializes the reference planes (and per-stream status) to host
+    memory.  On the tunneled-axon TPU this is a suspend/migrate operation
+    (checkpoint, then exit and resume in a fresh process) — the first
+    computed-array readback permanently degrades the process; see the
+    module docstring."""
     bufs = [b if b is None else bytes(b) for b in dec._last_buffers]
     blob_bufs = b"".join(b for b in bufs if b is not None)
     meta = {
@@ -414,7 +423,8 @@ def save_pool_state(pool) -> bytes:
     slots, and pending (never-decoded) registrations (format v2).
 
     Stream ids must be str or int; ``decoder_kwargs`` must be
-    JSON-serializable.  SYNC POINT, like the per-decoder savers."""
+    JSON-serializable.  Same readback caveat as the per-decoder savers
+    (module docstring): on the tunneled TPU, suspend/migrate only."""
     try:
         json.dumps(pool.decoder_kwargs)
     except TypeError as e:

@@ -369,13 +369,16 @@ def test_native_build_readonly_install(monkeypatch, tmp_path):
     assert "stale" in (srcdir / "tables.h").read_text()  # untouched
 
 
-def test_pick_build_dir_falls_back_to_cache(monkeypatch, tmp_path):
+def test_pick_build_dir_fallbacks(monkeypatch, tmp_path):
+    """Unwritable package dir: a prebuilt library there is reused
+    read-only; with no prebuilt library, the per-user cache dir wins."""
     import os
 
     from h263_tpu.native import bindings
 
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
     pkg_build = os.path.join(bindings._DIR, "build")
+    pkg_lib = os.path.join(pkg_build, "libh263entropy.so")
     real_makedirs = os.makedirs
 
     def fake_makedirs(d, *a, **k):
@@ -384,6 +387,11 @@ def test_pick_build_dir_falls_back_to_cache(monkeypatch, tmp_path):
         return real_makedirs(d, *a, **k)
 
     monkeypatch.setattr(bindings.os, "makedirs", fake_makedirs)
+    if os.path.exists(pkg_lib):  # repo state: prebuilt lib -> reused as-is
+        assert bindings._pick_build_dir() == pkg_build
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        bindings.os.path, "exists",
+        lambda p: False if str(p) == pkg_lib else real_exists(p))
     d = bindings._pick_build_dir()
     assert d == str(tmp_path / "xdg" / "h263_tpu" / "build")
-    assert os.path.isdir(d)

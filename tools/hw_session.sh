@@ -30,8 +30,10 @@ run() {  # run <name> <timeout_s> <cmd...>
 run prof_devfe 2400 python tools/prof_devfe.py --sizes 256,512,1024
 
 # 2. The driver's own artifact: full bench (both CIF regimes, 720p,
-#    device front-end sections, strict gate).  Watchdogs keep it crash-safe.
-run bench 5400 python bench.py
+#    device front-end sections, strict gate).  Watchdogs keep it
+#    crash-safe: the outer timeout must EXCEED init+overall watchdog
+#    deadlines or the replay-on-hang record never gets written.
+run bench 6000 python bench.py --init-timeout 600 --overall-timeout 4800
 
 # 3. Bit-exactness soak through the host front-end (the production path)
 #    and the device front-end.
