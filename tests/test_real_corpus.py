@@ -171,6 +171,60 @@ def test_batched_fused_path_matches_single(name, w, h, tol, exact_min,
         assert diff.max() <= tol, f"frame {t}: max Y diff {diff.max()}"
 
 
+# Fixture -> frames expected to overflow a 48-slot/MB tape (measured
+# nonzero-coefficient density: the rate-controlled "quant" I/P frames carry
+# ~200 coeffs/MB, the scene-cut burst ~70/MB).  Overflow is the documented
+# recoverable condition — resolve_overflows() must repair those frames to
+# oracle-exact planes, which this test pins on REAL encoder content.
+_DEVFE_CORPUS = [("qcif", 176, 144, 0), ("quant", 176, 144, 10),
+                 ("scenecut", 176, 144, 1), ("odd", 120, 90, 0)]
+
+
+@pytest.mark.parametrize("name,w,h,min_repairs", _DEVFE_CORPUS)
+def test_device_frontend_matches_single(name, w, h, min_repairs,
+                                        _fresh_compile_state):
+    """The device entropy automaton decodes the independent ffmpeg corpus
+    bit-identically to the single-stream decoder — real encoder symbol
+    statistics (rate-controlled quantizers, dense scene-cut P-frames,
+    partial-MB edges) through the lockstep VLC front-end, including the
+    tape-overflow -> host-repair contract on the dense frames.  (The
+    CIF/720p fixtures are excluded: the while_loop automaton on the CPU
+    mesh costs minutes at those MB counts; hardware measures them via
+    bench.py.)"""
+    from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+    tags, _ = _load(name)
+    nmb = (-(-w // 16)) * (-(-h // 16))
+    single = H263Decoder(SORENSON, backend="numpy")
+    dev = DeviceFrontendDecoder(2, w, h, SORENSON, tape_len=48 * nmb,
+                                max_frame_bytes=32768)
+    repairs = 0
+    for t, payload in enumerate(tags):
+        pic = single.decode_next_picture(payload)
+        y, cb, cr = dev.decode_step([payload, payload])
+        status = dev.fetch_status()
+        if (status != 0).any():
+            lanes = dev.resolve_overflows(status)
+            assert lanes == [0, 1], f"frame {t}: repair failed {status}"
+            repairs += 1
+            # The repair lands in the decoder's reference planes (the
+            # arrays the overflowing step returned keep the identity
+            # frame, documented) — re-slice.
+            y, cb, cr = dev.ref_y, dev.ref_cb, dev.ref_cr
+        y = np.asarray(y)
+        np.testing.assert_array_equal(y[0], np.asarray(pic.as_luma()),
+                                      err_msg=f"frame {t} luma")
+        np.testing.assert_array_equal(y[0], y[1], err_msg=f"frame {t} lanes")
+        np.testing.assert_array_equal(np.asarray(cb)[0],
+                                      np.asarray(pic.as_chroma_b()),
+                                      err_msg=f"frame {t} cb")
+        np.testing.assert_array_equal(np.asarray(cr)[0],
+                                      np.asarray(pic.as_chroma_r()),
+                                      err_msg=f"frame {t} cr")
+    assert repairs >= min_repairs, (repairs, min_repairs)
+    assert (dev.fetch_status() == 0).all()
+
+
 def test_quant_fixture_actually_sweeps():
     """The rate-controlled fixture must exercise a real quantizer range —
     regenerating it with a tool that ignores the bitrate option would
