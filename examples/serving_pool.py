@@ -124,6 +124,25 @@ def main():
     shapes = {sid: a.shape for sid, a in sorted(rgba.items())}
     print(f"present_rgba shapes: {shapes}")
 
+    # Suspend/migrate: snapshot the WHOLE pool (membership, slot maps,
+    # per-bucket decoder states), resume it as a fresh object, and decode
+    # one more step — bit-exact continuation.  (On the tunneled-axon TPU
+    # the save is a readback: checkpoint-then-exit, see utils.checkpoint.)
+    from h263_tpu.utils.checkpoint import load_pool_state, save_pool_state
+
+    blob = save_pool_state(pool)
+    resumed = load_pool_state(blob)
+    buffers = {sid: s.next_frame() for sid, s in streams.items()}
+    buffers = {sid: b for sid, b in buffers.items() if b is not None}
+    if buffers:
+        out = resumed.decode_step(buffers)
+        for sid, (y, _, _) in out.items():
+            pic = streams[sid].oracle.decode_next_picture(buffers[sid])
+            np.testing.assert_array_equal(y, pic.as_luma(),
+                                          err_msg=f"{sid} post-resume")
+        print(f"checkpoint/resume: {len(blob)}-byte pool snapshot, "
+              f"{len(out)} streams continued bit-exact")
+
     from h263_tpu.utils import get_counters
 
     print(f"serving counters: {get_counters()}")
