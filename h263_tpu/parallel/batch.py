@@ -362,14 +362,9 @@ class BatchedStreamDecoder:
         if pic is None:
             raise MiddleOfBitstream()
 
-        if pic.has_plusptype and pic.has_opptype:
-            running = pic.options
-        elif pic.has_plusptype:
-            running = (pic.options & ~OPPTYPE_OPTIONS) | (
-                st.running_options & OPPTYPE_OPTIONS)
-        else:
-            running = (pic.options & ~OPPTYPE_OPTIONS & ~MPPTYPE_OPTIONS) | (
-                st.running_options & (OPPTYPE_OPTIONS | MPPTYPE_OPTIONS))
+        from ..types import carry_forward_options
+
+        running = carry_forward_options(pic, st.running_options)
 
         fmt = pic.format
         if fmt is None:
@@ -502,9 +497,10 @@ class BatchedStreamDecoder:
             raise UncodedIFrameBlocks()
         packed.counts[stream_idx] = n
         packed.varied_mvs[stream_idx] = varied
+        from ..types import carry_forward_options
+
         pic = _picture_from_fields(hdr)
-        running = (pic.options & ~OPPTYPE_OPTIONS & ~MPPTYPE_OPTIONS) | (
-            st.running_options & (OPPTYPE_OPTIONS | MPPTYPE_OPTIONS))
+        running = carry_forward_options(pic, st.running_options)
         self._commit_header(stream_idx, pic, running)
         return n
 

@@ -41,7 +41,8 @@ import numpy as np
 from ..bitio import BitReader
 from ..parser import device_frontend as df
 from ..parser.picture import decode_picture
-from ..types import DecoderOption, H263Error, PictureTypeCode
+from ..types import (DecoderOption, H263Error, PictureOption,
+                     PictureTypeCode, carry_forward_options)
 from ..utils.trace import incr, trace_stage
 
 
@@ -155,6 +156,10 @@ class DeviceFrontendDecoder:
         self.ref_cr = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
         self.last_status = None        # device-resident int32 [S]
         self._pictures = [None] * n_streams
+        # Carried running options per stream (state.rs:147-155) — the
+        # supports() gate and overflow repair must see carried UMV /
+        # MODIFIED_QUANTIZATION, which a plain PTYPE's own bits lack.
+        self._running = [PictureOption.NONE] * n_streams
         self._last_buffers: list = [None] * n_streams
         self._skip: Optional[bytes] = None
         # Last-good per-stream presentation params (quantizer -> deblock
@@ -280,23 +285,38 @@ class DeviceFrontendDecoder:
                         r = BitReader(buf)
                         pic = decode_picture(r, self.decoder_options,
                                              self._pictures[i])
-                        if pic is None or not df.supports(pic, pic.options):
+                        if pic is None:
+                            raise H263Error("outside device front-end scope")
+                        fmt = pic.format.width_and_height() if pic.format else None
+                        if fmt is not None and fmt != (self.w, self.h):
+                            raise H263Error(
+                                f"stream {i} resolution {fmt} != bucket "
+                                f"({self.w}, {self.h})")
+                        # The MB-layer gate runs against the stream's
+                        # CARRIED running options (state.rs:147-155), not
+                        # the frame's own bits — a plain-PTYPE picture
+                        # after a UMV/MODIFIED_QUANTIZATION OPPTYPE still
+                        # decodes under those options and must stay on the
+                        # host.  The legally-parsed header commits even
+                        # when the frame is rejected as out-of-scope, so
+                        # later frames keep inheriting correctly (and keep
+                        # being rejected, rather than mis-decoding).
+                        running = carry_forward_options(
+                            pic, self._running[i])
+                        if not absent:
+                            self._pictures[i] = pic
+                            self._running[i] = running
+                        if not df.supports(pic, running):
                             raise H263Error("outside device front-end scope")
                         if (pic.version is None
                                 and df.has_embedded_start_code(buf, r.pos)):
                             raise H263Error(
                                 "embedded start code: GOB resync is host "
                                 "front-end work")
-                        fmt = pic.format.width_and_height() if pic.format else None
-                        if fmt is not None and fmt != (self.w, self.h):
-                            raise H263Error(
-                                f"stream {i} resolution {fmt} != bucket "
-                                f"({self.w}, {self.h})")
                         if not absent:
                             # Absent lanes keep their last real frame's
                             # presentation params (header-commit
                             # suppression, as the host path's masked slots).
-                            self._pictures[i] = pic
                             self._last_quant[i] = pic.quantizer
                             from ..types import PictureOption
 
@@ -319,6 +339,12 @@ class DeviceFrontendDecoder:
         with trace_stage("transfer"):
             dev_stage = jax.device_put(stage)
             dev_meta = jax.device_put(meta)
+        # HOST BUFFER REUSE GATE (CLAUDE.md): the device_put may read
+        # `stage`/`meta` asynchronously.  Park the transferred arrays in
+        # the in-flight slot NOW so that even if the dispatch below raises
+        # and the caller keeps stepping (per-stream isolation), the next
+        # reuse of this ping-pong buffer blocks until the transfer is done.
+        self._in_flight[self._stage_idx] = (dev_stage, dev_meta)
 
         with trace_stage("reconstruct_dispatch"):
             try:
@@ -363,15 +389,21 @@ class DeviceFrontendDecoder:
     def reset_slot_state(self, slot: int, running=None) -> None:
         """Reset one lane to the fresh-stream state (planes zeroed, no
         previous header) — the StreamPool slot-recycle contract.  `running`
-        is accepted for API parity with BatchedStreamDecoder; Sorenson
-        headers are self-contained so it is unused here."""
+        seeds the carried options (standard-H.263 rebucket); None means a
+        fresh stream."""
         self.ref_y = self.ref_y.at[slot].set(0)
         self.ref_cb = self.ref_cb.at[slot].set(0)
         self.ref_cr = self.ref_cr.at[slot].set(0)
         self._pictures[slot] = None
+        self._running[slot] = (PictureOption.NONE if running is None
+                               else running)
         self._last_buffers[slot] = None
         self._last_quant[slot] = 8
         self._last_deblock[slot] = False
+        if self.last_status is not None:
+            # A recycled slot must not report the departed stream's
+            # error/overflow status for its new occupant.
+            self.last_status = self.last_status.at[slot].set(0)
 
     def resolve_overflows(self, status: Optional[np.ndarray] = None) -> list:
         """Repair lanes whose LAST step hit ST_TAPE_OVERFLOW by re-decoding
@@ -411,8 +443,11 @@ class DeviceFrontendDecoder:
                 r = BitReader(buf)
                 pic = decode_picture(r, self.decoder_options,
                                      self._pictures[i])
+                # self._running[i] was committed for THIS frame during the
+                # overflowing decode_step, so it is the frame's carried
+                # running options (pic.options would drop inherited ones).
                 frame = parse_frame_auto(r, pic, self.decoder_options,
-                                         pic.options, self.w, self.h)
+                                         self._running[i], self.w, self.h)
                 # The overflowed step emitted the identity frame, so this
                 # lane's current planes ARE the frame's reference planes.
                 ry = np.asarray(self.ref_y[i])

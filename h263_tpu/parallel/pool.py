@@ -263,6 +263,7 @@ class StreamPool:
         if self.frontend == "device":
             n_old = old.dec.n
             dec._pictures[:n_old] = old.dec._pictures
+            dec._running[:n_old] = old.dec._running
             dec._last_buffers[:n_old] = old.dec._last_buffers
             dec._last_quant[:n_old] = old.dec._last_quant
             dec._last_deblock[:n_old] = old.dec._last_deblock
@@ -334,10 +335,13 @@ class StreamPool:
         bucket = self._buckets[old_key]
         slot = bucket.slots.pop(stream_id)
         # Carry running options across the rebucket (standard H.263 only;
-        # Sorenson headers are self-contained and the device front-end
-        # keeps no cross-frame parser state).
+        # Sorenson headers are self-contained).  Both front-ends track
+        # them: batched in states[].running_options, device in _running.
         states = getattr(bucket.dec, "states", None)
-        running = states[slot].running_options if states is not None else None
+        if states is not None:
+            running = states[slot].running_options
+        else:
+            running = getattr(bucket.dec, "_running", [None] * (slot + 1))[slot]
         self._reset_slot(bucket.dec, slot)
         bucket.free.append(slot)
         self._dims[stream_id] = new_key

@@ -518,10 +518,8 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         hdr_consumed = jnp.where(
             h_eof | h_soft, 0,
             jnp.where(uncoded, 1, jnp.where(stuffing, c1, c3)))
-        hdr_phase = jnp.where(
-            h_eof | h_soft, PH_DONE,
-            jnp.where(h_fail, PH_ERR,
-                      jnp.where(uncoded | stuffing, PH_HEADER, PH_HEADER)))
+        hdr_phase = jnp.where(h_eof | h_soft, PH_DONE,
+                              jnp.where(h_fail, PH_ERR, PH_HEADER))
         # (coded-MB phase transitions applied below via enter_blocks / MVD)
 
         # Uncoded MB: INTER, zero MV (frame.py:209-212); ring gets zeros.
@@ -1034,13 +1032,48 @@ def has_embedded_start_code(buf: bytes, start_bit: int) -> bool:
     boundary (or corruption — either way, host).  Runs beginning up to 15
     bits before start_bit are counted (a run crossing the header/MB seam
     still contains a boundary)."""
-    bits = np.unpackbits(np.frombuffer(bytes(buf), dtype=np.uint8))
+    arr = np.frombuffer(bytes(buf), dtype=np.uint8)
     lo = max(0, start_bit - 15)
-    z = (bits[lo:] == 0).astype(np.int32)
-    if z.size < 16:
+    if arr.size * 8 - lo < 16:
         return False
-    w = np.convolve(z, np.ones(16, dtype=np.int32), mode="valid")
-    return bool((w == 16).any())
+    # Byte-level scan (the bit-unpacked convolve cost ~0.5M int ops per
+    # 4 KB frame on the per-step host hot path).  Any >=16-zero-bit run
+    # contains at least one all-zero byte, so it decomposes as
+    # trailing_zeros(prev) + 8*L + leading_zeros(next) with L >= 1 zero
+    # bytes: L >= 2 always qualifies; L == 1 needs tz+lz >= 8.  Bits
+    # before `lo` are masked to ones first so pre-seam runs don't count.
+    if lo:
+        arr = arr.copy()
+        arr[:lo // 8] = 0xFF
+        if lo % 8:
+            arr[lo // 8] |= (0xFF << (8 - lo % 8)) & 0xFF
+    z = arr == 0
+    if not z.any():
+        return False
+    if (z[:-1] & z[1:]).any():
+        return True
+    idx = np.nonzero(z)[0]
+    tz = np.where(idx > 0, _TZ_LUT[arr[np.maximum(idx - 1, 0)]], 0)
+    lz = np.where(idx < arr.size - 1,
+                  _LZ_LUT[arr[np.minimum(idx + 1, arr.size - 1)]], 0)
+    return bool((tz + lz >= 8).any())
+
+
+def _make_zero_run_luts():
+    tz = np.zeros(256, dtype=np.int32)
+    lz = np.zeros(256, dtype=np.int32)
+    for b in range(256):
+        t = 0
+        while t < 8 and not (b >> t) & 1:
+            t += 1
+        l = 0
+        while l < 8 and not (b << l) & 0x80:
+            l += 1
+        tz[b], lz[b] = t, l
+    return tz, lz
+
+
+_TZ_LUT, _LZ_LUT = _make_zero_run_luts()
 
 
 def encode_ptype(picture) -> int:
@@ -1054,7 +1087,8 @@ def encode_ptype(picture) -> int:
 
 
 def prepare_batch(frames: list[bytes], decoder_options,
-                  previous_pictures=None, max_bytes: int | None = None):
+                  previous_pictures=None, max_bytes: int | None = None,
+                  running_options=None):
     """Host-side step preparation: parse each stream's picture header (the
     only host parsing the device front-end needs) and build the automaton's
     input arrays.
@@ -1080,7 +1114,15 @@ def prepare_batch(frames: list[bytes], decoder_options,
     for i, buf in enumerate(frames):
         r = BitReader(buf)
         pic = decode_picture(r, decoder_options, prev[i])
-        if pic is None or not supports(pic, pic.options):
+        if pic is not None:
+            # Gate on the CARRIED running options when the caller tracks
+            # them (a plain PTYPE after a UMV OPPTYPE still runs UMV).
+            from ..types import PictureOption, carry_forward_options
+
+            running = carry_forward_options(
+                pic, (running_options[i] if running_options is not None
+                      else PictureOption.NONE))
+        if pic is None or not supports(pic, running):
             raise ValueError(f"stream {i} outside device front-end scope")
         if pic.version is None and has_embedded_start_code(buf, r.pos):
             raise ValueError(f"stream {i}: embedded start code "

@@ -165,6 +165,21 @@ MPPTYPE_OPTIONS = (
 )
 
 
+def carry_forward_options(pic, prev_running: "PictureOption") -> "PictureOption":
+    """The running options a picture decodes under (state.rs:147-155): a
+    full OPPTYPE refreshes everything; PLUSPTYPE without OPPTYPE carries
+    the OPPTYPE class forward; a plain PTYPE carries both classes.  Every
+    decoding surface must use this — gating on ``pic.options`` alone drops
+    carried UMV / MODIFIED_QUANTIZATION and mis-decodes the MB layer."""
+    if pic.has_plusptype and pic.has_opptype:
+        return pic.options
+    if pic.has_plusptype:
+        return (pic.options & ~OPPTYPE_OPTIONS) | (
+            prev_running & OPPTYPE_OPTIONS)
+    return (pic.options & ~OPPTYPE_OPTIONS & ~MPPTYPE_OPTIONS) | (
+        prev_running & (OPPTYPE_OPTIONS | MPPTYPE_OPTIONS))
+
+
 # ---------------------------------------------------------------------------
 # Picture type codes (cf. types.rs:251-299)
 # ---------------------------------------------------------------------------

@@ -334,6 +334,7 @@ def save_device_frontend_state(dec) -> bytes:
         "unroll": dec.unroll,
         "pallas": dec.pallas,
         "pictures": [picture_to_dict(p) for p in dec._pictures],
+        "running": [int(r) for r in dec._running],
         # Per-stream last raw frame (resolve_overflows' repair input);
         # -1 marks streams with none.  Lengths index into the "bufs" blob.
         "buf_lens": [-1 if b is None else len(b) for b in bufs],
@@ -384,6 +385,10 @@ def load_device_frontend_state(blob: bytes, **kwargs):
     if meta["has_status"]:
         dec.last_status = jnp.asarray(z["status"])
     dec._pictures = [picture_from_dict(p) for p in meta["pictures"]]
+    from ..types import PictureOption
+
+    dec._running = [PictureOption(r)
+                    for r in meta.get("running", [0] * meta["n"])]
     raw = bytes(z["bufs"])
     bufs, off = [], 0
     for ln in meta["buf_lens"]:

@@ -687,3 +687,143 @@ class TestDeviceFrontendDecoder:
         big = streams[1][0] + b"\x00" * 80
         with pytest.raises(H263Error):
             dec.decode_step([streams[0][0], big])
+
+
+class TestCarriedOptionsGate:
+    """The supports() gate must see CARRIED running options: a plain-PTYPE
+    picture after a UMV OPPTYPE still decodes under UMV (state.rs:147-155)
+    and must stay on the host front-end, not silently mis-decode."""
+
+    @staticmethod
+    def _plusptype_qcif_umv():
+        """PLUSPTYPE+OPPTYPE I-picture: source format QCIF (standard, so a
+        plain-PTYPE QCIF follow-up is format-compatible — a format CHANGE
+        would trip the RPRP quirk instead), UMV on."""
+        from h263_tpu.testing.encoder import BitWriter
+
+        w = BitWriter()
+        w.write_bits(1, 17)          # PSC
+        w.write_bits(0, 5)           # GN
+        w.write_bits(5, 8)           # TR
+        w.write_code("10000")        # PTYPE intro
+        w.write_code("111")          # source format 7 => PLUSPTYPE
+        w.write_code("001")          # UFEP: OPPTYPE present
+        w.write_code("010")          # OPPTYPE fmt = QCIF (standard)
+        w.write_bits(0, 1)           # custom PCF off
+        w.write_bits(1, 1)           # UMV on
+        w.write_bits(0, 9)           # other OPPTYPE options off
+        w.write_code("1000")         # mandatory tail
+        w.write_code("000")          # MPPTYPE: I
+        w.write_code("000")          # rprp/rru/rounding off
+        w.write_code("001")          # mandatory tail
+        w.write_bits(0, 1)           # CPM off
+        w.write_bits(1, 1)           # UUI: '1' => extended range
+        w.write_bits(9, 5)           # PQUANT
+        w.write_bits(0, 1)           # PEI end
+        return w.to_bytes()
+
+    def test_carried_umv_keeps_gating(self):
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+        from h263_tpu.testing.encoder import encode_standard_picture
+        from h263_tpu.types import PictureOption
+
+        f0 = self._plusptype_qcif_umv()
+        f1 = encode_standard_picture(
+            176, 144, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="uncoded")] * 99, temporal_reference=6)
+
+        dec = DeviceFrontendDecoder(1, 176, 144, DecoderOption.NONE)
+        with pytest.raises(H263Error, match="scope"):
+            dec.decode_step([f0])
+        # The legally parsed header commits even on scope rejection, so
+        # the carried state exists for the next frame's gate.
+        assert dec._pictures[0] is not None
+        assert dec._running[0] & PictureOption.UNRESTRICTED_MOTION_VECTORS
+        # The plain-PTYPE follow-up's own bits carry no UMV, but the
+        # RUNNING options do: it must be rejected too (this dispatched and
+        # mis-decoded before the fix).
+        with pytest.raises(H263Error, match="scope"):
+            dec.decode_step([f1])
+        # Same frame on a fresh slot (no carried UMV) is in scope.
+        dec.reset_slot_state(0)
+        dec.decode_step([f1])
+        assert (dec.fetch_status() == 0).all()
+
+    def test_recycled_slot_does_not_inherit_status(self):
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(700 + i, n=1) for i in range(2)]
+        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON, tape_len=4)
+        dec.decode_step([streams[i][0] for i in range(2)])
+        st = dec.fetch_status()
+        assert (st != 0).all()  # tiny tape: both lanes overflow
+        dec.reset_slot_state(0)
+        st = dec.fetch_status()
+        assert st[0] == 0 and st[1] != 0
+
+    def test_dispatch_failure_keeps_buffer_reuse_gate(self):
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        def exploding_step(*a):
+            raise RuntimeError("injected dispatch failure")
+
+        dec = DeviceFrontendDecoder(1, 32, 32, SORENSON,
+                                    step_fn=exploding_step)
+        with pytest.raises(RuntimeError, match="injected"):
+            dec.decode_step([_gop_like_frame()])
+        # The staged host buffer's async device_put must stay gated: the
+        # in-flight slot holds the transferred arrays, so the next reuse
+        # of this ping-pong buffer blocks until the transfer completes
+        # (CLAUDE.md HOST BUFFER REUSE GATE).
+        assert dec._in_flight[dec._stage_idx] is not None
+
+
+def _gop_like_frame():
+    rng = np.random.default_rng(0)
+    return encode_sorenson_picture(
+        32, 32, PictureTypeCode.I_FRAME,
+        [MBSpec(kind="intra", intradc=[int(rng.integers(1, 128)) * 8] * 6)
+         for _ in range(4)], temporal_reference=0)
+
+
+class TestEmbeddedStartCodeScan:
+    """The byte-level scan must match the bit-level reference exactly."""
+
+    @staticmethod
+    def _ref(buf: bytes, start_bit: int) -> bool:
+        bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        lo = max(0, start_bit - 15)
+        z = (bits[lo:] == 0).astype(np.int32)
+        if z.size < 16:
+            return False
+        w = np.convolve(z, np.ones(16, dtype=np.int32), mode="valid")
+        return bool((w == 16).any())
+
+    def test_crafted_edges(self):
+        cases = [
+            (b"\x00\x00", 0),                # aligned 16-zero pair
+            (b"\xf0\x00\x0f", 0),            # 4 + 8 + 4 straddle
+            (b"\x01\x00\x80", 0),            # 0 + 8 + 0 = 8: no
+            (b"\xff\x00\xff", 0),            # lone zero byte, no slack
+            (b"\x00\x00\xff", 9),            # run starts before start_bit
+            (b"\xff\x00\x00\xff", 31),       # masked out by start_bit
+            (b"\x03\x00\x00\xc0", 0),
+            (b"", 0), (b"\x00", 0),          # too short
+        ]
+        for buf, sb in cases:
+            assert df.has_embedded_start_code(buf, sb) == self._ref(buf, sb), \
+                (buf, sb)
+
+    def test_randomized_equivalence(self):
+        rng = np.random.default_rng(33)
+        for _ in range(400):
+            n = int(rng.integers(0, 40))
+            buf = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            if n and rng.random() < 0.5:  # plant zero runs
+                at = int(rng.integers(0, n))
+                ln = int(rng.integers(1, 4))
+                buf = buf[:at] + b"\x00" * ln + buf[at + ln:]
+                buf = buf[:n]
+            sb = int(rng.integers(0, max(1, 8 * len(buf) + 4)))
+            assert df.has_embedded_start_code(buf, sb) == self._ref(buf, sb), \
+                (buf.hex(), sb)
