@@ -36,6 +36,7 @@ import numpy as np
 from ..bitio import BitReader
 from ..types import (
     DecoderOption,
+    H263Error,
     PictureFormatInvalid,
     PictureOption,
     PictureTypeCode,
@@ -58,6 +59,48 @@ class _Bucket:
             if sid in present:
                 m[slot] = True
         return m
+
+
+#: Plain-PTYPE / OPPTYPE 3-bit source-format codes -> dims (H.263 table 2).
+_STD_FMT_DIMS = {1: (128, 96), 2: (176, 144), 3: (352, 288),
+                 4: (704, 576), 5: (1408, 1152)}
+
+
+def _sniff_standard_probe(buf: bytes, current_dims):
+    """Cheap dims probe for STANDARD pictures: "unchanged", "changed", or
+    None (ambiguous — caller must run the full header parse).
+
+    Reads fixed-offset PTYPE/PLUSPTYPE fields from the first 8 bytes:
+    PSC(17) GN(5) TR(8) PTYPE['1','0',3 flags] fmt(3); fmt 1-5 are fixed
+    formats, 7 is PLUSPTYPE (UFEP(3): 000 inherits the previous format,
+    001 carries OPPTYPE whose own fmt(3) is read the same way; custom
+    formats need CPFMT and fall back).  Only "unchanged" short-circuits;
+    correctness requires never returning it when the true dims differ —
+    inherited formats (UFEP=000, absent plain fmt) are unchanged by
+    definition."""
+    if len(buf) < 8:
+        return None
+    v = int.from_bytes(buf[:8], "big")
+    if (v >> 42) != 0b1_00000:      # PSC(17) + GN==0
+        return None
+    if (v >> 33) & 1 != 1 or (v >> 32) & 1 != 0:  # PTYPE '10' marker
+        return None
+    fmt = (v >> 26) & 7
+    if fmt in _STD_FMT_DIMS:
+        return ("unchanged" if _STD_FMT_DIMS[fmt] == tuple(current_dims)
+                else "changed")
+    if fmt != 7:
+        return None  # forbidden/reserved: full parse raises precisely
+    ufep = (v >> 23) & 7
+    if ufep == 0:
+        return "unchanged"  # no OPPTYPE: format inherited
+    if ufep != 1:
+        return None
+    ofmt = (v >> 20) & 7
+    if ofmt in _STD_FMT_DIMS:
+        return ("unchanged" if _STD_FMT_DIMS[ofmt] == tuple(current_dims)
+                else "changed")
+    return None  # custom (CPFMT) or reserved
 
 
 def _sniff_sorenson(buf: bytes):
@@ -175,17 +218,25 @@ class StreamPool:
     """
 
     def __init__(self, decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
-                 frontend: str = "host", **decoder_kwargs):
+                 frontend: str = "host", max_dims: tuple = (2048, 2048),
+                 **decoder_kwargs):
         """`frontend` selects each bucket's decoder: "host" (the default
         BatchedStreamDecoder — host entropy parse, packed transports) or
         "device" (DeviceFrontendDecoder — the device entropy automaton).
-        `decoder_kwargs` pass through to that decoder."""
+        `max_dims` bounds the resolutions a mid-stream change may create:
+        a bucket's reference planes and compiled program are sized by its
+        dims, so an unchecked (possibly corrupt) header must not be able
+        to allocate a 65535x65535 bucket or churn compiles — frames beyond
+        the bound fail per-stream instead.  `decoder_kwargs` pass through
+        to the bucket decoders."""
         if frontend not in ("host", "device"):
             raise ValueError(f"unknown frontend {frontend!r}")
         self.decoder_options = decoder_options
         self.frontend = frontend
+        self.max_dims = max_dims
         self.decoder_kwargs = decoder_kwargs
         self._pending: dict = {}          # (w, h) -> [stream_id, ...]
+        self._pending_running: dict = {}  # stream_id -> carried options
         self._buckets: dict = {}          # (w, h) -> _Bucket
         self._dims: dict = {}             # stream_id -> (w, h)
 
@@ -217,6 +268,7 @@ class StreamPool:
         """Unregister a stream; its slot pads until recycled by a join."""
         key = self._dims.pop(stream_id)
         incr("pool_leaves")
+        self._pending_running.pop(stream_id, None)
         pend = self._pending.get(key)
         if pend and stream_id in pend:
             pend.remove(stream_id)
@@ -247,7 +299,11 @@ class StreamPool:
         bucket = _Bucket(dec)
         self._buckets[key] = bucket
         for sid in ids:
-            bucket.slots[sid] = bucket.free.pop()
+            slot = bucket.free.pop()
+            bucket.slots[sid] = slot
+            running = self._pending_running.pop(sid, None)
+            if running is not None:  # carried across a pending rebucket
+                dec.reset_slot_state(slot, running)
 
     def _grow(self, key) -> None:
         """Double a full bucket's capacity, migrating states + ref planes.
@@ -293,6 +349,18 @@ class StreamPool:
         """(w, h, is_iframe) of the frame, or None if unparseable."""
         if self.decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM:
             return _sniff_sorenson(bytes(buf))
+        # Fast path: resolution changes are rare, but this pre-pass runs
+        # for every present stream every step — a full Python
+        # decode_picture per stream would roughly double the step's host
+        # budget at S=256 (CLAUDE.md: Python per-frame work matters).  A
+        # pure bit-probe answers the common "dims unchanged" case; any
+        # ambiguity (custom formats, malformed PSC) and any probed CHANGE
+        # fall through to the full parse (the rebucket path wants exact
+        # dims + picture type anyway).
+        if _sniff_standard_probe(bytes(buf),
+                                 self._dims[stream_id]) == "unchanged":
+            w, h = self._dims[stream_id]
+            return w, h, False  # is_iframe unused when dims match
         from ..parser.picture import decode_picture
 
         key = self._dims[stream_id]
@@ -316,22 +384,61 @@ class StreamPool:
             return None
         return wh[0], wh[1], pic.picture_type is PictureTypeCode.I_FRAME
 
-    def _rebucket(self, stream_id, new_key, is_iframe: bool) -> None:
+    def _validate_rebucket_frame(self, buf: bytes, w: int, h: int) -> bool:
+        """Full entropy-layer validation of a resolution-change frame
+        BEFORE the old slot's state is destroyed (the reference's
+        whole-picture transaction contract, state.rs:119-137: an errored
+        picture must leave state untouched).  Resolution changes are rare,
+        so a one-off host parse is cheap insurance against a frame whose
+        header sniffs fine but whose MB layer is garbage."""
+        from ..parser.frame import parse_frame_auto
+        from ..parser.picture import decode_picture
+
+        try:
+            r = BitReader(bytes(buf))
+            pic = decode_picture(r, self.decoder_options, None)
+            if pic is None:
+                return False
+            fd = parse_frame_auto(r, pic, self.decoder_options, pic.options,
+                                  w, h)
+            # Decoder-level rule on top of the entropy parse: the rebucket
+            # frame has NO reference at the new size, so any INTER MB
+            # (e.g. EOF tail-fill from a truncated payload) would raise
+            # UncodedIFrameBlocks in the bucket — after the old state was
+            # already destroyed.  Reject it here instead.
+            return not fd.inter.any()
+        except Exception:
+            return False
+
+    def _rebucket(self, stream_id, new_key, is_iframe: bool,
+                  buf: bytes = None) -> None:
         old_key = self._dims[stream_id]
         incr("pool_rebuckets")
         if not is_iframe:
             raise PictureFormatInvalid(
                 f"stream {stream_id!r}: {old_key} -> {new_key} resolution "
                 f"change on a non-I frame (no reference at the new size)")
+        mw, mh = self.max_dims
+        if not (0 < new_key[0] <= mw and 0 < new_key[1] <= mh):
+            raise PictureFormatInvalid(
+                f"stream {stream_id!r}: resolution {new_key} outside the "
+                f"pool bound {self.max_dims} (would size a bucket's "
+                f"planes and compiled program from an untrusted header)")
         pend = self._pending.get(old_key)
         if pend and stream_id in pend:  # registered but never decoded
             pend.remove(stream_id)
             self._dims[stream_id] = new_key
             if new_key in self._buckets:
-                self._join(new_key, stream_id)
+                self._join(new_key, stream_id,
+                           self._pending_running.pop(stream_id, None))
             else:
                 self._pending.setdefault(new_key, []).append(stream_id)
             return
+        if buf is not None and not self._validate_rebucket_frame(
+                bytes(buf), new_key[0], new_key[1]):
+            raise PictureFormatInvalid(
+                f"stream {stream_id!r}: {old_key} -> {new_key} I-frame "
+                f"failed full validation; keeping the stream's state")
         bucket = self._buckets[old_key]
         slot = bucket.slots.pop(stream_id)
         # Carry running options across the rebucket (standard H.263 only;
@@ -348,6 +455,8 @@ class StreamPool:
         if new_key in self._buckets:
             self._join(new_key, stream_id, running)
         else:
+            if running:
+                self._pending_running[stream_id] = running
             self._pending.setdefault(new_key, []).append(stream_id)
 
     # -- decode ---------------------------------------------------------------
@@ -363,7 +472,9 @@ class StreamPool:
         """
         unknown = set(buffers) - set(self._dims)
         if unknown:
-            raise KeyError(f"unregistered streams: {sorted(unknown)!r}")
+            # key=repr: ids may mix int and str (not mutually orderable).
+            raise KeyError(
+                f"unregistered streams: {sorted(unknown, key=repr)!r}")
 
         # Resolution-change pre-pass: move streams whose header disagrees
         # with their bucket before building the lockstep batches.
@@ -373,12 +484,13 @@ class StreamPool:
                 continue  # let the bucket parser raise the precise error
             w, h, is_i = sniffed
             if (w, h) != self._dims[sid]:
-                self._rebucket(sid, (w, h), is_i)
+                self._rebucket(sid, (w, h), is_i, buf)
 
         for key in list(self._pending):
             self._finalize(key)
 
         out = PoolStepResult()
+        first_err: Optional[H263Error] = None
         for key, bucket in self._buckets.items():
             dec = bucket.dec
             mask = bucket.mask(buffers)
@@ -388,10 +500,24 @@ class StreamPool:
             for sid, slot in bucket.slots.items():
                 if mask[slot]:
                     batch[slot] = buffers[sid]
-            y, cb, cr = dec.decode_step(batch, mask=mask)
+            try:
+                y, cb, cr = dec.decode_step(batch, mask=mask)
+            except H263Error as e:
+                # Per-stream isolation, pool-wide: the bucket decoder has
+                # already stepped every lane (errored lanes got identity
+                # frames) before raising, so SKIPPING the remaining
+                # buckets — or letting the caller retry the whole step —
+                # would corrupt healthy streams.  Step everything, then
+                # surface the first error (partial results attached).
+                if first_err is None:
+                    first_err = e
+                continue
             for sid, slot in bucket.slots.items():
                 if mask[slot]:
                     out._add(sid, y, cb, cr, slot)
+        if first_err is not None:
+            first_err.pool_step_result = out
+            raise first_err
         return out
 
     def resolve_overflows(self, result: Optional[PoolStepResult] = None) -> list:

@@ -255,6 +255,7 @@ def save_batched_state(dec) -> bytes:
         "h": dec.h,
         "decoder_options": int(dec.decoder_options),
         "pack_cap": dec.pack_cap,
+        "coef_transport": dec.coef_transport,
         "mv_full": bool(dec._mv_full),
         "states": [
             {"running_options": int(s.running_options),
@@ -288,9 +289,13 @@ def load_batched_state(blob: bytes, **kwargs):
     meta, z = _unpack(blob)
     assert meta["format_version"] == FORMAT_VERSION
     assert meta["kind"] == "batched"
+    # The saved transport is the default (a split-transport decoder must
+    # not silently resume as d24); explicit kwargs still override.
+    kwargs.setdefault("coef_transport", meta.get("coef_transport", "auto"))
+    kwargs.setdefault("pack_cap", meta["pack_cap"])
     dec = BatchedStreamDecoder(meta["n"], meta["w"], meta["h"],
                                DecoderOption(meta["decoder_options"]),
-                               pack_cap=meta["pack_cap"], **kwargs)
+                               **kwargs)
     dec.ref_y = jnp.asarray(z["ref_y"])
     dec.ref_cb = jnp.asarray(z["ref_cb"])
     dec.ref_cr = jnp.asarray(z["ref_cr"])
@@ -457,10 +462,13 @@ def save_pool_state(pool) -> bytes:
         "decoder_options": int(pool.decoder_options),
         "frontend": pool.frontend,
         "decoder_kwargs": pool.decoder_kwargs,
+        "max_dims": list(pool.max_dims),
         "dims": [[_sid_to_json(sid), w, h]
                  for sid, (w, h) in pool._dims.items()],
         "pending": [[w, h, [_sid_to_json(sid) for sid in sids]]
                     for (w, h), sids in pool._pending.items()],
+        "pending_running": [[_sid_to_json(sid), int(r)]
+                            for sid, r in pool._pending_running.items()],
         "buckets": buckets,
     }
     return _pack(meta, arrays)
@@ -478,22 +486,31 @@ def load_pool_state(blob: bytes, **decoder_kwargs_override):
     assert meta["kind"] == "pool"
     kwargs = dict(meta["decoder_kwargs"])
     kwargs.update(decoder_kwargs_override)
+    from ..types import PictureOption
+
     pool = StreamPool(DecoderOption(meta["decoder_options"]),
-                      frontend=meta["frontend"], **kwargs)
+                      frontend=meta["frontend"],
+                      max_dims=tuple(meta.get("max_dims", (2048, 2048))),
+                      **kwargs)
     pool._dims = {_sid_from_json(sid): (w, h)
                   for sid, w, h in meta["dims"]}
     pool._pending = {(w, h): [_sid_from_json(sid) for sid in sids]
                      for w, h, sids in meta["pending"]}
+    pool._pending_running = {_sid_from_json(sid): PictureOption(r)
+                             for sid, r in meta.get("pending_running", [])}
     # The per-bucket loaders take their constructor knobs from their own
-    # sub-blob meta; pool-level kwargs that duplicate those knobs must not
-    # be passed twice.
+    # sub-blob meta; STALE pool-level kwargs that duplicate those knobs
+    # must not clobber runtime-updated sub-blob values — but an EXPLICIT
+    # caller override (e.g. a larger tape_len to stop recurring overflows)
+    # must win over both.
     if meta["frontend"] == "device":
         load_bucket = load_device_frontend_state
         meta_owned = ("tape_len", "max_frame_bytes", "harness")
     else:
         load_bucket = load_batched_state
         meta_owned = ("pack_cap",)
-    sub_kwargs = {k: v for k, v in kwargs.items() if k not in meta_owned}
+    sub_kwargs = {k: v for k, v in kwargs.items()
+                  if k not in meta_owned or k in decoder_kwargs_override}
     for b in meta["buckets"]:
         dec = load_bucket(bytes(z[b["member"]]), **sub_kwargs)
         bucket = _Bucket(dec)

@@ -451,3 +451,142 @@ class TestDeviceFrontendPool:
                 y, cb, cr = out[sid]
                 np.testing.assert_array_equal(y, pic.as_luma(),
                                               err_msg=f"{sid}@{t}")
+
+
+def test_pool_rebucket_dims_bounded():
+    """A header sniffing as an absurd resolution must not size a bucket
+    (planes + compiled program come from untrusted bits): per-stream
+    PictureFormatInvalid, pool and stream state intact."""
+    import pytest
+    from h263_tpu.testing.encoder import BitWriter
+    from h263_tpu.types import PictureFormatInvalid
+
+    pool = StreamPool(SORENSON)
+    a = _frames(40, 32, 32, n=3)
+    pool.add_stream("s", 32, 32)
+    pool.decode_step({"s": a[0]})
+
+    # Sorenson v1 header claiming custom 16-bit dims 65535x65535, I-frame.
+    w = BitWriter()
+    w.write_bits(1, 17)       # PSC
+    w.write_bits(1, 5)        # version
+    w.write_bits(3, 8)        # TR
+    w.write_bits(1, 3)        # fmt = custom 16-bit
+    w.write_bits(65535, 16)   # width
+    w.write_bits(65535, 16)   # height
+    w.write_bits(0, 2)        # ptype I
+    w.write_bits(0, 1)        # deblocker
+    w.write_bits(9, 5)        # quant
+    w.write_bits(0, 1)        # PEI
+    with pytest.raises(PictureFormatInvalid, match="bound"):
+        pool.decode_step({"s": w.to_bytes()})
+    assert (65535, 65535) not in pool._buckets
+    assert pool._dims["s"] == (32, 32)
+    # The stream continues from its preserved state.
+    ref = H263Decoder(SORENSON, backend="numpy")
+    for f in a[:1]:
+        ref.decode_next_picture(f)
+    out = pool.decode_step({"s": a[1]})
+    np.testing.assert_array_equal(out["s"][0],
+                                  ref.decode_next_picture(a[1]).as_luma())
+
+
+def test_pool_rebucket_garbage_body_keeps_old_state():
+    """A frame whose header sniffs as a valid I-frame at new dims but
+    whose MB layer is garbage must NOT destroy the stream's old state
+    (whole-picture transaction, state.rs:119-137)."""
+    import pytest
+    from h263_tpu.types import PictureFormatInvalid
+
+    pool = StreamPool(SORENSON)
+    a = _frames(41, 32, 32, n=3)
+    b = _frames(42, 48, 48, n=1)
+    pool.add_stream("s", 32, 32)
+    pool.decode_step({"s": a[0]})
+
+    bad = b[0][:10] + b"\xff" * 4  # valid 48x48 I header, truncated garbage
+    with pytest.raises(PictureFormatInvalid, match="validation"):
+        pool.decode_step({"s": bad})
+    assert pool._dims["s"] == (32, 32)  # rebucket refused
+    ref = H263Decoder(SORENSON, backend="numpy")
+    ref.decode_next_picture(a[0])
+    out = pool.decode_step({"s": a[1]})
+    np.testing.assert_array_equal(out["s"][0],
+                                  ref.decode_next_picture(a[1]).as_luma())
+
+
+def test_pool_bucket_error_does_not_skip_other_buckets():
+    """A per-stream error in one bucket must not skip the other buckets'
+    decode for that step (retrying the whole step would double-decode
+    their P-frames): everything steps, then the first error surfaces with
+    the partial results attached."""
+    import pytest
+    from h263_tpu.types import H263Error
+
+    pool = StreamPool(SORENSON)
+    a = _frames(43, 32, 32, n=3)   # bucket A
+    b = _frames(44, 48, 32, n=3)   # bucket B
+    pool.add_stream("a", 32, 32)
+    pool.add_stream("b", 48, 32)
+    pool.decode_step({"a": a[0], "b": b[0]})
+
+    refb = H263Decoder(SORENSON, backend="numpy")
+    refb.decode_next_picture(b[0])
+    corrupt = a[1][:6] + b"\x00\x00\x00\x00"  # MB-layer garbage, same dims
+    with pytest.raises(H263Error) as ei:
+        pool.decode_step({"a": corrupt, "b": b[1]})
+    partial = getattr(ei.value, "pool_step_result", None)
+    assert partial is not None and "b" in partial
+    np.testing.assert_array_equal(partial["b"][0],
+                                  refb.decode_next_picture(b[1]).as_luma())
+    # Next step: BOTH streams continue correctly (b did not double-step).
+    refa = H263Decoder(SORENSON, backend="numpy")
+    refa.decode_next_picture(a[0])  # a's errored frame left identity state
+    out = pool.decode_step({"a": a[2], "b": b[2]})
+    np.testing.assert_array_equal(out["b"][0],
+                                  refb.decode_next_picture(b[2]).as_luma())
+
+
+def test_pool_unregistered_mixed_id_types():
+    import pytest
+
+    pool = StreamPool(SORENSON)
+    with pytest.raises(KeyError, match="unregistered"):
+        pool.decode_step({"a": b"", 5: b""})
+
+
+def test_standard_sniff_probe_differential():
+    """The bit-probe must never answer "unchanged" when the full header
+    parse would report different dims (the only correctness-critical
+    direction; "changed"/None just take the slow path)."""
+    from test_device_frontend import TestCarriedOptionsGate
+    from test_plusptype import _plusptype_header
+
+    from h263_tpu.bitio import BitReader
+    from h263_tpu.parallel.pool import _sniff_standard_probe
+    from h263_tpu.parser.picture import decode_picture
+    from h263_tpu.testing.encoder import encode_standard_picture
+
+    cases = []
+    for w, h in ((128, 96), (176, 144), (352, 288)):
+        cases.append(encode_standard_picture(
+            w, h, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[800] * 6)]
+            * ((w // 16) * (h // 16))))
+    cases.append(TestCarriedOptionsGate._plusptype_qcif_umv())
+    cases.append(_plusptype_header().to_bytes())            # custom CPFMT
+    cases.append(_plusptype_header(ufep=False).to_bytes())  # inherited fmt
+
+    for buf in cases:
+        pic = decode_picture(BitReader(buf), DecoderOption.NONE, None)
+        dims = pic.format.width_and_height() if pic.format else None
+        for cur in ((128, 96), (176, 144), (352, 288), (120, 90)):
+            probe = _sniff_standard_probe(buf, cur)
+            if probe == "unchanged" and dims is not None:
+                assert dims == cur, (buf.hex()[:20], cur, dims)
+            if dims is not None and dims == cur and pic.format and \
+                    pic.format.custom is None and not (
+                        pic.has_plusptype and pic.format is None):
+                # Standard-format headers at matching dims should hit the
+                # fast path (perf regression guard, not correctness).
+                assert probe in ("unchanged", None)
