@@ -74,8 +74,7 @@ def _picture_from_fields(hdr) -> Picture:
 
 
 class _StreamState:
-    __slots__ = ("running_options", "last_header", "has_reference",
-                 "is_disposable_last")
+    __slots__ = ("running_options", "last_header", "has_reference")
 
     def __init__(self):
         self.running_options = PictureOption.NONE
@@ -434,13 +433,18 @@ class BatchedStreamDecoder:
 
     def parse_one(self, stream_idx: int, buf: bytes,
                   batch: Optional[_HostBatch] = None,
-                  commit: bool = True) -> FrameData:
+                  commit: bool = True, stage_commit: Optional[list] = None) -> FrameData:
         """Entropy-decode one stream's next frame to dense tensors.
 
         With `batch` given (and the native front-end available), tensors are
         written directly into the stream's slice of the batch buffers.
         commit=False parses without touching per-stream header state or
-        enforcing the reference-picture rule (slot-padding path).
+        enforcing the reference-picture rule (slot-padding path).  With
+        `stage_commit` (a list), the header commit is APPENDED as
+        (stream_idx, pic, running) instead of applied — the batch caller
+        commits only after every stream parsed, so one corrupt stream
+        cannot leave earlier streams' header state advanced past planes
+        that were never updated (the packed path's all-or-nothing rule).
         """
         st = self.states[stream_idx]
         r = BitReader(bytes(buf))
@@ -471,7 +475,10 @@ class BatchedStreamDecoder:
         if commit:
             if frame.inter.any() and not st.has_reference:
                 raise UncodedIFrameBlocks()
-            self._commit_header(stream_idx, pic, running)
+            if stage_commit is not None:
+                stage_commit.append((stream_idx, pic, running))
+            else:
+                self._commit_header(stream_idx, pic, running)
         return frame
 
     def parse_one_packed(self, stream_idx: int, buf: bytes,
@@ -497,6 +504,12 @@ class BatchedStreamDecoder:
             raise UncodedIFrameBlocks()
         packed.counts[stream_idx] = n
         packed.varied_mvs[stream_idx] = varied
+        # The per-slot native parser fills only the full int16 MV rows
+        # (its mvs_slim pointer is unbound); derive the slim one-MV-per-MB
+        # row here — step_packed ships mvs_slim whenever the sticky
+        # full-MV mode is off, and an unwritten row would motion-compensate
+        # with zero/stale vectors.
+        packed.mvs_slim[stream_idx] = packed.mvs[stream_idx, :, :, 0, :]
         from ..types import carry_forward_options
 
         pic = _picture_from_fields(hdr)
@@ -548,7 +561,14 @@ class BatchedStreamDecoder:
 
         cap = packed.u32.shape[1]
         sentinel = 6 * self.mb_w * self.mb_h * 64
-        pad = sentinel if packed.split else (sentinel << 12)
+        # Wrap to int32 exactly like entropy.cpp's
+        # (int32_t)((uint32_t)sentinel << 12): for >=1366 MBs the shifted
+        # value exceeds int32 and numpy 2.x raises OverflowError on
+        # assignment of the raw Python int.
+        shifted = (sentinel << 12) & 0xFFFFFFFF
+        if shifted >= 1 << 31:
+            shifted -= 1 << 32
+        pad = sentinel if packed.split else shifted
         staged = []
         for i, b in enumerate(bufs):
             live = mask is None or mask[i]
@@ -1006,6 +1026,10 @@ class BatchedStreamDecoder:
         from ..native import ensure_built
         from ..native.bindings import PackOverflow
 
+        if transport not in ("auto", "packed", "dense"):
+            raise ValueError(f"transport must be 'auto', 'packed', or "
+                             f"'dense'; got {transport!r} (the coefficient "
+                             f"encoding is the constructor's coef_transport)")
         use_packed = (transport == "packed" or (
             transport == "auto"
             and not os.environ.get("H263_TPU_NO_NATIVE")
@@ -1024,8 +1048,11 @@ class BatchedStreamDecoder:
                 incr("pack_overflow_fallbacks")
 
         batch = self.next_host_batch()
+        staged: list = []
         for i, b in enumerate(buffers):
             live = mask is None or mask[i]
             self.parse_one(i, b if live else self.skip_frame_bytes(),
-                           batch=batch, commit=live)
+                           batch=batch, commit=live, stage_commit=staged)
+        for i, pic, running in staged:
+            self._commit_header(i, pic, running)
         return self.step_batch(batch)

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from h263_tpu import DecoderOption, H263Decoder, PictureTypeCode
+from h263_tpu import DecoderOption, H263Decoder, H263Error, PictureTypeCode
 from h263_tpu.parallel import BatchedStreamDecoder, make_stream_mesh, shard_reconstruct_fn
 from h263_tpu.testing.encoder import MBSpec, encode_sorenson_picture
 
@@ -788,3 +788,115 @@ class TestPipelineFailureRecovery:
             np.testing.assert_array_equal(np.asarray(y),
                                           np.asarray(outs[t][0]),
                                           err_msg=f"frame {t} after recovery")
+
+
+class TestBatchReviewFixes:
+    """Regression tests for the r3-late high-effort review of batch.py."""
+
+    def test_parse_one_packed_fills_slim_mvs(self):
+        """The per-slot fast parser never writes mvs_slim natively; the
+        Python wrapper must derive it or slim-mode steps motion-compensate
+        with zero vectors."""
+        from h263_tpu.native import ensure_built
+        if not ensure_built():
+            pytest.skip("native front-end unavailable")
+
+        n, w, h = 1, 32, 32
+        nmb = 4
+        f0 = encode_sorenson_picture(
+            w, h, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[400] * 6)] * nmb)
+        f1 = encode_sorenson_picture(
+            w, h, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(4, 2)],
+                    blocks=[[], [], [], [], [], []])] * nmb,
+            temporal_reference=1)
+
+        ref = H263Decoder(DecoderOption.SORENSON_SPARK_BITSTREAM,
+                          backend="numpy")
+        dec = BatchedStreamDecoder(n, w, h, coef_transport="u32")
+        packed = dec.next_packed_batch()
+        dec.parse_one_packed(0, f0, packed)
+        dec.step_packed(packed)
+        ref.decode_next_picture(f0)
+
+        packed = dec.next_packed_batch()
+        dec.parse_one_packed(0, f1, packed)
+        assert not dec._mv_full  # uniform MVs: the slim path ships
+        np.testing.assert_array_equal(packed.mvs_slim[0],
+                                      packed.mvs[0, :, :, 0, :])
+        assert packed.mvs_slim.any()  # real pan, not zeros
+        y, _, _ = dec.step_packed(packed)
+        pic = ref.decode_next_picture(f1)
+        np.testing.assert_array_equal(np.asarray(y)[0], pic.as_luma())
+
+    def test_u32_sentinel_pad_wraps_like_native(self):
+        """>=1366-MB pictures shift the u32 sentinel past int32; the
+        Python fallback loop must wrap exactly like entropy.cpp instead
+        of raising OverflowError."""
+        from h263_tpu.native import ensure_built
+        if not ensure_built():
+            pytest.skip("native front-end unavailable")
+        from h263_tpu.testing.encoder import encode_standard_picture
+
+        w, h = 704, 560  # custom format -> PLUSPTYPE -> Python fallback
+        nmb = (w // 16) * (h // 16)
+        assert 6 * nmb * 64 << 12 >= 1 << 31  # the overflowing regime
+        f0 = encode_standard_picture(
+            w, h, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[800] * 6)] * nmb)
+        dec = BatchedStreamDecoder(1, w, h, DecoderOption.NONE,
+                                   coef_transport="u32")
+        packed = dec.next_packed_batch()
+        dec.parse_batch_packed([f0], packed)  # raised OverflowError before
+        count = int(packed.counts[0])
+        assert count > 0
+        tail = packed.u32[0, count:]
+        if tail.size:
+            expect = (6 * nmb * 64 << 12) & 0xFFFFFFFF
+            assert (tail.astype(np.int64) & 0xFFFFFFFF == expect).all()
+
+    def test_standard_custom_dims_and_skip_frame(self):
+        """Custom-format standard buckets (PLUSPTYPE+CPFMT) decode and can
+        pad absent slots (skip_frame_bytes used to KeyError outside the
+        CIF family)."""
+        from h263_tpu.testing.encoder import encode_standard_picture
+
+        w, h = 64, 48
+        nmb = (w // 16) * (h // 16)
+        f0 = encode_standard_picture(
+            w, h, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[640] * 6)] * nmb)
+        f1 = encode_standard_picture(
+            w, h, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(2, 0)],
+                    blocks=[[(0, 4)], [], [], [], [], []])] * nmb,
+            temporal_reference=1)
+        ref = H263Decoder(DecoderOption.NONE, backend="numpy")
+        dec = BatchedStreamDecoder(2, w, h, DecoderOption.NONE)
+        y, _, _ = dec.decode_step([f0, f0])
+        pic0 = ref.decode_next_picture(f0)
+        np.testing.assert_array_equal(np.asarray(y)[0], pic0.as_luma())
+        # Slot 1 absent: decodes the custom-dims skip frame, keeps planes.
+        y, _, _ = dec.decode_step([f1, None],
+                                  mask=np.array([True, False]))
+        pic1 = ref.decode_next_picture(f1)
+        np.testing.assert_array_equal(np.asarray(y)[0], pic1.as_luma())
+        np.testing.assert_array_equal(np.asarray(y)[1], pic0.as_luma())
+
+    def test_dense_path_commits_all_or_nothing(self):
+        """One corrupt stream in a dense-path step must leave EVERY
+        stream's header state untouched (the packed path's contract)."""
+        frames = [encode_sorenson_picture(
+            32, 32, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[800] * 6)] * 4)]
+        dec = BatchedStreamDecoder(2, 32, 32)
+        with pytest.raises(H263Error):
+            dec.decode_step([frames[0], b"\x00" * 8], transport="dense")
+        assert dec.states[0].last_header is None  # stream 0 NOT committed
+        assert not dec.states[0].has_reference
+
+    def test_decode_step_rejects_unknown_transport(self):
+        dec = BatchedStreamDecoder(1, 32, 32)
+        with pytest.raises(ValueError, match="transport"):
+            dec.decode_step([b""], transport="d24")
