@@ -33,15 +33,20 @@ from .io.stream import FrameSegmenter
 from .types import H263Error, PictureTypeCode
 
 
-def _iter_pictures(data: bytes):
+def _iter_pictures(data: bytes, standard: bool = False):
     """Yield raw picture payloads from FLV (demux) or elementary stream."""
     if data[:3] == b"FLV":
         for tag in iter_flv_video_tags(data):
             yield tag.payload
         return
-    seg = FrameSegmenter()
-    seg.feed(data)
-    yield from seg.frames()
+    # Feed in chunks so the segmenter's commit-free keeps memory bounded
+    # by the largest picture (one whole-file feed would trip max_buffer on
+    # big streams and make the per-frame prefix-free quadratic).
+    seg = FrameSegmenter(flavor="standard" if standard else "sorenson")
+    view = memoryview(data)
+    for off in range(0, len(view), 1 << 20):
+        seg.feed(view[off:off + (1 << 20)])
+        yield from seg.frames()
     yield from seg.finish()
 
 
@@ -66,7 +71,9 @@ def cmd_decode(args) -> int:
 
     n = errors = 0
     planes = []  # for npz: per-frame dict of arrays
-    for payload in _iter_pictures(data):
+    for payload in _iter_pictures(data, args.standard):
+        if args.max_frames is not None and n >= args.max_frames:
+            break
         try:
             pic = dec.decode_next_picture(payload)
         except H263Error as e:
@@ -106,7 +113,9 @@ def cmd_info(args) -> int:
     prev = None
     counts: dict[str, int] = {}
     n = 0
-    for payload in _iter_pictures(data):
+    for payload in _iter_pictures(data, args.standard):
+        if args.max_frames is not None and n >= args.max_frames:
+            break
         from .bitio import BitReader
         try:
             hdr = dec.parse_picture(BitReader(bytes(payload)), prev)
@@ -118,7 +127,8 @@ def cmd_info(args) -> int:
             continue
         fmt = hdr.format if hdr.format is not None else (
             prev.format if prev is not None else None)
-        w, h = fmt.width_and_height() if fmt is not None else ("?", "?")
+        wh = fmt.width_and_height() if fmt is not None else None
+        w, h = wh if wh is not None else ("?", "?")  # RESERVED formats
         t = hdr.picture_type
         tname = {PictureTypeCode.I_FRAME: "I",
                  PictureTypeCode.P_FRAME: "P",

@@ -47,7 +47,9 @@ def iter_flv_video_tags(data: bytes, codec_id: int = 2) -> Iterator[FlvVideoTag]
             vheader = data[body_start]
             frame_type = vheader >> 4
             tag_codec = vheader & 0x0F
-            if tag_codec == codec_id:
+            if tag_codec == codec_id and frame_type != 5:
+                # frame_type 5 = video info/command frame: its body is a
+                # command byte, not a picture payload.
                 yield FlvVideoTag(ts, frame_type, tag_codec,
                                   data[body_start + 1 : body_end])
         pos = body_end + 4  # skip PreviousTagSize

@@ -21,12 +21,17 @@ from __future__ import annotations
 from typing import IO, Iterable, Iterator, Optional, Union
 
 
-def _find_psc(buf: bytearray, start: int) -> int:
-    """Index of the next byte-aligned picture start code at/after `start`.
+def _find_psc(buf: bytearray, start: int, third_mask: int,
+              third_match: int) -> int:
+    """Index of the next byte-aligned PICTURE start code at/after `start`.
 
-    The PSC is 16 zero bits followed by a 1 (plus 5 more code bits); byte
-    aligned that is 0x00 0x00 then a byte with the top bit set.  Returns
-    -1 if none is present.
+    The PSC is 16 zero bits followed by a 1; byte aligned the third byte
+    carries '1' + the next 5 code bits.  Those 5 bits distinguish a
+    picture from the other same-prefix codes — standard GOB headers
+    (GN 1-30), EOS — which must NOT split a frame (the decoder itself
+    resynchronizes on mid-picture GOB headers, parser/frame.py).  The
+    (mask, match) pair encodes the accepted third-byte set per flavor.
+    Returns -1 if none is present.
     """
     i = start
     n = len(buf)
@@ -34,9 +39,18 @@ def _find_psc(buf: bytearray, start: int) -> int:
         i = buf.find(b"\x00\x00", i)
         if i < 0 or i + 2 >= n:
             return -1
-        if buf[i + 2] & 0x80:
+        if (buf[i + 2] & third_mask) == third_match:
             return i
         i += 1
+
+
+#: flavor -> (third-byte mask, match).  Sorenson: 5 bits after the PSC are
+#: the version (0 or 1) -> third byte 0x80-0x87.  Standard: they are GN=0
+#: -> 0x80-0x83 (0x84-0x87 would be GOB #1, a mid-picture resync point).
+_FLAVOR_MASKS = {
+    "sorenson": (0xF8, 0x80),
+    "standard": (0xFC, 0x80),
+}
 
 
 class FrameSegmenter:
@@ -53,12 +67,21 @@ class FrameSegmenter:
     in-error unlimited start-code scan (reader.rs:236-256).
     """
 
-    def __init__(self, max_buffer: int = 1 << 26):
+    def __init__(self, max_buffer: int = 1 << 26, flavor: str = "sorenson"):
+        """`flavor`: "sorenson" (the package default bitstream) or
+        "standard" — standard H.263 needs the stricter boundary test so
+        byte-aligned GOB headers don't split pictures."""
+        if flavor not in _FLAVOR_MASKS:
+            raise ValueError(f"unknown flavor {flavor!r}")
+        self._mask, self._match = _FLAVOR_MASKS[flavor]
         self._buf = bytearray()
         self._synced = False
         self._scan_from = 0  # resume offset for boundary scanning
         self.max_buffer = max_buffer
         self.bytes_discarded = 0
+
+    def _find(self, start: int) -> int:
+        return _find_psc(self._buf, start, self._mask, self._match)
 
     def feed(self, chunk: bytes) -> None:
         self._buf += chunk
@@ -71,7 +94,7 @@ class FrameSegmenter:
         """Drop garbage ahead of the first start code; True once synced."""
         if self._synced:
             return True
-        first = _find_psc(self._buf, 0)
+        first = self._find(0)
         if first < 0:
             # Keep the last 2 bytes (a start code may straddle chunks).
             if len(self._buf) > 2:
@@ -90,7 +113,7 @@ class FrameSegmenter:
         if not self._sync():
             return
         while True:
-            nxt = _find_psc(self._buf, self._scan_from)
+            nxt = self._find(self._scan_from)
             if nxt < 0:
                 # Resume scanning where we stopped (minus straddle slack).
                 self._scan_from = max(3, len(self._buf) - 2)
@@ -101,11 +124,21 @@ class FrameSegmenter:
             yield frame
 
     def finish(self) -> Iterator[bytes]:
-        """Yield the final picture once the byte source is exhausted."""
-        if self._synced and self._buf:
-            frame = bytes(self._buf)
-            self._buf = bytearray()
-            yield frame
+        """Drain at end of stream: any still-buffered complete pictures,
+        then the final (possibly unterminated) one.  Syncs first, so
+        feed()-then-finish() with no frames() call in between still yields
+        every picture; resets the segmenter for reuse."""
+        if self._sync():
+            yield from self.frames()
+            if self._buf:
+                frame = bytes(self._buf)
+                self._buf = bytearray()
+                yield frame
+        else:
+            self.bytes_discarded += len(self._buf)
+            self._buf.clear()
+        self._synced = False
+        self._scan_from = 0
 
     @property
     def buffered(self) -> int:
@@ -114,9 +147,10 @@ class FrameSegmenter:
 
 def iter_stream_frames(source: Union[IO[bytes], Iterable[bytes]],
                        chunk_size: int = 1 << 16,
-                       max_buffer: int = 1 << 26) -> Iterator[bytes]:
+                       max_buffer: int = 1 << 26,
+                       flavor: str = "sorenson") -> Iterator[bytes]:
     """Picture payloads from a file-like object or an iterable of chunks."""
-    seg = FrameSegmenter(max_buffer=max_buffer)
+    seg = FrameSegmenter(max_buffer=max_buffer, flavor=flavor)
     if hasattr(source, "read"):
         def chunks():
             while True:
@@ -135,14 +169,22 @@ def iter_stream_frames(source: Union[IO[bytes], Iterable[bytes]],
 
 def decode_stream(source: Union[IO[bytes], Iterable[bytes]], decoder,
                   chunk_size: int = 1 << 16,
-                  max_buffer: int = 1 << 26):
+                  max_buffer: int = 1 << 26, flavor: str = None):
     """Decode a raw H.263 byte stream incrementally.
 
     Yields the decoder's DecodedPicture for each picture in the stream.
     `decoder` is an H263Decoder; `source` a binary file-like object or an
     iterable of byte chunks (sockets, HTTP bodies, ...).
     """
-    for payload in iter_stream_frames(source, chunk_size, max_buffer):
+    if flavor is None:
+        from ..types import DecoderOption
+
+        opts = getattr(decoder, "decoder_options", None)
+        flavor = ("sorenson" if opts is None
+                  or opts & DecoderOption.SORENSON_SPARK_BITSTREAM
+                  else "standard")
+    for payload in iter_stream_frames(source, chunk_size, max_buffer,
+                                      flavor=flavor):
         pic = decoder.decode_next_picture(payload)
         if pic is not None:
             yield pic

@@ -59,11 +59,15 @@ def shard_reconstruct_fn(mesh, h: int, w: int, packed=False, pallas="off",
     elif packed == "d24":
         fn = functools.partial(reconstruct_frame_packed_d24, pallas=pallas)
         n_in = 6
-    elif packed:
+    elif packed is True or packed == "u32":
         fn = functools.partial(reconstruct_frame_packed_u32, pallas=pallas)
         n_in = 6
-    else:
+    elif packed is False or packed is None:
         fn, n_in = reconstruct_frame_batched, 11
+    else:
+        raise ValueError(
+            f"packed must be False, True/'u32', 'split', 'd24', or "
+            f"'d24f'; got {packed!r}")
     return jax.jit(
         fn,
         in_shardings=(stream_sharding,) * n_in,

@@ -80,3 +80,32 @@ def test_decode_error_reporting(tmp_path, capsys):
     captured = capsys.readouterr()
     assert rc == 1
     assert "error" in captured.err
+
+
+def test_info_handles_reserved_format(tmp_path, capsys):
+    """A reserved source format must print '?x?', not crash the probe."""
+    from h263_tpu.testing.encoder import BitWriter
+
+    w = BitWriter()
+    w.write_bits(1, 17)      # PSC
+    w.write_bits(0, 5)       # GN
+    w.write_bits(0, 8)       # TR
+    w.write_code("10000")    # PTYPE intro
+    w.write_bits(6, 3)       # source format 6: RESERVED
+    w.write_bits(1, 1)       # I (parity convention)
+    w.write_bits(0, 4)       # umv/sac/ap/pb off
+    w.write_bits(8, 5)       # quant
+    w.write_bits(0, 1)       # CPM
+    w.write_bits(0, 1)       # PEI
+    p = tmp_path / "reserved.263"
+    p.write_bytes(w.to_bytes())
+    main(["info", str(p), "--standard"])
+    out = capsys.readouterr().out
+    assert "?x?" in out
+
+
+def test_max_frames_zero_decodes_nothing(tmp_path, capsys):
+    assert main(["decode", str(QCIF), "-o", str(tmp_path),
+                 "--max-frames", "0"]) == 0
+    assert "decoded 0 frames" in capsys.readouterr().out
+    assert not list(tmp_path.glob("frame_*.ppm"))

@@ -58,3 +58,18 @@ def test_flv_garbage_and_truncation():
     flv = _build_flv([f0])
     for cut in range(0, len(flv), 7):
         list(iter_flv_video_tags(flv[:cut]))  # must not raise
+
+
+def test_video_command_frames_skipped():
+    """frame_type 5 (video info/command) tags carry a command byte, not a
+    picture — they must not be yielded as decodable payloads."""
+    from h263_tpu.io.flv import iter_flv_video_tags
+
+    flv = bytearray(_build_flv([b"\x00\x00\x82" + b"\x01" * 8]))
+    # Append a command tag: frame_type 5, codec 2, one command byte.
+    body = bytes([(5 << 4) | 2, 0x00])
+    flv += bytes([9]) + len(body).to_bytes(3, "big")
+    flv += (99).to_bytes(3, "big") + b"\x00" + b"\x00\x00\x00" + body
+    flv += struct.pack(">I", 11 + len(body))
+    tags = list(iter_flv_video_tags(bytes(flv)))
+    assert len(tags) == 1 and tags[0].frame_type == 1

@@ -900,3 +900,9 @@ class TestBatchReviewFixes:
         dec = BatchedStreamDecoder(1, 32, 32)
         with pytest.raises(ValueError, match="transport"):
             dec.decode_step([b""], transport="d24")
+
+
+def test_shard_reconstruct_fn_rejects_unknown_packed_mode():
+    mesh = make_stream_mesh()
+    with pytest.raises(ValueError, match="packed"):
+        shard_reconstruct_fn(mesh, 32, 32, packed="d24F")

@@ -117,3 +117,56 @@ def test_buffer_limit():
 def test_iter_stream_frames_empty_and_garbage_only():
     assert list(iter_stream_frames(io.BytesIO(b""))) == []
     assert list(iter_stream_frames(io.BytesIO(b"\x01\x02\x03" * 100))) == []
+
+
+def _psc_frame(version=0, n=40):
+    """A fake Sorenson-shaped payload starting with a byte-aligned PSC."""
+    third = 0x80 | (version << 2)
+    return b"\x00\x00" + bytes([third]) + bytes(range(1, n))
+
+
+def test_standard_flavor_ignores_gob_and_eos_codes():
+    """Byte-aligned GOB headers (GN>=1) and EOS inside a standard picture
+    must not split it — only GN=0 third bytes (0x80-0x83) are pictures."""
+    pic1 = (b"\x00\x00\x82" + b"\x11" * 20
+            + b"\x00\x00\x84" + b"\x22" * 10     # GOB #1 header: mid-picture
+            + b"\x00\x00\xfc" + b"\x33" * 4)     # EOS-shaped code
+    pic2 = b"\x00\x00\x80" + b"\x44" * 8
+    seg = FrameSegmenter(flavor="standard")
+    seg.feed(pic1 + pic2)
+    frames = list(seg.frames()) + list(seg.finish())
+    assert frames == [pic1, pic2]
+
+
+def test_sorenson_flavor_accepts_version1_start():
+    """Sorenson v1 pictures start with third byte 0x84-0x87."""
+    a = _psc_frame(version=1, n=12)
+    b = _psc_frame(version=0, n=9)
+    seg = FrameSegmenter()
+    seg.feed(a + b)
+    assert list(seg.frames()) + list(seg.finish()) == [a, b]
+
+
+def test_finish_without_frames_call_drains_everything():
+    """feed() then finish() alone must yield every picture, split."""
+    a, b, c = _psc_frame(n=20), _psc_frame(n=15), _psc_frame(n=7)
+    seg = FrameSegmenter()
+    seg.feed(a + b + c)
+    assert list(seg.finish()) == [a, b, c]
+
+
+def test_segmenter_reusable_after_finish():
+    a, b = _psc_frame(n=25), _psc_frame(n=13)
+    seg = FrameSegmenter()
+    seg.feed(a)
+    list(seg.frames())          # leaves a stale scan offset behind
+    assert list(seg.finish()) == [a]
+    seg.feed(b"garbage" + b)    # second, unrelated stream
+    assert list(seg.finish()) == [b]
+
+
+def test_unknown_flavor_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="flavor"):
+        FrameSegmenter(flavor="mpeg")
