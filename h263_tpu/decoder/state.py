@@ -20,18 +20,16 @@ from typing import Optional
 import numpy as np
 
 from ..bitio import BitReader
-from ..ops.deblock import QUANT_TO_STRENGTH, deblock_jnp, golden_deblock
+from ..ops.deblock import QUANT_TO_STRENGTH, golden_deblock
 from ..ops.idct import golden_idct_channel
 from ..ops.mocomp import golden_gather_plane
-from ..ops.yuv import golden_yuv420_to_rgba, yuv420_to_rgba_jnp
+from ..ops.yuv import golden_yuv420_to_rgba
 from ..parser.frame import FrameData, parse_frame_auto
 from ..parser.picture import decode_picture
 from ..types import (
     DecoderOption,
+    carry_forward_options,
     MiddleOfBitstream,
-    MotionVector,
-    MPPTYPE_OPTIONS,
-    OPPTYPE_OPTIONS,
     Picture,
     PictureFormatInvalid,
     PictureFormatMissing,
@@ -142,15 +140,8 @@ class H263Decoder:
         if next_picture is None:
             raise MiddleOfBitstream()
 
-        # Option carry-forward (state.rs:147-155).
-        if next_picture.has_plusptype and next_picture.has_opptype:
-            running = next_picture.options
-        elif next_picture.has_plusptype:
-            running = (next_picture.options & ~OPPTYPE_OPTIONS) | (
-                self.running_options & OPPTYPE_OPTIONS)
-        else:
-            running = (next_picture.options & ~OPPTYPE_OPTIONS & ~MPPTYPE_OPTIONS) | (
-                self.running_options & (OPPTYPE_OPTIONS | MPPTYPE_OPTIONS))
+        # Option carry-forward (state.rs:147-155) — the one shared rule.
+        running = carry_forward_options(next_picture, self.running_options)
 
         # Format resolution / inheritance (state.rs:157-165).
         if next_picture.format is not None:

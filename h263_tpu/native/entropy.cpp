@@ -410,8 +410,13 @@ static int decode_block(BitReader& r, bool intra, bool present, int quant,
       }
       if (!discard) {
         int mag = level >= 0 ? level : -level;
-        int32_t deq = quant * (2 * mag + 1);
-        int32_t value = (level > 0 ? 1 : -1) * (deq + parity);
+        // rle.rs:130-133 computes in i16 and WRAPS (release builds) for
+        // Sorenson v1 11-bit escape levels — replicate before clamping.
+        int16_t deq = (int16_t)(uint16_t)(quant * (2 * mag + 1));
+        int16_t wrapped =
+            (int16_t)(uint16_t)((level > 0 ? 1 : -1) *
+                                (int16_t)(uint16_t)(deq + parity));
+        int32_t value = wrapped;
         if (value < -2048) value = -2048;
         if (value > 2047) value = 2047;
         int rm = ZIGZAG_RM[zz];
@@ -818,9 +823,10 @@ int h263_parse_frame(
         }
       }
 
-      if (!in_range && (intra || cbp[0] || cbp[1] || cbp[2] || cbp[3] ||
-                        cbp[4] || cbp[5])) {
-        // The reference would index past its buffers here; reject instead.
+      if (!in_range) {
+        // The reference calls inverse_rle for EVERY block of EVERY coded
+        // macroblock (empty CBP included), indexing past its buffers — a
+        // panic (rle.rs:90); reject uniformly instead.
         return E_INVALID_BITSTREAM;
       }
 

@@ -650,7 +650,10 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         mvd_complete = m_ok & last_mvd
 
         # Beyond-nmb check at MVD completion (see header note).
-        m_beyond = mvd_complete & (mb >= nmb) & (st["cbp"] != 0)
+        # ANY coded MB past the count is rejected (rle.rs:90 panics even
+        # for empty-CBP INTER MBs); flagged after MVD completes so the
+        # error class matches the host parsers' ordering.
+        m_beyond = mvd_complete & (mb >= nmb)
         mvd_fail = (in_mvd & m_bad & ~m_eof) | m_beyond
         mvd_status = jnp.where(m_beyond, ST_BEYOND_NMB, ST_BAD_MVD)
 
@@ -731,8 +734,14 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         neg = jnp.where(t_escape, esc_level < 0, sgn == 1)
 
         parity = (st["quant"] & 1) - 1
-        dqv = st["quant"] * (2 * mag + 1) + parity
-        val = jnp.clip(jnp.where(neg, -dqv, dqv), -2048, 2047)
+        # rle.rs:130-133 computes in i16 and WRAPS (release builds) for
+        # Sorenson v1 11-bit escape levels: replicate by round-tripping
+        # each step through int16 before the clamp (host parsers match).
+        dqv = (st["quant"] * (2 * mag + 1)).astype(jnp.int16)
+        dqv = (dqv.astype(jnp.int32) + parity).astype(jnp.int16)
+        signed = jnp.where(neg, -dqv.astype(jnp.int32),
+                           dqv.astype(jnp.int32)).astype(jnp.int16)
+        val = jnp.clip(signed.astype(jnp.int32), -2048, 2047)
 
         zz_new = st["zz"] + run
         overflow = zz_new >= 64

@@ -34,7 +34,6 @@ from ..types import (
     InvalidBitstream,
     MacroblockKind,
     MacroblockType,
-    MotionVector,
     Picture,
     PictureOption,
     PictureTypeCode,
@@ -75,6 +74,11 @@ class FrameData:
         return (self.height + 1) // 2
 
 
+def _wrap_i16(x: int) -> int:
+    """Two's-complement int16 wraparound (rle.rs dequant arithmetic)."""
+    return ((x + 0x8000) & 0xFFFF) - 0x8000
+
+
 def inverse_rle(block: Block, quant: int, coeffs_out: np.ndarray) -> int:
     """Dezigzag + dequantize one block into `coeffs_out` (8x8 int16, pre-zeroed).
 
@@ -104,9 +108,13 @@ def inverse_rle(block: Block, quant: int, coeffs_out: np.ndarray) -> int:
             return BLOCK_CLASS_ZERO
         x, y = ZIGZAG_XY[zz]
         mag = tc.level if tc.level >= 0 else -tc.level
-        dequantized = quant * (2 * mag + 1)
+        # rle.rs:130-133 computes in i16, which WRAPS in release builds
+        # for Sorenson v1 11-bit escape levels (quant*(2|L|+1) > 32767,
+        # e.g. quant>=17 with |L| near 1023).  Bit-exactness requires
+        # replicating the wrap before the clamp.
+        dequantized = _wrap_i16(quant * (2 * mag + 1))
         sign = 1 if tc.level > 0 else -1
-        value = sign * (dequantized + parity)
+        value = _wrap_i16(sign * _wrap_i16(dequantized + parity))
         value = max(-2048, min(2047, value))
         coeffs_out[y, x] = value
         zz += 1
@@ -233,10 +241,11 @@ def parse_frame(r: BitReader, picture: Picture, decoder_options: DecoderOption,
 
             cbp = mb.coded_block_pattern
             in_range = index < nmb
-            if not in_range and (any(cbp.codes_luma) or cbp.codes_chroma_b
-                                 or cbp.codes_chroma_r or mb_type.is_intra()):
-                # The reference would index past its level buffers here (a
-                # panic); we reject the stream instead.
+            if not in_range:
+                # The reference calls inverse_rle for EVERY block of EVERY
+                # coded macroblock — empty CBP included — indexing
+                # levels[block_id] past its buffers (rle.rs:90, a panic);
+                # we reject the stream instead, uniformly.
                 raise InvalidBitstream()
 
             # 4 luma blocks, then Cb, Cr (state.rs:287-381).

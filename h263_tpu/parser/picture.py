@@ -391,8 +391,21 @@ def decode_picture(r: BitReader, decoder_options: DecoderOption,
 
         reference_picture_selection_mode = None
         if followers & _F_RPS_MODE:
-            reference_picture_selection_mode = ReferencePictureSelectionMode(
-                r.read_bits(3))
+            # picture.rs:477-497: the raw 3 bits are NOT the flag values —
+            # RESERVED is set when bit 0x4 is ABSENT, 0x2 requests NACKs,
+            # 0x1 requests ACKs.
+            raw = r.read_bits(3)
+            reference_picture_selection_mode = ReferencePictureSelectionMode(0)
+            if not raw & 0x4:
+                reference_picture_selection_mode |= (
+                    ReferencePictureSelectionMode.RESERVED)
+            if raw & 0x2:
+                reference_picture_selection_mode |= (
+                    ReferencePictureSelectionMode
+                    .REQUEST_NEGATIVE_ACKNOWLEDGEMENT)
+            if raw & 0x1:
+                reference_picture_selection_mode |= (
+                    ReferencePictureSelectionMode.REQUEST_ACKNOWLEDGEMENT)
 
         prediction_reference = None
         backchannel_message = None

@@ -395,3 +395,70 @@ def test_pick_build_dir_fallbacks(monkeypatch, tmp_path):
         lambda p: False if str(p) == pkg_lib else real_exists(p))
     d = bindings._pick_build_dir()
     assert d == str(tmp_path / "xdg" / "h263_tpu" / "build")
+
+
+def test_dequant_i16_wrap_parity():
+    """rle.rs dequantizes in i16, which WRAPS for Sorenson v1 11-bit
+    escape levels: quant=31, |L|=600 -> 31*1201 = 37231 -> i16 -28305 ->
+    clamps to -2048 (NOT +2047).  All front-ends must replicate it."""
+    from h263_tpu.parser.frame import parse_frame
+    from h263_tpu.testing.fuzz import _agree, _agree_d24
+    from h263_tpu.types import PictureOption
+
+    f = encode_sorenson_picture(
+        32, 32, PictureTypeCode.I_FRAME,
+        [MBSpec(kind="intra", intradc=[1024] * 6,
+                blocks=[[(0, 600)], [], [], [], [], []])]
+        + [MBSpec(kind="intra", intradc=[1024] * 6)] * 3,
+        quantizer=31, version=1)
+
+    r = BitReader(f)
+    pic = decode_picture(r, DecoderOption.SORENSON_SPARK_BITSTREAM, None)
+    fd = parse_frame(r, pic, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                     pic.options, 32, 32)
+    assert fd.coeffs_y[0, 0][0, 1] == -2048  # wrapped, sign flipped
+
+    # Negative level wraps the other way: -600 -> +28305 -> clamp +2047.
+    g = encode_sorenson_picture(
+        32, 32, PictureTypeCode.I_FRAME,
+        [MBSpec(kind="intra", intradc=[1024] * 6,
+                blocks=[[(0, -600)], [], [], [], [], []])]
+        + [MBSpec(kind="intra", intradc=[1024] * 6)] * 3,
+        quantizer=31, version=1)
+    r = BitReader(g)
+    pic = decode_picture(r, DecoderOption.SORENSON_SPARK_BITSTREAM, None)
+    fd = parse_frame(r, pic, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                     pic.options, 32, 32)
+    assert fd.coeffs_y[0, 0][0, 1] == 2047
+
+    # All front-ends agree (native + d24 transport vs Python).
+    for buf in (f, g):
+        ok, why = _agree(buf, 32, 32,
+                         DecoderOption.SORENSON_SPARK_BITSTREAM,
+                         PictureOption.NONE)
+        assert ok, why
+        ok, why = _agree_d24(buf, 32, 32)
+        assert ok, why
+
+
+def test_excess_coded_mb_rejected_uniformly():
+    """ANY coded MB past the MB count is rejected (rle.rs:90 panics even
+    for empty-CBP INTER MBs), by both front-ends with the same class."""
+    from h263_tpu.testing.fuzz import _agree
+    from h263_tpu.types import InvalidBitstream, PictureOption
+
+    w = h = 48
+    nmb = 9
+    excess_empty = encode_sorenson_picture(
+        w, h, PictureTypeCode.P_FRAME,
+        [MBSpec(kind="inter", mvd=[(2, -2)])] * (nmb + 3),
+        temporal_reference=1)
+    r = BitReader(excess_empty)
+    pic = decode_picture(r, DecoderOption.SORENSON_SPARK_BITSTREAM, None)
+    with pytest.raises(InvalidBitstream):
+        parse_frame(r, pic, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                    pic.options, w, h)
+    ok, why = _agree(excess_empty, w, h,
+                     DecoderOption.SORENSON_SPARK_BITSTREAM,
+                     PictureOption.NONE)
+    assert ok, why

@@ -172,3 +172,49 @@ def test_plusptype_umv_batched_packed_transport():
         pic = ref.decode_next_picture(buf)
         np.testing.assert_array_equal(np.asarray(y)[0], pic.as_luma())
         np.testing.assert_array_equal(np.asarray(y)[1], pic.as_luma())
+
+
+def test_rpsmf_mapping_matches_reference():
+    """picture.rs:477-497: the raw RPSMF bits are NOT the flag values —
+    RESERVED is set when bit 0x4 is ABSENT, 0x2 requests NACKs, 0x1
+    requests ACKs.  (Previously the raw bits were cast to the flag enum,
+    making every decoded value wrong.)"""
+    from h263_tpu.types import ReferencePictureSelectionMode as RPSM
+
+    def hdr(rpsmf_bits):
+        w = BitWriter()
+        w.write_bits(1, 17)
+        w.write_bits(0, 5)
+        w.write_bits(5, 8)
+        w.write_code("10000")
+        w.write_code("111")          # PLUSPTYPE
+        w.write_code("001")          # UFEP: OPPTYPE
+        w.write_code("010")          # fmt QCIF
+        w.write_bits(0, 1)
+        w.write_bits(0, 1)
+        w.write_bits(0b000001000, 9)  # REFERENCE_PICTURE_SELECTION on
+        w.write_code("1000")
+        w.write_code("000")
+        w.write_code("000")
+        w.write_code("001")
+        w.write_bits(0, 1)            # CPM
+        w.write_bits(rpsmf_bits, 3)   # RPSMF
+        w.write_bits(0, 1)            # TRPI absent
+        w.write_code("01")            # BCM: none
+        w.write_bits(9, 5)
+        w.write_bits(0, 1)
+        return w.to_bytes()
+
+    cases = {
+        0b100: RPSM(0),
+        0b101: RPSM.REQUEST_ACKNOWLEDGEMENT,
+        0b110: RPSM.REQUEST_NEGATIVE_ACKNOWLEDGEMENT,
+        0b111: (RPSM.REQUEST_ACKNOWLEDGEMENT
+                | RPSM.REQUEST_NEGATIVE_ACKNOWLEDGEMENT),
+        0b000: RPSM.RESERVED,
+        0b001: RPSM.RESERVED | RPSM.REQUEST_ACKNOWLEDGEMENT,
+        0b010: RPSM.RESERVED | RPSM.REQUEST_NEGATIVE_ACKNOWLEDGEMENT,
+    }
+    for raw, want in cases.items():
+        pic = decode_picture(BitReader(hdr(raw)), DecoderOption.NONE, None)
+        assert pic.reference_picture_selection_mode == want, bin(raw)
