@@ -103,7 +103,12 @@ class BitReader:
             while True:
                 if self.peek_bits(17) == 1:
                     return skip
-                if not in_error and skip >= max_skip:
+                # reader.rs:246 checks `skip > max_skip` AFTER a failed
+                # peek at offset `skip`, so the reference accepts a start
+                # code up to max_skip+1 bits ahead (its doc says "up to 8"),
+                # including 1 bit ahead at an already-aligned position.
+                # Bug-parity requires the same off-by-one.
+                if not in_error and skip > max_skip:
                     return None
                 self.pos += 1
                 skip += 1

@@ -552,7 +552,10 @@ static int gob_resync(BitReader& r) {
     r.read(17, &code);
     r.pos = save;
     if (code == 1) break;
-    if (skip >= max_skip) return 0;  // InvalidGobHeader => gob error => break
+    // reader.rs:246: bail at skip > max_skip (AFTER peeking skip), so a
+    // code up to max_skip+1 bits ahead is still accepted (reference
+    // off-by-one, bug-parity).
+    if (skip > max_skip) return 0;  // InvalidGobHeader => gob error => break
     r.pos += 1;
     skip += 1;
   }
@@ -992,7 +995,7 @@ int h263_sorenson_header(const uint8_t* data, uint64_t nbytes,
     r.read(17, &code);
     r.pos = save;
     if (code == 1) break;
-    if (skip >= max_skip) return E_INVALID_BITSTREAM;
+    if (skip > max_skip) return E_INVALID_BITSTREAM;  // reader.rs:246 off-by-one
     r.pos += 1;
     skip += 1;
   }
@@ -1488,7 +1491,7 @@ int h263_standard_header(const uint8_t* data, uint64_t nbytes,
     r.read(17, &code);
     r.pos = save;
     if (code == 1) break;
-    if (skip >= max_skip) return E_NEEDS_PYTHON;  // MiddleOfBitstream
+    if (skip > max_skip) return E_NEEDS_PYTHON;  // MiddleOfBitstream (reader.rs:246 off-by-one)
     r.pos += 1;
     skip += 1;
   }

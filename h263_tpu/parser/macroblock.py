@@ -5,7 +5,6 @@ from __future__ import annotations
 from ..bitio import BitReader
 from ..types import (
     CodedBlockPattern,
-    InternalDecoderError,
     InvalidMacroblockCodedBits,
     InvalidMacroblockHeader,
     InvalidMvd,

@@ -89,3 +89,22 @@ def test_transaction_rollback():
         r.with_transaction(fail)
     assert r.pos == 0
     assert r.read_u8() == 0xAB
+
+
+def test_start_code_one_past_alignment_accepted():
+    """reader.rs:246 bails at skip > max_skip AFTER peeking offset `skip`,
+    so a start code up to max_skip+1 bits ahead is accepted — including
+    1 bit ahead at an already byte-aligned position (max_skip=0)."""
+    # bit 0 = '0', bits 1..17 = the 17-bit start code.
+    r = BitReader(b"\x00\x00\x40\x00")
+    assert r.realignment_bits() == 0
+    assert r.recognize_start_code() == 1
+    # Two bits ahead exceeds max_skip+1 at an aligned position: rejected.
+    r2 = BitReader(b"\x00\x00\x20\x00")
+    assert r2.recognize_start_code() is None
+    # Unaligned: code at realignment_bits()+1 still accepted.
+    r3 = BitReader(b"\x00\x00\x00\x40\x00")
+    r3.read_bits(3)
+    assert r3.realignment_bits() == 5
+    # code's '1' lands at bit 25: 6 bits ahead of pos 3 == max_skip+1
+    assert r3.recognize_start_code() == 6
