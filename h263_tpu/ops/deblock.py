@@ -35,6 +35,9 @@ def _updown(x, strength, xp):
 
 
 def _div_floor(x, shift):
+    """Floor division by 2**shift — NB the argument is a SHIFT COUNT,
+    unlike _div_trunc_np's divisor (the paired call sites divide by the
+    same constants: _div_floor(x, 3) == floor(x/8) vs _div_trunc_np(x, 8))."""
     return x >> shift
 
 
@@ -165,8 +168,12 @@ def deblock_jnp(plane, strength):
         d = out[..., ey + 1, :]
         col = jnp.arange(w)
         fa, fb, fc, fd = _process_jnp(a, b, c, d, strength, True)
-        ta, tb, tc, td = _process_jnp(a, b, c, d, strength, False)
-        sel = lambda f, t: jnp.where(col < simd_w, f, t)
+        if simd_w < w:  # scalar-remainder columns use the trunc path
+            ta, tb, tc, td = _process_jnp(a, b, c, d, strength, False)
+            sel = lambda f, t: jnp.where(col < simd_w, f, t)
+        else:  # every production shape: w%8==0, trunc pass is dead
+            ta, tb, tc, td = fa, fb, fc, fd
+            sel = lambda f, t: f
         out = out.at[..., ey - 2, :].set(sel(fa, ta))
         out = out.at[..., ey - 1, :].set(sel(fb, tb))
         out = out.at[..., ey, :].set(sel(fc, tc))
@@ -183,8 +190,12 @@ def deblock_jnp(plane, strength):
             c = out[..., :, ca + 2]
             d = out[..., :, ca + 3]
             fa, fb, fc, fd = _process_jnp(a, b, c, d, strength, True)
-            ta, tb, tc, td = _process_jnp(a, b, c, d, strength, False)
-            sel = lambda f, t: jnp.where(row < simd_h, f, t)
+            if simd_h < h:
+                ta, tb, tc, td = _process_jnp(a, b, c, d, strength, False)
+                sel = lambda f, t: jnp.where(row < simd_h, f, t)
+            else:
+                ta, tb, tc, td = fa, fb, fc, fd
+                sel = lambda f, t: f
             out = out.at[..., :, ca].set(sel(fa, ta))
             out = out.at[..., :, ca + 1].set(sel(fb, tb))
             out = out.at[..., :, ca + 2].set(sel(fc, tc))

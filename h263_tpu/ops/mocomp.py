@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..types import MotionVector, halfpel_lerp_parameters
+from ..types import MotionVector
 
 
 # ---------------------------------------------------------------------------
@@ -108,6 +108,12 @@ def gather_plane_jnp(ref, mvs_per_block, inter_per_block, out_shape=None):
 
     h, w = ref.shape
     oh, ow = out_shape or (h, w)
+    # The block grid must cover the output: JAX's clamped gather would
+    # otherwise silently replicate the edge block's MV/inter into the
+    # uncovered region, where the numpy golden leaves zeros.
+    nby, nbx = inter_per_block.shape[-2], inter_per_block.shape[-1]
+    assert oh <= nby * 8 and ow <= nbx * 8, (
+        f"output {oh}x{ow} exceeds the {nby}x{nbx} block grid")
     mv = mvs_per_block.astype(jnp.int32)
     # floor(mv/2) and oddness (types.rs:721-729).
     delta = mv >> 1
