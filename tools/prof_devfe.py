@@ -158,6 +158,12 @@ def main():
     except Exception as e:
         val["error"] = repr(e)[:200]
     res["validation"] = val
+    # Surface the sticky pallas->xla fallback: a "pallas" row above is only
+    # genuinely the Mosaic kernel if this counter stayed 0.
+    from h263_tpu.utils.trace import get_counters
+
+    res["counters"] = {k: v for k, v in get_counters().items()
+                       if "fallback" in k or "device_frontend" in k}
     print(json.dumps(res))
 
 
