@@ -854,7 +854,13 @@ class DevicePrepBatch:
         n = self._n
         assert len(buffers) == n
         assert stage.dtype == np.uint8 and stage.flags["C_CONTIGUOUS"]
-        assert stage.strides[0] == self._stride
+        # Row pitch comes from the staged array itself: the caller may
+        # stage into any transfer bucket up to the construction-time cap
+        # (device_batch.py's bucket ladder).  Payloads longer than the
+        # bucket fail per stream in C (rc E_INVALID_BITSTREAM), same as
+        # the old fixed-cap overflow.
+        stride = stage.strides[0]
+        assert stride <= self._stride
         assert meta.shape == (5, n) and meta.dtype == np.int32
         if _fastcall is not None:
             _fastcall.gather_ptrs(buffers, self._ptrs.ctypes.data,
@@ -867,7 +873,7 @@ class DevicePrepBatch:
             ptrs_addr = ctypes.addressof(keepalive)
         failed = _lib.h263_device_prepare_batch(
             ptrs_addr, self._lengths.ctypes.data, n, self._w, self._h,
-            stage.ctypes.data, self._stride,
+            stage.ctypes.data, stride,
             meta.ctypes.data, self.hdr.ctypes.data, self.rc.ctypes.data)
         del keepalive
         return int(failed)

@@ -136,9 +136,24 @@ class DeviceFrontendDecoder:
         # repairs the lane host-side at the next sync point), mirroring
         # the packed transport's pack_cap contract.
         self.tape_len = tape_len or 24 * nmb
-        # Transfer bucket for the raw payload (bytes); frames above it fall
-        # back to the skip-frame path with a host-raised error.
+        # Transfer cap for the raw payload (bytes); frames above it fall
+        # back to the skip-frame path with a host-raised error.  Within the
+        # cap, each step ships the smallest bucket of a geometric ladder
+        # that covers the step's longest payload — padding to the decoder
+        # cap wasted 4-5x of the (bandwidth-bound) tunnel transfer on
+        # typical content.  The ladder is small and static so each bucket
+        # jit-compiles at most once per process (no per-step shape churn).
         self.max_frame_bytes = max_frame_bytes or 8192
+        cap = ((self.max_frame_bytes + 3) // 4) * 4
+        self.max_frame_bytes = cap
+        self._buckets = []
+        b = cap
+        while b >= 1024 and len(self._buckets) < 4:
+            self._buckets.append(b)
+            b = ((b // 2 + 3) // 4) * 4
+        if not self._buckets:
+            self._buckets = [cap]
+        self._buckets.sort()
         self.harness = harness
         self.unroll = unroll
         # step_fn injection: a pre-jitted whole-step program (e.g. the
@@ -167,15 +182,11 @@ class DeviceFrontendDecoder:
         # native prep path needs no Picture objects.
         self._last_quant = np.full(n_streams, 8, dtype=np.int32)
         self._last_deblock = np.zeros(n_streams, dtype=np.bool_)
-        # Ping-pong host staging for the payload leaf (device_put may read
-        # asynchronously — same reuse gate as batch.py).
+        # Ping-pong host staging for the payload leaf, one pair per transfer
+        # bucket, allocated lazily (device_put may read asynchronously —
+        # same reuse gate as batch.py, tracked per buffer pair).
         Lw = (self.max_frame_bytes + 3) // 4
-        self._stage = [np.zeros((n_streams, Lw, 4), dtype=np.uint8)
-                       for _ in range(2)]
-        self._meta = [np.zeros((5, n_streams), dtype=np.int32)
-                      for _ in range(2)]
-        self._stage_idx = 0
-        self._in_flight = [None, None]
+        self._stage_pp: dict = {}  # bucket -> {stage, meta, idx, in_flight}
         # Native host prep (batched header parse + staging copy): one FFI
         # call instead of a ~8 ms/step Python header loop at S=256.
         self._prep = None
@@ -216,15 +227,45 @@ class DeviceFrontendDecoder:
                 temporal_reference=0)
         return self._skip
 
-    def _next_stage(self):
-        self._stage_idx ^= 1
-        i = self._stage_idx
-        if self._in_flight[i] is not None:
+    def _pick_bucket(self, buffers) -> int:
+        """Smallest ladder bucket covering every payload this step will
+        stage.  Absent (None) and over-cap payloads stage the skip frame,
+        so they count at the skip frame's length; over-cap frames are
+        rejected per stream either way (native rc / host H263Error)."""
+        cap = self.max_frame_bytes
+        need = 1
+        skiplen = None
+        for b in buffers:
+            if b is None or len(b) > cap:
+                if skiplen is None:
+                    skiplen = len(self._skip_frame_bytes())
+                need = max(need, skiplen)
+            else:
+                need = max(need, len(b))
+        for b in self._buckets:
+            if b >= need:
+                return b
+        return self._buckets[-1]
+
+    def _next_stage(self, bucket: int):
+        pp = self._stage_pp.get(bucket)
+        if pp is None:
+            Lw = bucket // 4
+            pp = dict(
+                stage=[np.zeros((self.n, Lw, 4), dtype=np.uint8)
+                       for _ in range(2)],
+                meta=[np.zeros((5, self.n), dtype=np.int32)
+                      for _ in range(2)],
+                idx=0, in_flight=[None, None])
+            self._stage_pp[bucket] = pp
+        pp["idx"] ^= 1
+        i = pp["idx"]
+        if pp["in_flight"][i] is not None:
             with trace_stage("reclaim_wait"):
-                for a in self._in_flight[i]:
+                for a in pp["in_flight"][i]:
                     a.block_until_ready()
-            self._in_flight[i] = None
-        return self._stage[i], self._meta[i]
+            pp["in_flight"][i] = None
+        return pp, pp["stage"][i], pp["meta"][i]
 
     def decode_step(self, buffers: Sequence[bytes], mask=None):
         """Decode one frame per stream.  Returns device-resident (y, cb, cr)
@@ -245,7 +286,8 @@ class DeviceFrontendDecoder:
         if mask is not None:
             buffers = [b if mask[i] else None for i, b in enumerate(buffers)]
 
-        stage, meta = self._next_stage()
+        bucket = self._pick_bucket(buffers)
+        pp, stage, meta = self._next_stage(bucket)
         first_err: Optional[Exception] = None
         with trace_stage("host_parse"):
             if self._prep is not None:
@@ -344,7 +386,7 @@ class DeviceFrontendDecoder:
         # the in-flight slot NOW so that even if the dispatch below raises
         # and the caller keeps stepping (per-stream isolation), the next
         # reuse of this ping-pong buffer blocks until the transfer is done.
-        self._in_flight[self._stage_idx] = (dev_stage, dev_meta)
+        pp["in_flight"][pp["idx"]] = (dev_stage, dev_meta)
 
         with trace_stage("reconstruct_dispatch"):
             try:
@@ -379,7 +421,7 @@ class DeviceFrontendDecoder:
         self._dispatch_ok = True
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         self.last_status = status
-        self._in_flight[self._stage_idx] = (y, cb, cr)
+        pp["in_flight"][pp["idx"]] = (y, cb, cr)
         self._last_buffers = list(buffers)
 
         if first_err is not None:

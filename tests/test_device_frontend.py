@@ -775,7 +775,66 @@ class TestCarriedOptionsGate:
         # in-flight slot holds the transferred arrays, so the next reuse
         # of this ping-pong buffer blocks until the transfer completes
         # (CLAUDE.md HOST BUFFER REUSE GATE).
-        assert dec._in_flight[dec._stage_idx] is not None
+        pp = next(iter(dec._stage_pp.values()))
+        assert pp["in_flight"][pp["idx"]] is not None
+
+
+class TestTransferBuckets:
+    """The per-step payload bucket ladder: ship the smallest bucket that
+    covers the step's longest frame instead of padding every step to the
+    decoder cap (4-5x transfer waste on typical content)."""
+
+    def test_pick_bucket(self):
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        dec = DeviceFrontendDecoder(3, 48, 32, SORENSON)
+        assert dec._buckets == [1024, 2048, 4096, 8192]
+        assert dec._pick_bucket([b"x" * 10, b"y" * 900, b"z" * 10]) == 1024
+        assert dec._pick_bucket([b"x" * 1025, b"", b""]) == 2048
+        assert dec._pick_bucket([b"x" * 5000, b"", b""]) == 8192
+        # Absent and over-cap payloads stage the skip frame, so they count
+        # at its length, not theirs.
+        skiplen = len(dec._skip_frame_bytes())
+        want = dec._pick_bucket([b"a" * skiplen, b"", b""])
+        assert dec._pick_bucket([None, b"", b""]) == want
+        assert dec._pick_bucket([b"x" * 9001, b"", b""]) == want
+
+    def test_gop_spanning_buckets_matches_oracle(self):
+        """Steps landing in different buckets decode identically to the
+        single-stream oracle (each bucket is its own staging pair + jit
+        specialization)."""
+        from h263_tpu.decoder.state import H263Decoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        nmb = 6  # 48x32
+        fat_blocks = [[(1, 100)] * 30 for _ in range(6)]
+        fat = encode_sorenson_picture(
+            48, 32, PictureTypeCode.I_FRAME,
+            [MBSpec(kind="intra", intradc=[800] * 6, blocks=fat_blocks)
+             for _ in range(nmb)], temporal_reference=0, version=1)
+        assert len(fat) > 2048  # lands above the smallest buckets
+        thin = encode_sorenson_picture(
+            48, 32, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="uncoded")] * nmb, temporal_reference=1, version=1)
+        medium = rich_gop(321, n=2, version=1)[1]
+
+        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON, tape_len=2048)
+        oracles = [H263Decoder(SORENSON, backend="numpy") for _ in range(2)]
+        for t, frame in enumerate([fat, thin, medium]):
+            y, cb, cr = dec.decode_step([frame, frame])
+            assert (dec.fetch_status() == 0).all()
+            for i in range(2):
+                pic = oracles[i].decode_next_picture(frame)
+                np.testing.assert_array_equal(
+                    np.asarray(y[i]), pic.as_luma(),
+                    err_msg=f"stream {i} frame {t} luma")
+                np.testing.assert_array_equal(
+                    np.asarray(cb[i]), pic.as_chroma_b(),
+                    err_msg=f"stream {i} frame {t} cb")
+                np.testing.assert_array_equal(
+                    np.asarray(cr[i]), pic.as_chroma_r(),
+                    err_msg=f"stream {i} frame {t} cr")
+        assert len(dec._stage_pp) >= 2  # the GOP really spanned buckets
 
 
 def _gop_like_frame():
