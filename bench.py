@@ -294,6 +294,11 @@ def main():
     ap.add_argument("--distinct-corpora", type=int, default=24,
                     help="number of distinct stream corpora cycled over "
                          "the batch for the distinct-content measurements")
+    ap.add_argument("--serve-streams", type=int, default=1024,
+                    help="batch size for the device-front-end SERVING "
+                         "shape (the headline path); the automaton's "
+                         "per-step cost is flat in S so larger batches "
+                         "raise frames/s/chip nearly linearly")
     ap.add_argument("--no-720p", action="store_true",
                     help="skip the 720p secondary measurement")
     ap.add_argument("--budget", type=float, default=600.0,
@@ -494,6 +499,9 @@ def main():
         "vs_baseline": round(e2e_fps / 30000.0, 4),
         "detail": {
             "headline_regime": args.corpus,
+            "headline_path": "host",
+            "device_frontend": "pending",
+            "device_frontend_validation": None,
             "end_to_end_worst_fps": round(e2e_worst, 1),
             "host_parse_fps_per_core": round(host_fps, 1),
             "host_parse_distinct_fps_per_core": round(host_distinct_fps, 1),
@@ -516,10 +524,104 @@ def main():
             "baseline_note": "vs north-star 1000 real-time CIF streams/chip (30000 f/s); reference publishes no numbers",
         },
     }
-    # Crash-safe preliminary line: the 720p section and the strict gate can
-    # each hit a 30-600 s tunnel compile; if an outer timeout kills the
-    # process there, the CIF result above still reaches stdout.  The final
-    # (superset) line below supersedes it when everything completes.
+    # First crash-safe preliminary: the device-front-end section below can
+    # block on a 30-600 s tunnel compile; if the tunnel dies there, the
+    # mid-run watchdog replays this host-path line instead of zeroing.
+    emit(result)
+
+    # --- device entropy front-end: the serving path (round 3) ---------------
+    # Raw frame bytes ship to the device (the smallest possible transport)
+    # and the VLC automaton decodes all streams as lockstep vector lanes
+    # (parser/device_frontend.py).  Hardware-validated bit-exact vs the
+    # host front-end (tools/soak_hw.py --frontend device, 2026-08-18) and
+    # re-validated at the END of this run (the plane-equality fetch is a
+    # readback — it must stay after all timing; see the trap note above).
+    # Measured on a healthy window 2026-08-18: S=512 2.1 ms/step drained
+    # (~245k f/s/chip), S=1024 2.55 ms/step (~401k) — the automaton's
+    # per-step cost is flat in S, so the serving shape is the largest
+    # batch the content mix sustains; 1024 streams/chip is the north-star
+    # fleet shape.  The HEADLINE value is this path at --serve-streams
+    # when it times successfully; validation failure at the end demotes
+    # the headline back to the host path (never silently).
+    devfe = None
+    dfe_val = None            # S-sized decoder kept alive for validation
+    serve_status = None       # serving-shape per-lane status (device array)
+    headline_path = "host"
+    devfe_fps = devfe_worst = None
+    if budget_left() > 150:
+        devfe = {}
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        # Tape budget: the corpus I-frame costs ~9.5 automaton iterations
+        # per MB (1 header + 6 INTRADC + 1-4 ACs); 16 clears it with
+        # margin.  8 would overflow frame 0 and poison the whole section.
+        def make_dfe(n):
+            return DeviceFrontendDecoder(
+                n, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                pallas=args.pallas, tape_len=16 * mbs_per_frame,
+                max_frame_bytes=8192, harness="xla")
+
+        try:
+            dfe_val = make_dfe(S)
+            best_d, worst_d, stages_d = measure_e2e(
+                dfe_val, dist_lists, budget_left())
+            devfe["xla"] = {
+                "end_to_end_distinct_fps": round(best_d, 1),
+                "end_to_end_distinct_worst_fps": round(worst_d, 1),
+                "stages_ms": stages_d,
+            }
+            devfe_fps, devfe_worst = best_d, worst_d
+            headline_path = f"device_frontend_xla_S{S}"
+            log(f"device front-end e2e: {best_d:.1f} frames/s/chip "
+                f"distinct (S={S}, worst {worst_d:.1f})")
+        except Exception as e:  # pragma: no cover
+            log(f"device front-end [xla S={S}] failed: {e!r}")
+            devfe["xla"] = {"error": repr(e)[:200]}
+            dfe_val = None
+        S_serve = args.serve_streams
+        if (dfe_val is not None and S_serve > S
+                and budget_left() > 90):
+            try:
+                serve_lists = [[distinct[s % n_corp][t]
+                                for s in range(S_serve)] for t in range(F)]
+                dfe_serve = make_dfe(S_serve)
+                best_s, worst_s, stages_s = measure_e2e(
+                    dfe_serve, serve_lists, budget_left())
+                devfe["xla_serve"] = {
+                    "streams": S_serve,
+                    "end_to_end_distinct_fps": round(best_s, 1),
+                    "end_to_end_distinct_worst_fps": round(worst_s, 1),
+                    "stages_ms": stages_s,
+                }
+                devfe_fps, devfe_worst = best_s, worst_s
+                headline_path = f"device_frontend_xla_S{S_serve}"
+                log(f"device front-end e2e: {best_s:.1f} frames/s/chip "
+                    f"distinct (SERVING shape S={S_serve}, worst "
+                    f"{worst_s:.1f})")
+                # Keep only the tiny per-lane status array for the
+                # end-of-run validation; free the big buffers now (the
+                # 720p section needs the HBM).
+                serve_status = dfe_serve.last_status
+                del dfe_serve, serve_lists
+            except Exception as e:  # pragma: no cover
+                log(f"device front-end serving shape failed: {e!r}")
+                devfe["xla_serve"] = {"error": repr(e)[:200]}
+    else:
+        log("device front-end skipped: budget exhausted")
+
+    if devfe_fps is not None:
+        e2e_fps, e2e_worst = devfe_fps, devfe_worst
+        result["value"] = round(e2e_fps, 1)
+        result["vs_baseline"] = round(e2e_fps / 30000.0, 4)
+        result["detail"]["end_to_end_worst_fps"] = round(e2e_worst, 1)
+    result["detail"]["headline_path"] = headline_path
+    result["detail"]["device_frontend"] = devfe
+    result["detail"]["device_frontend_validation"] = (
+        "pending" if dfe_val is not None else None)
+    # Second crash-safe preliminary: the 720p section and the strict gate
+    # can each hit a 30-600 s tunnel compile; if an outer timeout kills the
+    # process there, the CIF+devfe result above still reaches stdout.  The
+    # final (superset) line below supersedes it when everything completes.
     emit(result)
 
     # --- 720p secondary metric (VERDICT r2 #5) ------------------------------
@@ -589,13 +691,17 @@ def main():
         seq_worst = max(seq_worst, s2_worst)
         seq_distinct_fps = max(seq_distinct_fps, d2_best)
         seq_distinct_worst = max(seq_distinct_worst, d2_worst)
-        e2e_fps = seq_distinct_fps if args.corpus == "distinct" else seq_fps
-        e2e_worst = (seq_distinct_worst if args.corpus == "distinct"
-                     else seq_worst)
-        result["value"] = round(e2e_fps, 1)
-        result["vs_baseline"] = round(e2e_fps / 30000.0, 4)
         d = result["detail"]
-        d["end_to_end_worst_fps"] = round(e2e_worst, 1)
+        if headline_path == "host":
+            # Host path is the headline only when the device front-end
+            # section was skipped or failed; fold the second sample in.
+            e2e_fps = (seq_distinct_fps if args.corpus == "distinct"
+                       else seq_fps)
+            e2e_worst = (seq_distinct_worst if args.corpus == "distinct"
+                         else seq_worst)
+            result["value"] = round(e2e_fps, 1)
+            result["vs_baseline"] = round(e2e_fps / 30000.0, 4)
+            d["end_to_end_worst_fps"] = round(e2e_worst, 1)
         d["end_to_end_shared_fps"] = round(seq_fps, 1)
         d["end_to_end_shared_worst_fps"] = round(seq_worst, 1)
         d["end_to_end_distinct_fps"] = round(seq_distinct_fps, 1)
@@ -603,100 +709,57 @@ def main():
     else:
         log("second CIF sample skipped: budget exhausted")
 
-    # --- device entropy front-end (round 3+, diagnostic) --------------------
-    # The alternative path: raw frame bytes ship to the device and the VLC
-    # automaton decodes all streams as parallel lanes (parser/
-    # device_frontend.py).  Measured for both harnesses when budget allows;
-    # the end-of-section status/equality fetches are the process's FIRST
-    # readbacks (sync-mode trap) so this section must stay after all other
-    # timing and immediately before the strict gate.
-    devfe = None
-    if budget_left() > 120:
-        devfe = {}
-        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
-
-        for harness in ("xla", "pallas"):
-            if harness == "pallas" and args.pallas == "off":
-                continue
-            if budget_left() < 60:
-                log(f"device front-end [{harness}] skipped: budget")
-                break
-            try:
-                # Tape budget: the corpus I-frame costs ~9.5 automaton
-                # iterations per MB (1 header + 6 INTRADC + 1-4 ACs); 16
-                # clears it with margin.  8 would overflow frame 0 and
-                # poison the whole section (identity I-frames).
-                dfe = DeviceFrontendDecoder(
-                    S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
-                    pallas=args.pallas, tape_len=16 * mbs_per_frame,
-                    max_frame_bytes=8192, harness=harness)
-                best_d, worst_d, stages_d = measure_e2e(
-                    dfe, dist_lists, budget_left())
-                devfe[harness] = {
-                    "end_to_end_distinct_fps": round(best_d, 1),
-                    "end_to_end_distinct_worst_fps": round(worst_d, 1),
-                    "stages_ms": stages_d,
-                }
-                if harness == "xla":
-                    dfe_xla = dfe
-                log(f"device front-end [{harness}] e2e: {best_d:.1f} "
-                    f"frames/s/chip distinct (worst {worst_d:.1f})")
-            except Exception as e:  # pragma: no cover
-                log(f"device front-end [{harness}] failed: {e!r}")
-                devfe[harness] = {"error": repr(e)[:200]}
-        # Batch-size scaling probe: the automaton's wall-clock is its
-        # serial iteration count x per-iteration cost; if the latter is
-        # latency-bound (not S-bound), a larger batch raises frames/s/chip
-        # nearly linearly — the lever the host front-end lacks.  One extra
-        # size, xla harness, tape/transfer buckets unchanged.
-        S_big = 4 * S
-        if budget_left() > 90 and "end_to_end_distinct_fps" in devfe.get(
-                "xla", {}):
-            try:
-                big_lists = [[distinct[s % n_corp][t] for s in range(S_big)]
-                             for t in range(F)]
-                dfe_big = DeviceFrontendDecoder(
-                    S_big, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
-                    pallas=args.pallas, tape_len=16 * mbs_per_frame,
-                    max_frame_bytes=8192, harness="xla")
-                best_b, worst_b, _ = measure_e2e(
-                    dfe_big, big_lists, budget_left())
-                devfe[f"xla_S{S_big}"] = {
-                    "end_to_end_distinct_fps": round(best_b, 1),
-                    "end_to_end_distinct_worst_fps": round(worst_b, 1),
-                }
-                log(f"device front-end [xla S={S_big}] e2e: {best_b:.1f} "
-                    f"frames/s/chip distinct (worst {worst_b:.1f})")
-                del dfe_big, big_lists
-            except Exception as e:  # pragma: no cover
-                log(f"device front-end S-scaling probe failed: {e!r}")
-                devfe[f"xla_S{S_big}"] = {"error": repr(e)[:200]}
-        # Post-timing validation: replay the distinct GOP through both
-        # front-ends (still in fast dispatch mode), then do the run's FIRST
-        # readbacks — status count and an on-device plane equality scalar.
-        # NB: on a bare CPU backend (no conftest) the two distinct jitted
-        # programs fuse differently and FMA-contract differently, so the
-        # planes legitimately diverge by the known 1-ulp IDCT artifact;
-        # with --xla_disable_hlo_passes=fusion (or on TPU, which is
-        # reference-strict) they are bit-identical (verified CIF-scale).
+    # --- device front-end validation (MUST stay after all timing) -----------
+    # These are the process's first readbacks of computed arrays (sync-mode
+    # trap; see note above): replay the distinct GOP through both
+    # front-ends, then fetch an on-device plane-equality scalar and the
+    # per-lane status counts.  A failed validation DEMOTES the headline
+    # back to the host path — a serving path that doesn't match the host
+    # decoder bit-for-bit has no throughput claim.
+    # NB: on a bare CPU backend (no conftest) the two distinct jitted
+    # programs fuse differently and FMA-contract differently, so the
+    # planes legitimately diverge by the known 1-ulp IDCT artifact; with
+    # --xla_disable_hlo_passes=fusion (or on TPU, which is
+    # reference-strict) they are bit-identical (verified CIF-scale).
+    if dfe_val is not None:
+        val_ok = False
         try:
-            if devfe and "end_to_end_distinct_fps" in devfe.get("xla", {}):
-                import jax.numpy as jnp
+            import jax.numpy as jnp
 
-                for t in range(F):
-                    y, _, _ = dec.decode_step(dist_lists[t])
-                for t in range(F):
-                    y2, _, _ = dfe_xla.decode_step(dist_lists[t])
-                eq = jnp.array_equal(y, y2)
-                ok_count = (dfe_xla.last_status == 0).sum()
-                devfe["status_ok_streams"] = int(np.asarray(ok_count))
-                devfe["plane_match_vs_host"] = bool(np.asarray(eq))
-                log(f"device front-end validation: "
-                    f"{devfe['status_ok_streams']}/{S} ok, planes match "
-                    f"host: {devfe['plane_match_vs_host']}")
+            for t in range(F):
+                y, _, _ = dec.decode_step(dist_lists[t])
+            for t in range(F):
+                y2, _, _ = dfe_val.decode_step(dist_lists[t])
+            eq = jnp.array_equal(y, y2)
+            ok_count = (dfe_val.last_status == 0).sum()
+            devfe["status_ok_streams"] = int(np.asarray(ok_count))
+            devfe["plane_match_vs_host"] = bool(np.asarray(eq))
+            val_ok = (devfe["plane_match_vs_host"]
+                      and devfe["status_ok_streams"] == S)
+            if serve_status is not None:
+                n_ok = int(np.asarray((serve_status == 0).sum()))
+                devfe["serve_status_ok_streams"] = n_ok
+                val_ok = val_ok and n_ok == args.serve_streams
+            log(f"device front-end validation: "
+                f"{devfe['status_ok_streams']}/{S} ok, planes match "
+                f"host: {devfe['plane_match_vs_host']}")
         except Exception as e:  # pragma: no cover
-            log(f"device front-end validation skipped: {e!r}")
-    result["detail"]["device_frontend"] = devfe
+            log(f"device front-end validation FAILED to run: {e!r}")
+            devfe["validation_error"] = repr(e)[:200]
+        result["detail"]["device_frontend_validation"] = (
+            "ok" if val_ok else "FAILED")
+        if not val_ok and headline_path.startswith("device_frontend"):
+            demoted_fps = (seq_distinct_fps if args.corpus == "distinct"
+                           else seq_fps)
+            demoted_worst = (seq_distinct_worst if args.corpus == "distinct"
+                             else seq_worst)
+            result["value"] = round(demoted_fps, 1)
+            result["vs_baseline"] = round(demoted_fps / 30000.0, 4)
+            result["detail"]["end_to_end_worst_fps"] = round(
+                demoted_worst, 1)
+            result["detail"]["headline_path"] = "host (devfe demoted)"
+            log("device front-end validation FAILED -> headline demoted "
+                "to the host path")
 
     # Correctness gate last (it reads back a pixel — see note above).  On
     # failure the FINAL line (the one a tail-parsing driver records) zeroes
