@@ -824,6 +824,13 @@ def _setup_device_prep_sig(lib):
         C.c_void_p, C.c_int64,               # stage base, stride
         C.c_void_p, C.c_void_p, C.c_void_p,  # meta [5][n], hdr [n][8], rc [n]
     ]
+    lib.h263_device_prepare_ragged.restype = C.c_int
+    lib.h263_device_prepare_ragged.argtypes = [
+        C.c_void_p, C.c_void_p,              # buffers (ptr array), lengths
+        C.c_int32, C.c_int32, C.c_int32,     # n, expected w, h
+        C.c_void_p, C.c_int64,               # flat stage base, cap bytes
+        C.c_void_p, C.c_void_p, C.c_void_p,  # meta [6][n], hdr [n][8], rc [n]
+    ]
 
 
 class DevicePrepBatch:
@@ -874,6 +881,32 @@ class DevicePrepBatch:
         failed = _lib.h263_device_prepare_batch(
             ptrs_addr, self._lengths.ctypes.data, n, self._w, self._h,
             stage.ctypes.data, stride,
+            meta.ctypes.data, self.hdr.ctypes.data, self.rc.ctypes.data)
+        del keepalive
+        return int(failed)
+
+    def prepare_ragged(self, buffers, stage: np.ndarray,
+                       meta: np.ndarray) -> int:
+        """Ragged-payload prep: pack every lane's word-aligned payload back
+        to back into the FLAT uint8 `stage` (any shape; total bytes is the
+        cap) and fill `meta` (int32 [6, n] — rows 0-4 as prepare(), row 5
+        the lane's word offset).  Returns the failed-stream count."""
+        n = self._n
+        assert len(buffers) == n
+        assert stage.dtype == np.uint8 and stage.flags["C_CONTIGUOUS"]
+        assert meta.shape == (6, n) and meta.dtype == np.int32
+        if _fastcall is not None:
+            _fastcall.gather_ptrs(buffers, self._ptrs.ctypes.data,
+                                  self._lengths.ctypes.data)
+            ptrs_addr = self._ptrs.ctypes.data
+            keepalive = buffers
+        else:
+            keepalive = (ctypes.c_char_p * n)(*buffers)
+            self._lengths[:] = [len(b) for b in buffers]
+            ptrs_addr = ctypes.addressof(keepalive)
+        failed = _lib.h263_device_prepare_ragged(
+            ptrs_addr, self._lengths.ctypes.data, n, self._w, self._h,
+            stage.ctypes.data, stage.nbytes,
             meta.ctypes.data, self.hdr.ctypes.data, self.rc.ctypes.data)
         del keepalive
         return int(failed)

@@ -1422,6 +1422,61 @@ int h263_device_prepare_batch(
   return failed;
 }
 
+// Ragged-payload variant: lanes pack back to back (word-aligned) into ONE
+// flat staging buffer of `stage_cap` bytes, so the transfer ships
+// ~sum(len) instead of n * bucket(max len).  meta is int32 [6][n] — rows
+// 0-4 as h263_device_prepare_batch, row 5 the lane's word offset into the
+// flat buffer (device_frontend.make_step ragged mode).  Failed lanes stage
+// zero words (base = current cursor, nbits = 0) — observably identical to
+// the rows layout's zeroed row.  The caller sizes stage_cap from
+// sum(ceil(len/4)*4); a lane that would overflow it fails per stream
+// (rc E_INVALID_BITSTREAM), preserving batch isolation.
+int h263_device_prepare_ragged(
+    const uint8_t** bufs, const uint64_t* lens, int32_t n,
+    int32_t exp_width, int32_t exp_height,
+    uint8_t* stage, int64_t stage_cap,
+    int32_t* meta, int32_t* hdr_all, int32_t* rc_out) {
+  int32_t failed = 0;
+  size_t cursor = 0;  // bytes; stays word-aligned
+  for (int32_t i = 0; i < n; i++) {
+    int32_t* hdr = hdr_all + (size_t)i * 8;
+    uint64_t end_bit = 0;
+    size_t wbytes = ((size_t)lens[i] + 3u) & ~(size_t)3u;
+    int rc = OK;
+    if (cursor + wbytes > (size_t)stage_cap) {
+      rc = E_INVALID_BITSTREAM;
+    } else {
+      rc = h263_sorenson_header(bufs[i], lens[i], 0, hdr, &end_bit);
+      if (rc == OK && (hdr[2] != exp_width || hdr[3] != exp_height)) {
+        rc = E_INVALID_BITSTREAM;
+      }
+    }
+    rc_out[i] = rc;
+    meta[5 * n + i] = (int32_t)(cursor / 4);
+    if (rc != OK) {
+      failed++;
+      meta[0 * n + i] = 0;
+      meta[1 * n + i] = 0;
+      meta[2 * n + i] = 1;
+      meta[3 * n + i] = 1;
+      meta[4 * n + i] = 0;
+      continue;
+    }
+    std::memcpy(stage + cursor, bufs[i], (size_t)lens[i]);
+    std::memset(stage + cursor + lens[i], 0, wbytes - (size_t)lens[i]);
+    cursor += wbytes;
+    meta[0 * n + i] = (int32_t)end_bit;
+    meta[1 * n + i] = (int32_t)(lens[i] * 8);
+    meta[2 * n + i] = hdr[6];
+    meta[3 * n + i] = hdr[4] == 0 ? 0 : (hdr[4] == 1 ? 1 : 2);
+    meta[4 * n + i] = hdr[0] == 1 ? 1 : 0;
+  }
+  if (cursor < (size_t)stage_cap) {
+    std::memset(stage + cursor, 0, (size_t)stage_cap - cursor);
+  }
+  return failed;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -47,7 +47,8 @@ from ..utils.trace import incr, trace_stage
 
 
 def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
-                    harness: str = "xla", unroll: int = 4):
+                    harness: str = "xla", unroll: int = 4,
+                    ragged: bool = False):
     """The (unjitted) whole-step program for an h x w bucket: raw bytes to
     planes.  Signature: step(data_u8, start_bit, nbits, quant0, ptype, v1,
     ref_y, ref_cb, ref_cr) -> (y, cb, cr, status).
@@ -57,18 +58,26 @@ def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
     kernel under the interpreter (CPU testing).  `unroll` (xla harness
     only) trades compile time for loop overhead — automaton steps per
     while_loop body (see df.parse_frames_device).
+
+    ragged: the payload leaf is a FLAT [Nw, 4] uint8 buffer holding every
+    lane's word-aligned payload back to back, with a `base` word-offset
+    argument inserted after data_u8 — step(data_u8, base, start_bit, ...).
+    Ships sum(len) bytes instead of S * bucket(max len); xla harness only
+    (the Pallas kernel keeps the rows layout).
     """
     mbh, mbw = -(-h // 16), -(-w // 16)
+    if ragged and harness != "xla":
+        raise ValueError("ragged payload requires the xla harness")
 
-    def step(data_u8, start_bit, nbits, quant0, ptype, v1,
-             ref_y, ref_cb, ref_cr):
+    def step_core(words, base, start_bit, nbits, quant0, ptype, v1,
+                  ref_y, ref_cb, ref_cr):
         from ..decoder.reconstruct import reconstruct_from_dense
 
-        words = df.payload_words(data_u8)
         if harness == "xla":
             tapes = df.parse_frames_device(
                 words, start_bit, nbits, quant0, ptype, v1,
-                mbh=mbh, mbw=mbw, tape_len=tape_len, unroll=unroll)
+                mbh=mbh, mbw=mbw, tape_len=tape_len, unroll=unroll,
+                base=base)
         else:
             from ..ops.parse_pallas import parse_frames_pallas
 
@@ -81,17 +90,31 @@ def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
             dense, mvs, inter, ref_y, ref_cb, ref_cr, pallas=pallas)
         return y, cb, cr, tapes["status"]
 
+    if ragged:
+        def step(data_u8, base, start_bit, nbits, quant0, ptype, v1,
+                 ref_y, ref_cb, ref_cr):
+            return step_core(df.payload_words(data_u8), base, start_bit,
+                             nbits, quant0, ptype, v1, ref_y, ref_cb, ref_cr)
+    else:
+        def step(data_u8, start_bit, nbits, quant0, ptype, v1,
+                 ref_y, ref_cb, ref_cr):
+            return step_core(df.payload_words(data_u8), None, start_bit,
+                             nbits, quant0, ptype, v1, ref_y, ref_cb, ref_cr)
+
     return step
 
 
 @functools.lru_cache(maxsize=32)
 def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off",
-                       harness: str = "xla", unroll: int = 4):
+                       harness: str = "xla", unroll: int = 4,
+                       ragged: bool = False):
     """Jitted make_whole_step, cached over (dims, tape bucket, kernel
-    flavor, parse harness, unroll) so the jit cache stays bounded."""
+    flavor, parse harness, unroll, payload layout) so the jit cache stays
+    bounded."""
     import jax
 
-    return jax.jit(make_whole_step(h, w, tape_len, pallas, harness, unroll))
+    return jax.jit(make_whole_step(h, w, tape_len, pallas, harness, unroll,
+                                   ragged))
 
 
 class DeviceFrontendDecoder:
@@ -105,7 +128,8 @@ class DeviceFrontendDecoder:
                  decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
                  pallas: str = "auto", tape_len: Optional[int] = None,
                  max_frame_bytes: Optional[int] = None,
-                 harness: str = "xla", unroll: int = 4, step_fn=None):
+                 harness: str = "xla", unroll: int = 4, step_fn=None,
+                 payload: str = "auto"):
         import jax
         import jax.numpy as jnp
 
@@ -163,8 +187,8 @@ class DeviceFrontendDecoder:
         # opt out of the pallas->xla harness fallback below.
         self._fn_injected = step_fn is not None
         self._dispatch_ok = False  # set once a step fn call has succeeded
-        self._fn = step_fn or get_device_step_fn(
-            height, width, self.tape_len, pallas, harness, unroll)
+        self._step_fn_arg = step_fn  # resolved into self._fn below, after
+        # the native prep exists (the ragged payload layout needs it)
 
         self.ref_y = jnp.zeros((n_streams, self.h, self.w), dtype=jnp.uint8)
         self.ref_cb = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
@@ -204,6 +228,31 @@ class DeviceFrontendDecoder:
 
                 self._prep = DevicePrepBatch(n_streams, width, height,
                                              Lw * 4)
+
+        # Payload layout.  "rows": uint8 [S, Lw, 4] rows padded to the
+        # step's max-lane bucket.  "ragged": ONE flat [Nw, 4] buffer with
+        # per-lane word offsets (make_whole_step ragged) — ships ~sum(len)
+        # bytes instead of S * bucket(max len), and a single long frame
+        # (I-frame, joiner) no longer forces every lane to its bucket.
+        # "auto" picks ragged when the prerequisites hold: xla harness
+        # (the Pallas kernel keeps rows), default step fn (injected
+        # programs own their signature), and the native prep (which packs
+        # the flat buffer; the Python staging loop stays rows-only).
+        if payload == "auto":
+            payload = ("ragged" if (harness == "xla" and step_fn is None
+                                    and self._prep is not None) else "rows")
+        elif payload == "ragged":
+            if harness != "xla" or step_fn is not None:
+                raise ValueError("payload='ragged' requires harness='xla' "
+                                 "and the default step fn")
+            if self._prep is None:
+                raise ValueError("payload='ragged' requires the native prep")
+        elif payload != "rows":
+            raise ValueError(f"unknown payload layout {payload!r}")
+        self.payload = payload
+        self._fn = self._step_fn_arg or get_device_step_fn(
+            height, width, self.tape_len, pallas, harness, unroll,
+            ragged=(payload == "ragged"))
 
     # -- host-side helpers ---------------------------------------------------
 
@@ -247,6 +296,44 @@ class DeviceFrontendDecoder:
                 return b
         return self._buckets[-1]
 
+    def _pick_bucket_ragged(self, bufs) -> int:
+        """Total flat-buffer bytes for this step, quantized to a 2^(1/4)
+        geometric grid (<=19% padding, ~9% mean).  Each rung that is
+        actually HIT jit-compiles once (jax caches per shape); steady-state
+        content occupies 1-2 adjacent rungs, so the fine grid does not
+        cause a compile storm the way per-step exact shapes would."""
+        import math
+
+        need = max(4096, sum(((len(b) + 3) // 4) * 4 for b in bufs))
+        k = max(0, math.ceil(math.log2(need / 4096.0) * 4.0))
+        bucket = ((int(math.ceil(4096.0 * 2.0 ** (k / 4.0))) + 3) // 4) * 4
+        # Guard against float edge: the rung must cover need.
+        while bucket < need:
+            k += 1
+            bucket = ((int(math.ceil(4096.0 * 2.0 ** (k / 4.0))) + 3)
+                      // 4) * 4
+        return bucket
+
+    def _next_stage_ragged(self, bucket: int):
+        key = ("ragged", bucket)
+        pp = self._stage_pp.get(key)
+        if pp is None:
+            pp = dict(
+                stage=[np.zeros((bucket // 4, 4), dtype=np.uint8)
+                       for _ in range(2)],
+                meta=[np.zeros((6, self.n), dtype=np.int32)
+                      for _ in range(2)],
+                idx=0, in_flight=[None, None])
+            self._stage_pp[key] = pp
+        pp["idx"] ^= 1
+        i = pp["idx"]
+        if pp["in_flight"][i] is not None:
+            with trace_stage("reclaim_wait"):
+                for a in pp["in_flight"][i]:
+                    a.block_until_ready()
+            pp["in_flight"][i] = None
+        return pp, pp["stage"][i], pp["meta"][i]
+
     def _next_stage(self, bucket: int):
         pp = self._stage_pp.get(bucket)
         if pp is None:
@@ -286,14 +373,30 @@ class DeviceFrontendDecoder:
         if mask is not None:
             buffers = [b if mask[i] else None for i, b in enumerate(buffers)]
 
-        bucket = self._pick_bucket(buffers)
-        pp, stage, meta = self._next_stage(bucket)
+        ragged = self.payload == "ragged"
+        if ragged:
+            # Over-cap frames stage as empty payloads (header parse fails
+            # -> identity frame + surfaced error), matching the rows
+            # path's native per-frame cap rejection; absent lanes decode
+            # the skip frame as usual.
+            cap = self.max_frame_bytes
+            r_bufs = [self._skip_frame_bytes() if b is None
+                      else (b"" if len(b) > cap else b) for b in buffers]
+            bucket = self._pick_bucket_ragged(r_bufs)
+            pp, stage, meta = self._next_stage_ragged(bucket)
+        else:
+            bucket = self._pick_bucket(buffers)
+            pp, stage, meta = self._next_stage(bucket)
         first_err: Optional[Exception] = None
         with trace_stage("host_parse"):
             if self._prep is not None:
-                bufs = [self._skip_frame_bytes() if b is None else b
-                        for b in buffers]
-                failed = self._prep.prepare(bufs, stage, meta)
+                if ragged:
+                    bufs = r_bufs
+                    failed = self._prep.prepare_ragged(bufs, stage, meta)
+                else:
+                    bufs = [self._skip_frame_bytes() if b is None else b
+                            for b in buffers]
+                    failed = self._prep.prepare(bufs, stage, meta)
                 hdr = self._prep.hdr
                 # Absent (None) lanes decode the skip frame but must keep
                 # their LAST REAL frame's presentation params (quantizer ->
@@ -390,10 +493,16 @@ class DeviceFrontendDecoder:
 
         with trace_stage("reconstruct_dispatch"):
             try:
-                y, cb, cr, status = self._fn(
-                    dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
-                    dev_meta[3], dev_meta[4],
-                    self.ref_y, self.ref_cb, self.ref_cr)
+                if ragged:
+                    y, cb, cr, status = self._fn(
+                        dev_stage, dev_meta[5], dev_meta[0], dev_meta[1],
+                        dev_meta[2], dev_meta[3], dev_meta[4],
+                        self.ref_y, self.ref_cb, self.ref_cr)
+                else:
+                    y, cb, cr, status = self._fn(
+                        dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
+                        dev_meta[3], dev_meta[4],
+                        self.ref_y, self.ref_cb, self.ref_cr)
             except Exception:
                 # The Pallas automaton kernel is semantically identical to
                 # the XLA while_loop harness but its Mosaic lowering is a

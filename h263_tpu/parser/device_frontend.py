@@ -263,9 +263,20 @@ def _lookup(table, maxlen, hi, c):
 
 
 def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
-              tables=None):
+              tables=None, base=None):
     """Build the lockstep automaton for one batch: returns
     (init_state, step) where step(state) -> (new_state, emissions).
+
+    Ragged payload mode: when `base` (int32 [S], word offsets) is given,
+    data_u32 is a FLAT uint32 [Nw] word buffer holding every lane's
+    word-aligned payload back to back — lane i's words live at
+    base[i] .. base[i] + ceil(nbits[i]/32).  Reads past a lane's own words
+    return 0, exactly as the row layout's zero padding does, so the two
+    layouts are observably identical to the automaton (differentially
+    pinned by tests/test_device_frontend.py).  The flat layout ships
+    sum(len) bytes per step instead of S * max(len) — the transfer-byte
+    lever for the device front-end (CLAUDE.md "Degraded-bandwidth
+    windows").
 
     The step function is pure int32/uint32 jnp — it lowers unchanged
     through XLA (parse_frames_device wraps it in a lax.while_loop carrying
@@ -300,7 +311,11 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
     import jax
     import jax.numpy as jnp
 
-    S, Lw = data_u32.shape
+    if base is None:
+        S, Lw = data_u32.shape
+    else:
+        (Nw,) = data_u32.shape
+        S = base.shape[0]
     nmb = mbh * mbw
     RING = mbw + 2
 
@@ -325,10 +340,19 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
     ORD_SENTINEL = jnp.int32(2 ** 30)
     REC_SENTINEL = jnp.int32(2 ** 30)
 
-    def fetch_word(wcur):
-        w = jnp.take_along_axis(
-            data_u32, jnp.clip(wcur, 0, Lw - 1)[:, None], axis=1)[:, 0]
-        return jnp.where(wcur < Lw, w, jnp.uint32(0))
+    if base is None:
+        def fetch_word(wcur):
+            w = jnp.take_along_axis(
+                data_u32, jnp.clip(wcur, 0, Lw - 1)[:, None], axis=1)[:, 0]
+            return jnp.where(wcur < Lw, w, jnp.uint32(0))
+    else:
+        base_i = i32(base)
+        lane_words = (nbits + 31) // 32
+
+        def fetch_word(wcur):
+            idx = jnp.clip(base_i + wcur, 0, Nw - 1)
+            w = jnp.take(data_u32, idx)
+            return jnp.where(wcur < lane_words, w, jnp.uint32(0))
 
     def refill(st):
         """Maintain the 64-bit (hi, lo) window: while fewer than 33 window
@@ -842,7 +866,7 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
 
 def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
                         *, mbh: int, mbw: int, tape_len: int,
-                        unroll: int = 4):
+                        unroll: int = 4, base=None):
     """Vectorized batched entropy decode (XLA harness around make_step).
 
     Returns dict with coe_ord/coe_val int32 [S, T], rec_idx/rec_val int32
@@ -860,11 +884,11 @@ def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
     import jax
     import jax.numpy as jnp
 
-    S = data_u32.shape[0]
+    S = nbits.shape[0]
     U = max(1, unroll)
     T = -(-tape_len // U) * U
     init_state, step = make_step(data_u32, nbits, ptype, sorenson_v1,
-                                 mbh=mbh, mbw=mbw)
+                                 mbh=mbh, mbw=mbw, base=base)
     st0 = init_state(start_bit, quant0)
 
     tapes0 = dict(

@@ -886,3 +886,114 @@ class TestEmbeddedStartCodeScan:
             sb = int(rng.integers(0, max(1, 8 * len(buf) + 4)))
             assert df.has_embedded_start_code(buf, sb) == self._ref(buf, sb), \
                 (buf.hex(), sb)
+
+
+class TestRaggedPayload:
+    """The ragged (flat words + per-lane base offsets) payload layout vs
+    the rows layout — observably identical to the automaton, but shipping
+    ~sum(len) bytes instead of S * bucket(max len) per step
+    (device_frontend.make_step ragged mode; entropy.cpp
+    h263_device_prepare_ragged)."""
+
+    def _pair(self, n, w, h, **kw):
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        rows = DeviceFrontendDecoder(n, w, h, SORENSON, payload="rows", **kw)
+        rag = DeviceFrontendDecoder(n, w, h, SORENSON, payload="ragged",
+                                    **kw)
+        assert rows.payload == "rows" and rag.payload == "ragged"
+        return rows, rag
+
+    def _assert_step_equal(self, rows, rag, bufs, mask=None):
+        first_rows = first_rag = None
+        try:
+            y1, cb1, cr1 = rows.decode_step(bufs, mask=mask)
+        except H263Error as e:
+            first_rows = e
+            y1, cb1, cr1 = rows.ref_y, rows.ref_cb, rows.ref_cr
+        try:
+            y2, cb2, cr2 = rag.decode_step(bufs, mask=mask)
+        except H263Error as e:
+            first_rag = e
+            y2, cb2, cr2 = rag.ref_y, rag.ref_cb, rag.ref_cr
+        assert (first_rows is None) == (first_rag is None)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_array_equal(np.asarray(cb1), np.asarray(cb2))
+        np.testing.assert_array_equal(np.asarray(cr1), np.asarray(cr2))
+        np.testing.assert_array_equal(rows.fetch_status(),
+                                      rag.fetch_status())
+
+    def test_rich_gops_match_rows(self):
+        streams = [rich_gop(700 + i, n=4) for i in range(3)]
+        rows, rag = self._pair(3, 48, 32)
+        for t in range(4):
+            self._assert_step_equal(rows, rag,
+                                    [streams[i][t] for i in range(3)])
+
+    def test_absent_overcap_and_error_lanes(self):
+        """Absent (None) lanes, an over-frame-cap lane, and a garbage-
+        header lane behave identically across layouts, including the
+        surfaced host error and per-lane isolation."""
+        streams = [rich_gop(710 + i, n=4) for i in range(4)]
+        rows, rag = self._pair(4, 48, 32, max_frame_bytes=4096)
+        for t in range(4):
+            bufs = [streams[i][t] for i in range(4)]
+            if t == 1:
+                bufs[1] = None                    # absent lane
+            if t == 2:
+                bufs[2] = b"\xff" * 5000          # over the per-frame cap
+            if t == 3:
+                bufs[3] = b"\x00\x01\x02"         # unparseable header
+            self._assert_step_equal(rows, rag, bufs)
+
+    def test_varied_lengths_pick_small_bucket(self):
+        """The ragged bucket is driven by the SUM of lane payloads; one
+        long lane must not multiply the leaf by S the way the rows
+        max-lane bucket does."""
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        rag = DeviceFrontendDecoder(8, 48, 32, SORENSON, payload="ragged")
+        short = rich_gop(720, n=1)[0]
+        bufs = [short] * 8
+        need = sum(((len(b) + 3) // 4) * 4 for b in bufs)
+        bucket = rag._pick_bucket_ragged(bufs)
+        assert need <= bucket <= max(4096, int(need * 1.19) + 4)
+
+    def test_ragged_requires_native_prep_and_xla(self):
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        with pytest.raises(ValueError):
+            DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="ragged",
+                                  harness="pallas_interpret")
+        with pytest.raises(ValueError):
+            DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="nope")
+
+    def test_native_ragged_prep_offsets(self):
+        """Unit-level: offsets are the word-aligned running sum, payload
+        bytes land verbatim at them, tails and failed lanes stage zeros."""
+        from h263_tpu.native import ensure_built
+
+        if not ensure_built():
+            pytest.skip("native library unavailable")
+        from h263_tpu.native.bindings import DevicePrepBatch
+
+        frames = rich_gop(730, n=3)
+        bufs = [frames[0], b"\x00\x01\x02", frames[1]]  # lane 1 fails
+        prep = DevicePrepBatch(3, 48, 32, 8192)
+        stage = np.full((4096, 4), 0xAA, dtype=np.uint8)
+        meta = np.zeros((6, 3), dtype=np.int32)
+        failed = prep.prepare_ragged(bufs, stage, meta)
+        assert failed == 1 and prep.rc[1] != 0
+        flat = stage.reshape(-1)
+        base = meta[5]
+        w0 = (len(bufs[0]) + 3) // 4
+        assert base[0] == 0 and base[1] == w0 and base[2] == w0
+        np.testing.assert_array_equal(
+            flat[:len(bufs[0])], np.frombuffer(bufs[0], dtype=np.uint8))
+        np.testing.assert_array_equal(
+            flat[base[2] * 4:base[2] * 4 + len(bufs[2])],
+            np.frombuffer(bufs[2], dtype=np.uint8))
+        # Word-pad tail of lane 2 and everything beyond is zero.
+        end = base[2] * 4 + len(bufs[2])
+        assert not flat[end:].any()
+        assert meta[1, 1] == 0  # failed lane stages nbits = 0
