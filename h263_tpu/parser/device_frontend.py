@@ -350,7 +350,12 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         lane_words = (nbits + 31) // 32
 
         def fetch_word(wcur):
-            idx = jnp.clip(base_i + wcur, 0, Nw - 1)
+            # Clip wcur to >= 0 BEFORE adding base: the rows layout clips
+            # into the lane's own row, so a (currently unreachable)
+            # negative wcur must read this lane's word 0 here too, not a
+            # previous lane's tail — the two layouts stay identical under
+            # all inputs.
+            idx = jnp.clip(base_i + jnp.maximum(wcur, 0), 0, Nw - 1)
             w = jnp.take(data_u32, idx)
             return jnp.where(wcur < lane_words, w, jnp.uint32(0))
 

@@ -338,6 +338,10 @@ def save_device_frontend_state(dec) -> bytes:
         "harness": dec.harness,
         "unroll": dec.unroll,
         "pallas": dec.pallas,
+        # Payload layout is part of the decoder's jit signature/transport
+        # contract: a decoder pinned to 'rows' must not silently restore
+        # as 'ragged' via the 'auto' default (ADVICE r3).
+        "payload": dec.payload,
         "pictures": [picture_to_dict(p) for p in dec._pictures],
         "running": [int(r) for r in dec._running],
         # Per-stream last raw frame (resolve_overflows' repair input);
@@ -377,6 +381,9 @@ def load_device_frontend_state(blob: bytes, **kwargs):
         "max_frame_bytes": meta["max_frame_bytes"],
         "harness": meta["harness"],
         "unroll": meta.get("unroll", 4),
+        # Older blobs (pre-payload) restore with 'auto' — the only layout
+        # that existed when they were written resolves identically.
+        "payload": meta.get("payload", "auto"),
     }
     ctor.update(kwargs)
     dec = DeviceFrontendDecoder(meta["n"], meta["w"], meta["h"],

@@ -137,12 +137,17 @@ def main():
         lists = [[distinct[s % n_corp][t] for s in range(S)]
                  for t in range(F)]
         try:
+            # payload='rows': stage_all stages rows buffers and
+            # measure_compute calls the 9-arg rows signature; 'auto' now
+            # resolves to ragged when the native prep is present, which
+            # silently broke every sweep size (ADVICE r3, medium).
             dec = DeviceFrontendDecoder(
                 S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
                 pallas=pallas, tape_len=tape, max_frame_bytes=8192,
                 harness=args.harness if not (on_cpu and
                                              args.harness == "pallas")
-                else "pallas_interpret", unroll=args.unroll)
+                else "pallas_interpret", unroll=args.unroll,
+                payload="rows")
             staged = stage_all(dec, lists)
             row, status = measure_compute(dec, staged, args.passes,
                                           f"compute S={S}")
