@@ -130,7 +130,13 @@ def _spawn_watchdog(timeout_s: float, sidecar: str = None):
             str(float(timeout_s))]
     if sidecar is not None:
         argv.append(sidecar)
-    child = subprocess.Popen(argv)
+    # Own session: the driver wraps the bench in GNU `timeout`, which
+    # signals the whole process GROUP at expiry — round 3's watchdogs died
+    # with the parent and never replayed the record (rc=124, parsed=null).
+    # A detached watchdog survives the group kill, notices the parent's
+    # death within ~2 s, replays the last emitted JSON line as the final
+    # stdout line, and exits.
+    child = subprocess.Popen(argv, start_new_session=True)
 
     def disarm():
         with open(sentinel, "w"):
@@ -563,6 +569,20 @@ def main():
         with open(sidecar, "a") as f:
             f.write(line + "\n")
         print(line, flush=True)
+
+    # The driver bounds the bench with GNU `timeout` (SIGTERM).  If it
+    # fires while Python bytecode is running, emit the current record as
+    # the last stdout line and leave cleanly; if the process is wedged in
+    # a C-level tunnel compile, the handler can't run and the detached
+    # mid-run watchdog replays the sidecar instead.
+    import signal as _signal
+
+    def _on_term(signum, frame):  # pragma: no cover - driver-kill path
+        detail.setdefault("sections_completed", []).append("sigterm")
+        emit()
+        os._exit(0)
+
+    _signal.signal(_signal.SIGTERM, _on_term)
 
     def poll_gates(wait_s: float = 0.0):
         """Fold the gate child's verdict (if available) into the record.

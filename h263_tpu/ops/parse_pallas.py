@@ -32,13 +32,14 @@ from ..parser import device_frontend as df
 # order.  hi/lo are uint32; everything else int32.
 _SCALAR_FIELDS = ("phase", "bitpos", "valid", "wcur", "mb", "blk", "zz",
                   "quant", "cbp", "mtype", "mvd_k", "n_mvd", "blk_discard",
-                  "status")
+                  "mvd_c", "mvd_xtmp", "status")
 _U32_FIELDS = ("hi", "lo")
 
 
 def parse_frames_pallas(data_u32, start_bit, nbits, quant0, ptype,
                         sorenson_v1, *, mbh: int, mbw: int, tape_len: int,
-                        chunk: int = 256, interpret: bool = False):
+                        chunk: int = 256, interpret: bool = False,
+                        width=None, height=None):
     """Drop-in equivalent of df.parse_frames_device via a Pallas kernel.
 
     Returns the same dict (tapes [S, T], status [S]); `iterations` is
@@ -62,14 +63,15 @@ def parse_frames_pallas(data_u32, start_bit, nbits, quant0, ptype,
     def kernel(data_ref, sb_ref, nb_ref, q0_ref, pt_ref, v1_ref,
                *refs):
         tab_refs = refs[:len(table_names)]
-        (ord_ref, val_ref, ridx_ref, rval_ref, status_ref) = \
-            refs[len(table_names):len(table_names) + 5]
-        scratch = refs[len(table_names) + 5:]
+        (ord_ref, val_ref, ridx_ref, rval_ref, rflg_ref, status_ref) = \
+            refs[len(table_names):len(table_names) + 6]
+        scratch = refs[len(table_names) + 6:]
 
         tabs = {n: r[...] for n, r in zip(table_names, tab_refs)}
         init_state, step = df.make_step(
             data_ref[...].astype(jnp.uint32), nb_ref[...], pt_ref[...],
-            v1_ref[...], mbh=mbh, mbw=mbw, tables=tabs)
+            v1_ref[...], mbh=mbh, mbw=mbw, tables=tabs,
+            width=width, height=height)
 
         def store_state(st):
             for i, f in enumerate(_SCALAR_FIELDS):
@@ -100,6 +102,7 @@ def parse_frames_pallas(data_u32, start_bit, nbits, quant0, ptype,
         val_ref[...] = jnp.zeros((chunk, S), jnp.int32)
         ridx_ref[...] = jnp.full((chunk, S), 2 ** 30, jnp.int32)
         rval_ref[...] = jnp.zeros((chunk, S), jnp.int32)
+        rflg_ref[...] = jnp.zeros((chunk, S), jnp.int32)
 
         st = load_state()
 
@@ -128,6 +131,7 @@ def parse_frames_pallas(data_u32, start_bit, nbits, quant0, ptype,
             val_ref[pl.ds(t, 1), :] = em["coe_val"][None, :]
             ridx_ref[pl.ds(t, 1), :] = em["rec_idx"][None, :]
             rval_ref[pl.ds(t, 1), :] = em["rec_val"][None, :]
+            rflg_ref[pl.ds(t, 1), :] = em["rec_flg"][None, :]
             return tuple([t + 1] + flat(st2))
 
         carry = jax.lax.while_loop(cond, body, tuple([jnp.int32(0)]
@@ -145,11 +149,11 @@ def parse_frames_pallas(data_u32, start_bit, nbits, quant0, ptype,
            for n in table_names]
     )
     out_specs = (
-        [pl.BlockSpec((chunk, S), lambda i: (i, 0))] * 4    # tapes (T, S)
+        [pl.BlockSpec((chunk, S), lambda i: (i, 0))] * 5    # tapes (T, S)
         + [pl.BlockSpec((S,), lambda i: (0,))]              # status
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((T, S), jnp.int32)] * 4
+        [jax.ShapeDtypeStruct((T, S), jnp.int32)] * 5
         + [jax.ShapeDtypeStruct((S,), jnp.int32)]
     )
     scratch_shapes = (
@@ -171,7 +175,7 @@ def parse_frames_pallas(data_u32, start_bit, nbits, quant0, ptype,
     outs = fn(data_u32.astype(jnp.int32), jnp.asarray(start_bit),
               jnp.asarray(nbits), jnp.asarray(quant0), jnp.asarray(ptype),
               jnp.asarray(sorenson_v1), *[tables[n] for n in table_names])
-    coe_ord, coe_val, rec_idx, rec_val, status = outs
+    coe_ord, coe_val, rec_idx, rec_val, rec_flg, status = outs
     return dict(coe_ord=coe_ord.T, coe_val=coe_val.T,
-                rec_idx=rec_idx.T, rec_val=rec_val.T,
+                rec_idx=rec_idx.T, rec_val=rec_val.T, rec_flg=rec_flg.T,
                 status=status, iterations=jnp.int32(T))

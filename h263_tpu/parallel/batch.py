@@ -198,6 +198,12 @@ class BatchedStreamDecoder:
         self.ch = (height + 1) // 2
         self.decoder_options = decoder_options
         self.states = [_StreamState() for _ in range(n_streams)]
+        # Last step's host->device payload cost, always-on (cheap): the
+        # pool's degraded-window monitor reads these after every step.
+        # device_put enqueue time is CPU-bound on the tunneled TPU, so the
+        # wall time here tracks the real transfer (CLAUDE.md).
+        self.last_transfer_s = 0.0
+        self.last_transfer_bytes = 0
         self.ref_y = jnp.zeros((n_streams, self.h, self.w), dtype=jnp.uint8)
         self.ref_cb = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
         self.ref_cr = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
@@ -784,8 +790,12 @@ class BatchedStreamDecoder:
 
     def _run(self, tensors):
         import jax
+        import time
 
+        _t0 = time.perf_counter()
         dev = jax.device_put(tensors)
+        self.last_transfer_s = time.perf_counter() - _t0
+        self.last_transfer_bytes = sum(a.nbytes for a in tensors)
         y, cb, cr = self._fn(*dev, self.ref_y, self.ref_cb, self.ref_cr)
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         return y, cb, cr
@@ -864,8 +874,13 @@ class BatchedStreamDecoder:
 
         host = (*coef, mvs, packed.inter)
         slice_t.stop()
+        import time as _time
+
+        _t0 = _time.perf_counter()
         with trace_stage("transfer"):
             dev = jax.device_put(host)
+        self.last_transfer_s = _time.perf_counter() - _t0
+        self.last_transfer_bytes = sum(a.nbytes for a in host)
         with trace_stage("reconstruct_dispatch"):
             y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb,
                                         self.ref_cr)
@@ -910,8 +925,13 @@ class BatchedStreamDecoder:
                 coef = np.ascontiguousarray(
                     packed.fused[:, off:off + 3 * packed.cut])
             host = (coef, packed.mvs, packed.inter)
+            import time as _time
+
+            _t0 = _time.perf_counter()
             with trace_stage("transfer"):
                 dev = jax.device_put(host)
+            self.last_transfer_s = _time.perf_counter() - _t0
+            self.last_transfer_bytes = sum(a.nbytes for a in host)
             with trace_stage("reconstruct_dispatch"):
                 y, cb, cr = self._packed_fn(*dev, self.ref_y, self.ref_cb,
                                             self.ref_cr)
@@ -923,8 +943,13 @@ class BatchedStreamDecoder:
                       + 3 * packed.cut)
             with trace_stage("bucket_slice"):
                 buf = np.ascontiguousarray(packed.fused[:, :length])
+            import time as _time
+
+            _t0 = _time.perf_counter()
             with trace_stage("transfer"):
                 dev = jax.device_put(buf)
+            self.last_transfer_s = _time.perf_counter() - _t0
+            self.last_transfer_bytes = buf.nbytes
             with trace_stage("reconstruct_dispatch"):
                 y, cb, cr = self._fused_fn(mv_full)(
                     dev, self.ref_y, self.ref_cb, self.ref_cr)

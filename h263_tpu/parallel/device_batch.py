@@ -25,8 +25,9 @@ reference.
 Per-stream decode status lives in a device-resident vector
 (`last_status`); fetch it only at sync points (`fetch_status()`) — a
 mid-stream fetch on the tunneled TPU triggers the synchronous-dispatch
-trap (CLAUDE.md).  Streams outside the front-end's scope (standard
-H.263, UMV) or whose headers fail to parse are handled on the host: their
+trap (CLAUDE.md).  Streams outside the front-end's scope
+(MODIFIED_QUANTIZATION, embedded GOB start codes; UMV is in scope since
+round 4) or whose headers fail to parse are handled on the host: their
 payload is replaced by a skip frame and their error surfaces through the
 usual host exception path.
 """
@@ -77,14 +78,15 @@ def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
             tapes = df.parse_frames_device(
                 words, start_bit, nbits, quant0, ptype, v1,
                 mbh=mbh, mbw=mbw, tape_len=tape_len, unroll=unroll,
-                base=base)
+                base=base, width=w, height=h)
         else:
             from ..ops.parse_pallas import parse_frames_pallas
 
             tapes = parse_frames_pallas(
                 words, start_bit, nbits, quant0, ptype, v1,
                 mbh=mbh, mbw=mbw, tape_len=tape_len,
-                interpret=(harness == "pallas_interpret"))
+                interpret=(harness == "pallas_interpret"),
+                width=w, height=h)
         dense, mvs, inter, ok = df.assemble(tapes, mbh=mbh, mbw=mbw)
         y, cb, cr = reconstruct_from_dense(
             dense, mvs, inter, ref_y, ref_cb, ref_cr, pallas=pallas)
@@ -134,10 +136,10 @@ class DeviceFrontendDecoder:
         import jax.numpy as jnp
 
         # Both bitstream flavors decode here (the automaton speaks the
-        # shared MB layer); per-frame gates remain — UMV /
-        # MODIFIED_QUANTIZATION pictures and standard payloads carrying
-        # GOB start codes fall back per stream (df.supports /
-        # df.has_embedded_start_code).
+        # shared MB layer, including UMV's table-D.3 MVDs and range
+        # rules); per-frame gates remain — MODIFIED_QUANTIZATION pictures
+        # and standard payloads carrying GOB start codes fall back per
+        # stream (df.supports / df.has_embedded_start_code).
         if pallas == "auto":
             try:
                 backend = jax.default_backend()
@@ -194,6 +196,10 @@ class DeviceFrontendDecoder:
         self.ref_cb = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
         self.ref_cr = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
         self.last_status = None        # device-resident int32 [S]
+        # Last step's host->device payload cost (see batch.py: the pool's
+        # degraded-window monitor reads these after every step).
+        self.last_transfer_s = 0.0
+        self.last_transfer_bytes = 0
         self._pictures = [None] * n_streams
         # Carried running options per stream (state.rs:147-155) — the
         # supports() gate and overflow repair must see carried UMV /
@@ -422,6 +428,7 @@ class DeviceFrontendDecoder:
                     absent = buf is None
                     if absent:
                         buf = self._skip_frame_bytes()
+                    running = None   # set when the real header parses
                     try:
                         if len(buf) > self.max_frame_bytes:
                             raise H263Error(
@@ -473,17 +480,23 @@ class DeviceFrontendDecoder:
                         buf = self._skip_frame_bytes()
                         r = BitReader(buf)
                         pic = decode_picture(r, self.decoder_options, None)
+                        running = None   # skip frame carries no options
                     flat = stage[i].reshape(-1)
                     flat[:len(buf)] = np.frombuffer(buf, dtype=np.uint8)
                     start_bit[i] = r.pos
                     nbits[i] = len(buf) * 8
                     quant0[i] = pic.quantizer
-                    ptype[i] = df.encode_ptype(pic)
+                    ptype[i] = df.encode_ptype(pic, running)
                     v1[i] = 1 if pic.version == 1 else 0
 
+        import time as _time
+
+        _t0 = _time.perf_counter()
         with trace_stage("transfer"):
             dev_stage = jax.device_put(stage)
             dev_meta = jax.device_put(meta)
+        self.last_transfer_s = _time.perf_counter() - _t0
+        self.last_transfer_bytes = stage.nbytes + meta.nbytes
         # HOST BUFFER REUSE GATE (CLAUDE.md): the device_put may read
         # `stage`/`meta` asynchronously.  Park the transferred arrays in
         # the in-flight slot NOW so that even if the dispatch below raises

@@ -25,6 +25,21 @@ Buckets decode with either entropy front-end (`frontend="host"` — the
 default BatchedStreamDecoder — or `"device"` — the device entropy
 automaton; out-of-scope frames fall back per stream); the lifecycle
 above is front-end-agnostic.
+
+Degraded-window adaptation (`adaptive_frontend=True`, Sorenson pools):
+the tunneled TPU link swings between multi-minute windows up to 25-80x
+below normal bandwidth, where transfer bytes convert ~linearly to
+wall-clock and byte reduction is the only lever that still works
+(CLAUDE.md "Degraded-bandwidth windows").  The pool keeps an EMA of the
+observed host->device bandwidth (every bucket decoder reports its last
+step's payload bytes/seconds) and, when it collapses `degrade_ratio`x
+below the best window seen, switches every bucket to the device
+front-end live — the raw-bitstream leaf is the smallest possible
+transport (4-10x fewer bytes at CIF).  The switch transplants reference
+planes (device-resident, no readback) and carried per-stream header
+state; it is one-way and sticky (switching back on recovery would churn
+compiles and re-expose the bigger transport to the next bad window).
+Counters: pool_degraded_window_detected, pool_frontend_switches.
 """
 
 from __future__ import annotations
@@ -219,7 +234,8 @@ class StreamPool:
 
     def __init__(self, decoder_options: DecoderOption = DecoderOption.SORENSON_SPARK_BITSTREAM,
                  frontend: str = "host", max_dims: tuple = (2048, 2048),
-                 **decoder_kwargs):
+                 adaptive_frontend: bool = False, degrade_ratio: float = 8.0,
+                 adapt_min_samples: int = 8, **decoder_kwargs):
         """`frontend` selects each bucket's decoder: "host" (the default
         BatchedStreamDecoder — host entropy parse, packed transports) or
         "device" (DeviceFrontendDecoder — the device entropy automaton).
@@ -228,27 +244,56 @@ class StreamPool:
         dims, so an unchecked (possibly corrupt) header must not be able
         to allocate a 65535x65535 bucket or churn compiles — frames beyond
         the bound fail per-stream instead.  `decoder_kwargs` pass through
-        to the bucket decoders."""
+        to the bucket decoders (filtered per decoder class, so host-only
+        kwargs survive a frontend switch).
+
+        `adaptive_frontend`: switch host->device live when the observed
+        transfer bandwidth collapses `degrade_ratio`x below the best
+        window seen over >= `adapt_min_samples` steps (see module
+        docstring).  Sorenson pools only: the automaton covers that
+        bitstream fully (standard streams can carry GOBs / MODIFIED_
+        QUANTIZATION, which are host front-end work)."""
         if frontend not in ("host", "device"):
             raise ValueError(f"unknown frontend {frontend!r}")
+        if adaptive_frontend and not (
+                decoder_options & DecoderOption.SORENSON_SPARK_BITSTREAM):
+            raise ValueError("adaptive_frontend requires a Sorenson pool "
+                             "(the device front-end covers that bitstream "
+                             "fully)")
         self.decoder_options = decoder_options
         self.frontend = frontend
         self.max_dims = max_dims
+        self.adaptive_frontend = adaptive_frontend
+        self.degrade_ratio = float(degrade_ratio)
+        self.adapt_min_samples = int(adapt_min_samples)
         self.decoder_kwargs = decoder_kwargs
         self._pending: dict = {}          # (w, h) -> [stream_id, ...]
         self._pending_running: dict = {}  # stream_id -> carried options
         self._buckets: dict = {}          # (w, h) -> _Bucket
         self._dims: dict = {}             # stream_id -> (w, h)
+        # Bandwidth monitor state (EMA of bytes/s; see module docstring).
+        self._bw_ema: Optional[float] = None
+        self._bw_best = 0.0
+        self._bw_samples = 0
+        # Pluggable stats source (tests inject degraded readings here).
+        self._transfer_stats_fn = (
+            lambda dec: (dec.last_transfer_bytes, dec.last_transfer_s))
 
-    def _make_decoder(self, n: int, width: int, height: int):
-        if self.frontend == "device":
+    def _make_decoder(self, n: int, width: int, height: int,
+                      frontend: Optional[str] = None):
+        import inspect
+
+        frontend = frontend or self.frontend
+        if frontend == "device":
             from .device_batch import DeviceFrontendDecoder
 
-            return DeviceFrontendDecoder(n, width, height,
-                                         self.decoder_options,
-                                         **self.decoder_kwargs)
-        return BatchedStreamDecoder(n, width, height, self.decoder_options,
-                                    **self.decoder_kwargs)
+            cls = DeviceFrontendDecoder
+        else:
+            cls = BatchedStreamDecoder
+        accepted = inspect.signature(cls.__init__).parameters
+        kwargs = {k: v for k, v in self.decoder_kwargs.items()
+                  if k in accepted}
+        return cls(n, width, height, self.decoder_options, **kwargs)
 
     # -- membership -----------------------------------------------------------
 
@@ -491,6 +536,8 @@ class StreamPool:
 
         out = PoolStepResult()
         first_err: Optional[H263Error] = None
+        step_bytes = 0
+        step_seconds = 0.0
         for key, bucket in self._buckets.items():
             dec = bucket.dec
             mask = bucket.mask(buffers)
@@ -502,6 +549,9 @@ class StreamPool:
                     batch[slot] = buffers[sid]
             try:
                 y, cb, cr = dec.decode_step(batch, mask=mask)
+                nb, s = self._transfer_stats_fn(dec)
+                step_bytes += nb
+                step_seconds += s
             except H263Error as e:
                 # Per-stream isolation, pool-wide: the bucket decoder has
                 # already stepped every lane (errored lanes got identity
@@ -515,10 +565,67 @@ class StreamPool:
             for sid, slot in bucket.slots.items():
                 if mask[slot]:
                     out._add(sid, y, cb, cr, slot)
+        if self.adaptive_frontend and self.frontend == "host":
+            self._note_transfer(step_bytes, step_seconds)
         if first_err is not None:
             first_err.pool_step_result = out
             raise first_err
         return out
+
+    # -- degraded-window adaptation (module docstring) ----------------------
+
+    def _note_transfer(self, nbytes: int, seconds: float) -> None:
+        """Feed one step's aggregate transfer cost to the bandwidth EMA;
+        trigger the host->device frontend switch when the window degrades
+        `degrade_ratio`x below the best EMA seen."""
+        if nbytes < 1024 or seconds <= 0:
+            return  # too small to estimate bandwidth
+        bw = nbytes / seconds
+        alpha = 0.3
+        self._bw_ema = (bw if self._bw_ema is None
+                        else alpha * bw + (1 - alpha) * self._bw_ema)
+        self._bw_samples += 1
+        if self._bw_samples < self.adapt_min_samples:
+            return
+        self._bw_best = max(self._bw_best, self._bw_ema)
+        if self._bw_ema < self._bw_best / self.degrade_ratio:
+            incr("pool_degraded_window_detected")
+            self.switch_frontend("device")
+
+    def switch_frontend(self, frontend: str) -> None:
+        """Switch every bucket's decoder to `frontend` live, transplanting
+        reference planes (device-resident; no host readback) and carried
+        per-stream header state.  Host->device only: the reverse would
+        need per-slot has_reference / disposable-frame nuances the device
+        path does not track.  Sorenson pools only (see __init__)."""
+        if frontend == self.frontend:
+            return
+        if frontend != "device":
+            raise ValueError("switch_frontend supports host->device only")
+        if not (self.decoder_options
+                & DecoderOption.SORENSON_SPARK_BITSTREAM):
+            raise ValueError("frontend switch requires a Sorenson pool")
+        for key, bucket in self._buckets.items():
+            old = bucket.dec
+            new = self._make_decoder(old.n, key[0], key[1],
+                                     frontend="device")
+            # The old decoder's outputs gate any in-flight device_put of
+            # its staging buffers; transplanting them keeps the dependency
+            # graph alive, but block anyway so the swap is a sync point.
+            old.ref_y.block_until_ready()
+            new.ref_y, new.ref_cb, new.ref_cr = (old.ref_y, old.ref_cb,
+                                                 old.ref_cr)
+            for i in range(old.n):
+                st = old.states[i]
+                new._pictures[i] = st.last_header
+                new._running[i] = st.running_options
+                if st.last_header is not None:
+                    new._last_quant[i] = st.last_header.quantizer
+                    new._last_deblock[i] = bool(
+                        st.last_header.options & PictureOption.USE_DEBLOCKER)
+            bucket.dec = new
+            incr("pool_frontend_switches")
+        self.frontend = frontend
 
     def resolve_overflows(self, result: Optional[PoolStepResult] = None) -> list:
         """Device-frontend pools only: repair lanes whose last step hit

@@ -201,7 +201,11 @@ TCOEF_ARR = _pack_table(TCOEF_CODES, TCOEF_LEN, _tcoef_value)
 # Values carry bit 22 as a presence marker so staging zero = "no record".
 # --------------------------------------------------------------------------
 
-_REC_PRESENT = 1 << 22
+# MB-record flag bits (rec_flg tape; the record VALUE is two int16 MV
+# components — see _pack_mv_record).
+_FLG_PRESENT = 1
+_FLG_INTER = 1 << 1
+_FLG_4V = 1 << 2
 
 
 def _sign8(v):
@@ -210,11 +214,24 @@ def _sign8(v):
     return ((v & 0xFF) ^ 0x80) - 0x80
 
 
-def _pack_mv_record(x, y, inter, is4v):
-    import jax.numpy as jnp
+def _sign16(v):
+    """Two's-complement int16 view of the low 16 bits — BOTH the MV record
+    unpack and the per-commit MV wrap (the native parser stores every
+    committed MV and predictor as int16_t; the automaton and the Python
+    parser match that contract exactly so all three front-ends agree even
+    on adversarial UMV chains that overflow 16 bits)."""
+    return ((v & 0xFFFF) ^ 0x8000) - 0x8000
 
-    return ((x & 0xFF) | ((y & 0xFF) << 8) | (inter << 16) | (is4v << 17)
-            | _REC_PRESENT)
+
+def _pack_mv_record(x, y):
+    """MV record value: two int16 components (UMV table-D.3 MVDs reach
+    |4095| and wrapped sums use the full int16 range — see _sign16).
+    Present/inter/4V flags travel in the separate rec_flg tape."""
+    return (x & 0xFFFF) | ((y & 0xFFFF) << 16)
+
+
+def _pack_mv_flags(inter, is4v):
+    return _FLG_PRESENT | (inter << 1) | (is4v << 2)
 
 
 # --------------------------------------------------------------------------
@@ -263,7 +280,7 @@ def _lookup(table, maxlen, hi, c):
 
 
 def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
-              tables=None, base=None):
+              tables=None, base=None, width=None, height=None):
     """Build the lockstep automaton for one batch: returns
     (init_state, step) where step(state) -> (new_state, emissions).
 
@@ -301,6 +318,18 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         (MVD/DC/TCOEF/escape/beyond-count/unimplemented) hard-fails the
         frame for both flavors (error.rs:82-85: only those two classes
         trigger resync).
+        UMV flag bits (encode_ptype derives them from the CARRIED running
+        options + this picture's header, mirroring the host's
+        decode_motion_vector / halfpel_decode gates):
+          bit 3 (+8): Annex-D UMV without PLUSPTYPE — Table-14 MVDs, but
+            the no-wraparound-when-predictor-in-standard-range rule and
+            the 64-halfpel fallback range (mvd_pred.rs:70-117).
+          bit 4 (+16): UMV with PLUSPTYPE — MVDs use the table-D.3 fixed
+            codes (reader.rs:298-324), ONE component per automaton
+            iteration (a component spans up to 25 bits).
+          bit 5 (+32): motion_vector_range == EXTENDED — the wraparound
+            range comes from the picture dims (static per program;
+            `width`/`height` args, defaulting to 16*mbw/16*mbh).
       sorenson_v1: int32 [S] — 1 selects the flag-chosen 7/11-bit escape
         level (block.rs:693-709); 0 the 8-bit form (incl. standard).
       mbh, mbw: static macroblock grid dims.
@@ -318,6 +347,13 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         S = base.shape[0]
     nmb = mbh * mbw
     RING = mbw + 2
+    # Static EXTENDED-UMV wraparound ranges (D.1/D.2, keyed to the picture
+    # size) — the automaton compiles per picture bucket, so these are
+    # Python constants (mvpred._extended_range_for_dim / mvd_pred.rs:94-109).
+    from .mvpred import _extended_range_for_dim
+
+    EXT_RNG_X = _extended_range_for_dim(width if width else 16 * mbw, True)
+    EXT_RNG_Y = _extended_range_for_dim(height if height else 16 * mbh, False)
 
     if tables is None:
         tables = dict(mcbpc_i=jnp.asarray(MCBPC_I_ARR),
@@ -448,13 +484,14 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         coe_val = jnp.zeros((S,), jnp.int32)
         rec_idx = jnp.full((S,), REC_SENTINEL)
         rec_val = jnp.zeros((S,), jnp.int32)
+        rec_flg = jnp.zeros((S,), jnp.int32)
 
         new_phase = phase
         new_status = st["status"]
         consumed = jnp.zeros((S,), jnp.int32)
         upd = {k: st[k] for k in
                ("mb", "blk", "zz", "quant", "cbp", "mtype", "mvd_k",
-                "n_mvd", "blk_discard")}
+                "n_mvd", "blk_discard", "mvd_c", "mvd_xtmp")}
         cur_quad = st["cur_quad"]
         ring = st["ring"]
 
@@ -465,8 +502,11 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         in_coef = active & (phase == PH_COEF)
 
         # ================= HEADER (macroblock.rs:445-549) ==================
-        is_std = ptype >= 4           # standard (non-Sorenson) lane
-        pt = jnp.where(is_std, ptype - 4, ptype)
+        is_std = (ptype & 4) != 0     # standard (non-Sorenson) lane
+        pt = ptype & 3
+        umv1 = (ptype & 8) != 0       # Annex-D UMV without PLUSPTYPE
+        d3l = (ptype & 16) != 0       # PLUSPTYPE UMV: table-D.3 MVD codes
+        extl = (ptype & 32) != 0      # motion_vector_range == EXTENDED
         is_p_like = pt != 0
         cod_bits = jnp.where(is_p_like, 1, 0)
         cod = jnp.where(is_p_like, i32(_peek(hi, 0, 1)), 0)
@@ -558,9 +598,8 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
                              ring_store(ring, mb, zeroq), ring)
         hdr_rec_idx = jnp.where(
             h_ok & uncoded & (mb < nmb), mb, REC_SENTINEL)
-        hdr_rec_val = _pack_mv_record(
-            jnp.zeros((S,), jnp.int32), jnp.zeros((S,), jnp.int32),
-            jnp.ones((S,), jnp.int32), jnp.zeros((S,), jnp.int32))
+        hdr_rec_val = jnp.zeros((S,), jnp.int32)      # zero MV pair
+        hdr_rec_flg = jnp.full((S,), _FLG_PRESENT | _FLG_INTER, jnp.int32)
         hdr_mb = jnp.where(h_ok & uncoded, mb + 1, mb)
 
         # INTRA MB: record inter=0 now; quad = zeros (frame.py:205,262-268).
@@ -569,13 +608,7 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         hdr_ring = jnp.where(intra_now[:, None, None],
                              ring_store(hdr_ring, mb, zeroq), hdr_ring)
         hdr_rec_idx = jnp.where(intra_now & (mb < nmb), mb, hdr_rec_idx)
-        hdr_rec_val = jnp.where(
-            intra_now,
-            _pack_mv_record(jnp.zeros((S,), jnp.int32),
-                            jnp.zeros((S,), jnp.int32),
-                            jnp.zeros((S,), jnp.int32),
-                            jnp.zeros((S,), jnp.int32)),
-            hdr_rec_val)
+        hdr_rec_flg = jnp.where(intra_now, _FLG_PRESENT, hdr_rec_flg)
 
         # Coded-MB phase transition.
         coded_ok = h_ok & ~uncoded & ~stuffing
@@ -584,6 +617,7 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         upd_hdr["cbp"] = jnp.where(coded_ok, cbp6, st["cbp"])
         upd_hdr["mtype"] = jnp.where(coded_ok, mtype, st["mtype"])
         upd_hdr["mvd_k"] = jnp.zeros_like(mb)
+        upd_hdr["mvd_c"] = jnp.zeros_like(mb)
         upd_hdr["n_mvd"] = jnp.where(is_4v, 4, 1)
         upd_hdr["mb"] = hdr_mb
 
@@ -597,21 +631,68 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
                                    upd_hdr2[k], upd_hdr[k])
 
         # ================= MVD (macroblock.rs:414-437, mvd_pred.rs) =======
+        # Two code families: Table-14 VLC (one PAIR per iteration) or —
+        # UMV pictures with PLUSPTYPE — table-D.3 fixed codes
+        # (reader.rs:298-324), one COMPONENT per iteration: a D.3 code
+        # spans up to 25 bits, so a pair would blow the 26-bit
+        # consumption invariant.  st["mvd_c"] tracks the pending
+        # component; st["mvd_xtmp"] stashes x until y completes the pair.
         ent_x, len_x = _lookup(mvd_t, MVD_LEN, hi, jnp.zeros((S,), jnp.int32))
         # Staged EOF/invalid precedence (see header note): InvalidMvd fails
         # the frame (Sorenson has no GOB resync), EOF tail-fills — the x
         # read resolves before the y read is considered.
-        m_eof_x = len_x > rem
-        m_bad_x = ~m_eof_x & ((ent_x >> 25) & 1 == 1)
-        mvdx = _sign8(ent_x)
+        t_eof_x = len_x > rem
+        t_bad_x = ~t_eof_x & ((ent_x >> 25) & 1 == 1)
+        t_mvdx = _sign8(ent_x)
         ent_y2, len_y2 = _lookup(mvd_t, MVD_LEN, hi, len_x)
-        m_eof_y = ~m_eof_x & ~m_bad_x & (len_x + len_y2 > rem)
-        m_bad_y = (~m_eof_x & ~m_bad_x & ~m_eof_y
+        t_eof_y = ~t_eof_x & ~t_bad_x & (len_x + len_y2 > rem)
+        t_bad_y = (~t_eof_x & ~t_bad_x & ~t_eof_y
                    & ((ent_y2 >> 25) & 1 == 1))
-        m_eof = m_eof_x | m_eof_y
-        m_bad = m_bad_x | m_bad_y
-        mvdy = _sign8(ent_y2)
-        mvd_consumed = len_x + len_y2
+        tab_eof = t_eof_x | t_eof_y
+        tab_bad = t_bad_x | t_bad_y
+        t_mvdy = _sign8(ent_y2)
+        tab_consumed = len_x + len_y2
+
+        # --- table-D.3 component (reader.rs:298-324): first bit 1 -> 0;
+        # else 2-bit rounds at static offsets 1+2i — 00 terminates +,
+        # 10 terminates -, 01/11 extend the mantissa; 12 extender rounds
+        # without a terminator is InvalidMvd (|value| >= 4096).  The
+        # rounds' offsets are static, so the whole read is a 12-step
+        # unrolled select chain over one window peek each.
+        d3_found = i32(_peek(hi, 0, 1)) == 1          # the zero code
+        d3_val = jnp.zeros((S,), jnp.int32)
+        d3_len = jnp.ones((S,), jnp.int32)
+        d3_mant = jnp.zeros((S,), jnp.int32)
+        d3_bulk = jnp.ones((S,), jnp.int32)
+        for d3_i in range(12):
+            d3_code = i32(_peek(hi, 1 + 2 * d3_i, 2))
+            d3_stop = ~d3_found & ((d3_code == 0b00) | (d3_code == 0b10))
+            d3_mag = d3_mant + d3_bulk
+            d3_val = jnp.where(
+                d3_stop, jnp.where(d3_code == 0b10, -d3_mag, d3_mag), d3_val)
+            d3_len = jnp.where(d3_stop, 1 + 2 * (d3_i + 1), d3_len)
+            d3_found = d3_found | d3_stop
+            d3_mant = jnp.where(d3_found, d3_mant,
+                                (d3_mant << 1) | ((d3_code >> 1) & 1))
+            d3_bulk = jnp.where(d3_found, d3_bulk, d3_bulk << 1)
+        d3_len = jnp.where(d3_found, d3_len, 25)
+        # EOF resolves at the first 2-bit round crossing the valid-bit
+        # boundary, which is exactly len > rem (rounds strictly inside rem
+        # read only real bits; a crossing round's length already exceeds
+        # rem).  Invalid fires only once all 25 bits proved readable.
+        d3_eof = d3_len > rem
+        d3_bad = ~d3_eof & ~d3_found
+
+        # --- merge the two families.
+        comp_y = st["mvd_c"] == 1
+        m_eof = jnp.where(d3l, d3_eof, tab_eof)
+        m_bad = jnp.where(d3l, d3_bad, tab_bad)
+        mvdx = jnp.where(d3l, jnp.where(comp_y, st["mvd_xtmp"], d3_val),
+                         t_mvdx)
+        mvdy = jnp.where(d3l, d3_val, t_mvdy)
+        mvd_consumed = jnp.where(d3l, d3_len, tab_consumed)
+        # Does THIS iteration complete an (x, y) pair?
+        pair_now = jnp.where(d3l, comp_y, True)
 
         k = jnp.where(st["n_mvd"] == 4, st["mvd_k"], 0)
         col = mb % mbw
@@ -652,31 +733,41 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         predx = cand(0)
         predy = cand(1)
 
-        def halfpel(pred, mvd):
-            # Sorenson / non-UMV path of mvpred.halfpel_decode: standard
-            # range with wraparound invert (types.rs:736-747).
+        def halfpel(pred, mvd, ext_rng):
+            # mvpred.halfpel_decode (mvd_pred.rs:70-117): predictor + MVD
+            # with restricted-range ±64 wraparound.  UMV variants: v1
+            # (umv1) returns pred+mvd UNwrapped when the predictor is in
+            # the standard range and widens the fallback range to 64;
+            # PLUSPTYPE UMV with EXTENDED motion_vector_range (extl) uses
+            # the static per-dims range (ext_rng; UNLIMITED keeps the
+            # standard range — the reference's match falls through).
+            # The commit wraps to int16, matching the native parser's
+            # int16_t MV/predictor stores (see _sign16).
             out = pred + mvd
             inv = jnp.where(mvd > 0, mvd - 64, jnp.where(mvd < 0, mvd + 64, 0))
             wrapped = pred + inv
-            in_range = (out >= -32) & (out < 32)
-            return jnp.where(in_range, out, wrapped)
+            rng = jnp.where(umv1, 64, jnp.where(extl, ext_rng, 32))
+            in_range = (out >= -rng) & (out < rng)
+            v1_early = umv1 & (pred >= -32) & (pred < 32)
+            return _sign16(jnp.where(v1_early | in_range, out, wrapped))
 
-        mvx = halfpel(predx, mvdx)
-        mvy = halfpel(predy, mvdy)
+        mvx = halfpel(predx, mvdx, EXT_RNG_X)
+        mvy = halfpel(predy, mvdy, EXT_RNG_Y)
 
-        m_ok = in_mvd & ~m_eof & ~m_bad
+        m_ok = in_mvd & ~m_eof & ~m_bad       # this component/pair read ok
+        pair_ok = m_ok & pair_now             # a full (x, y) pair decoded
         is4v_mb = st["n_mvd"] == 4
         # Update the current quad: non-4V -> all four blocks; 4V -> block k.
         iota8 = jax.lax.broadcasted_iota(jnp.int32, (S, 8), 1)
         newq_all = jnp.where(iota8 % 2 == 0, mvx[:, None], mvy[:, None])
         hit_k = (iota8 >> 1) == k[:, None]
         mvd_quad = jnp.where(
-            (m_ok & ~is4v_mb)[:, None], newq_all,
-            jnp.where((m_ok & is4v_mb)[:, None] & hit_k,
+            (pair_ok & ~is4v_mb)[:, None], newq_all,
+            jnp.where((pair_ok & is4v_mb)[:, None] & hit_k,
                       newq_all, cur_quad))
 
         last_mvd = st["mvd_k"] == (st["n_mvd"] - 1)
-        mvd_complete = m_ok & last_mvd
+        mvd_complete = pair_ok & last_mvd
 
         # Beyond-nmb check at MVD completion (see header note).
         # ANY coded MB past the count is rejected (rle.rs:90 panics even
@@ -690,18 +781,22 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         # block-record; 4V k==3 -> mb-record carrying block 3's MV.
         mvd_rec_idx = jnp.where(
             mvd_complete & (mb < nmb), mb,
-            jnp.where(m_ok & is4v_mb & ~last_mvd & (mb < nmb),
+            jnp.where(pair_ok & is4v_mb & ~last_mvd & (mb < nmb),
                       nmb + mb * 3 + k, REC_SENTINEL))
-        mvd_rec_val = _pack_mv_record(
-            mvx, mvy, jnp.ones((S,), jnp.int32),
-            jnp.where(is4v_mb, 1, 0))
+        mvd_rec_val = _pack_mv_record(mvx, mvy)
+        mvd_rec_flg = _pack_mv_flags(
+            jnp.ones((S,), jnp.int32), jnp.where(is4v_mb, 1, 0))
 
         mvd_ring = jnp.where(
             mvd_complete[:, None, None],
             ring_store(ring, mb, mvd_quad), ring)
 
         upd_mvd = dict(upd)
-        upd_mvd["mvd_k"] = st["mvd_k"] + 1
+        # Pair bookkeeping: mvd_k counts PAIRS; the D.3 x-component
+        # iteration only stashes x and flips mvd_c.
+        upd_mvd["mvd_k"] = st["mvd_k"] + jnp.where(pair_now, 1, 0)
+        upd_mvd["mvd_c"] = jnp.where(pair_now, 0, 1)
+        upd_mvd["mvd_xtmp"] = jnp.where(pair_now, st["mvd_xtmp"], d3_val)
         eb_phase_m, upd_mvd2 = enter_blocks(
             st, dict(upd_mvd), mb, st["cbp"], st["mtype"])
         mvd_phase = jnp.where(
@@ -781,7 +876,8 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         coef_ord = mb * 384 + st["blk"] * 64 + jnp.minimum(zz_new, 63)
         coef_rec_idx = jnp.where(t_ok & first_overflow,
                                  4 * nmb + mb * 6 + st["blk"], REC_SENTINEL)
-        coef_rec_val = jnp.full((S,), 1 | _REC_PRESENT)
+        # Any nonzero value marks the discard slot (assemble reads != 0).
+        coef_rec_val = jnp.ones((S,), jnp.int32)
 
         upd_coef = dict(upd)
         upd_coef["zz"] = jnp.minimum(zz_new + 1, 64)
@@ -836,13 +932,14 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
                       jnp.where(emit_coef, val, coe_val), coe_val)
         rec_idx = sel(hdr_rec_idx, mvd_rec_idx, rec_idx, coef_rec_idx, rec_idx)
         rec_val = sel(hdr_rec_val, mvd_rec_val, rec_val, coef_rec_val, rec_val)
+        rec_flg = sel(hdr_rec_flg, mvd_rec_flg, rec_flg, rec_flg, rec_flg)
 
         st2 = dict(st, phase=new_phase, status=new_status,
                    cur_quad=new_quad, ring=new_ring, **new_upd)
         st2 = consume(st2, consumed, active)
 
         return st2, dict(coe_ord=coe_ord, coe_val=coe_val,
-                         rec_idx=rec_idx, rec_val=rec_val)
+                         rec_idx=rec_idx, rec_val=rec_val, rec_flg=rec_flg)
 
     def init_state(start_bit, quant0):
         start_bit = i32(start_bit)
@@ -853,6 +950,7 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
             wcur=zeros, mb=zeros, blk=zeros, zz=zeros,
             quant=i32(quant0), cbp=zeros, mtype=zeros,
             mvd_k=zeros, n_mvd=jnp.ones((S,), jnp.int32), blk_discard=zeros,
+            mvd_c=zeros, mvd_xtmp=zeros,
             status=zeros,
             cur_quad=jnp.zeros((S, 8), jnp.int32),
             ring=jnp.zeros((S, RING, 8), jnp.int32),
@@ -871,7 +969,8 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
 
 def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
                         *, mbh: int, mbw: int, tape_len: int,
-                        unroll: int = 4, base=None):
+                        unroll: int = 4, base=None,
+                        width=None, height=None):
     """Vectorized batched entropy decode (XLA harness around make_step).
 
     Returns dict with coe_ord/coe_val int32 [S, T], rec_idx/rec_val int32
@@ -893,7 +992,8 @@ def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
     U = max(1, unroll)
     T = -(-tape_len // U) * U
     init_state, step = make_step(data_u32, nbits, ptype, sorenson_v1,
-                                 mbh=mbh, mbw=mbw, base=base)
+                                 mbh=mbh, mbw=mbw, base=base,
+                                 width=width, height=height)
     st0 = init_state(start_bit, quant0)
 
     tapes0 = dict(
@@ -901,6 +1001,7 @@ def parse_frames_device(data_u32, start_bit, nbits, quant0, ptype, sorenson_v1,
         coe_val=jnp.zeros((S, T), jnp.int32),
         rec_idx=jnp.full((S, T), jnp.int32(2 ** 30)),
         rec_val=jnp.zeros((S, T), jnp.int32),
+        rec_flg=jnp.zeros((S, T), jnp.int32),
     )
 
     def body(carry):
@@ -994,12 +1095,18 @@ def assemble(tapes, *, mbh: int, mbw: int):
         dense, pos, tapes["coe_val"])
     dense = dense.reshape(S, nblk, 64)
 
-    # Record scatter (set mode).
+    # Record scatters (set mode): MV values and — same indices — the MB
+    # flag plane (present/inter/4V ride in the rec_flg tape since the
+    # value packs two full int16 components; see _pack_mv_record).
     staging = jnp.zeros((S, 10 * nmb), jnp.int32)
     staging = jax.vmap(lambda d, p, v: d.at[p].set(v, mode="drop"))(
         staging, tapes["rec_idx"], tapes["rec_val"])
+    flgstaging = jnp.zeros((S, 10 * nmb), jnp.int32)
+    flgstaging = jax.vmap(lambda d, p, v: d.at[p].set(v, mode="drop"))(
+        flgstaging, tapes["rec_idx"], tapes["rec_flg"])
 
     mbrec = staging[:, :nmb]
+    mbflg = flgstaging[:, :nmb]
     blkrec = staging[:, nmb:4 * nmb].reshape(S, nmb, 3)
     discard_mb = staging[:, 4 * nmb:] != 0          # [S, 6*nmb] in mb-space
 
@@ -1009,12 +1116,12 @@ def assemble(tapes, *, mbh: int, mbw: int):
     discard_dense = jnp.take(discard_mb, inv, axis=1)
     dense = jnp.where(discard_dense[:, :, None], 0, dense)
 
-    present = (mbrec & _REC_PRESENT) != 0
-    inter = jnp.where(present, (mbrec >> 16) & 1, 1) == 1   # tail-fill: INTER
-    is4v = present & (((mbrec >> 17) & 1) == 1)
+    present = (mbflg & _FLG_PRESENT) != 0
+    inter = jnp.where(present, (mbflg & _FLG_INTER) >> 1, 1) == 1
+    is4v = present & ((mbflg & _FLG_4V) != 0)
 
     def unpack_xy(v):
-        return _sign8(v), _sign8(v >> 8)
+        return _sign16(v), _sign16(v >> 16)
 
     bx, by = unpack_xy(mbrec)        # broadcast MV, or block 3's MV for 4V
     k0x, k0y = unpack_xy(blkrec[:, :, 0])
@@ -1049,16 +1156,15 @@ def assemble(tapes, *, mbh: int, mbw: int):
 
 def supports(picture, running_options) -> bool:
     """Dispatch gate for the device front-end: Sorenson OR standard
-    pictures whose MB layer the automaton speaks — i.e. without the two
-    options that change it (UMV's table-D.3 MVDs, MODIFIED_QUANTIZATION's
-    extended DQUANT; every other option is MB-layer-inert in the host
-    parser too, macroblock.rs:445-549).  Standard payloads additionally
-    need the has_embedded_start_code scan (GOB resync is host work)."""
+    pictures whose MB layer the automaton speaks.  UMV is in scope since
+    round 4 (encode_ptype carries the table-D.3 / range-rule flags);
+    MODIFIED_QUANTIZATION's extended DQUANT is not — those frames stay on
+    the host.  Every other option is MB-layer-inert in the host parser
+    too (macroblock.rs:445-549).  Standard payloads additionally need the
+    has_embedded_start_code scan (GOB resync is host work)."""
     from ..types import PictureOption
 
-    blocked = (PictureOption.UNRESTRICTED_MOTION_VECTORS
-               | PictureOption.MODIFIED_QUANTIZATION)
-    return not (running_options & blocked)
+    return not (running_options & PictureOption.MODIFIED_QUANTIZATION)
 
 
 def has_embedded_start_code(buf: bytes, start_bit: int) -> bool:
@@ -1114,14 +1220,27 @@ def _make_zero_run_luts():
 _TZ_LUT, _LZ_LUT = _make_zero_run_luts()
 
 
-def encode_ptype(picture) -> int:
+def encode_ptype(picture, running_options=None) -> int:
     """The automaton's ptype field for a parsed picture header: bits 0-1
-    the type (0 I / 1 P / 2 other), +4 for standard (non-Sorenson)."""
-    from ..types import PictureTypeCode
+    the type (0 I / 1 P / 2 other), +4 for standard (non-Sorenson), plus
+    the UMV flag bits (+8 v1 range rule / +16 table-D.3 codes / +32
+    EXTENDED range) derived from the CARRIED running options and this
+    picture's header — the same gates the host's decode_motion_vector /
+    halfpel_decode apply (macroblock.rs:414-437, mvd_pred.rs:70-117)."""
+    from ..types import MotionVectorRange, PictureOption, PictureTypeCode
 
     base = (0 if picture.picture_type is PictureTypeCode.I_FRAME
             else 1 if picture.picture_type is PictureTypeCode.P_FRAME else 2)
-    return base + (0 if picture.version is not None else 4)
+    base += 0 if picture.version is not None else 4
+    if (running_options is not None
+            and running_options & PictureOption.UNRESTRICTED_MOTION_VECTORS):
+        if picture.has_plusptype:
+            base += 16
+            if picture.motion_vector_range is MotionVectorRange.EXTENDED:
+                base += 32
+        else:
+            base += 8
+    return base
 
 
 def prepare_batch(frames: list[bytes], decoder_options,
@@ -1167,7 +1286,7 @@ def prepare_batch(frames: list[bytes], decoder_options,
                              f"(GOB resync is host work)")
         start_bit[i] = r.pos
         quant0[i] = pic.quantizer
-        ptype[i] = encode_ptype(pic)
+        ptype[i] = encode_ptype(pic, running)
         v1[i] = 1 if pic.version == 1 else 0
         pictures.append(pic)
     return dict(data_u8=data_u8, start_bit=start_bit, nbits=nbits,

@@ -118,11 +118,21 @@ def halfpel_decode(picture: Picture, running_options: PictureOption,
     return out
 
 
+def _wrap_i16(v: int) -> int:
+    """Two's-complement int16 wrap — every committed MV (and therefore
+    every predictor candidate) lives in int16, matching the reference's
+    i16 HalfPel storage and the native parser's int16_t predictor ring.
+    Only reachable on adversarial UMV chains whose wrapped sums exceed
+    ±32767; defining it here keeps all three front-ends (Python, C++,
+    device automaton) bit-identical on such streams."""
+    return ((v & 0xFFFF) ^ 0x8000) - 0x8000
+
+
 def mv_decode(picture: Picture, running_options: PictureOption,
               predictor: MotionVector, mvd: MotionVector,
               width: int, height: int) -> MotionVector:
     """Full (x, y) MV reconstruction (mvd_pred.rs:121-134)."""
     return MotionVector(
-        halfpel_decode(picture, running_options, predictor.x, mvd.x, True, width, height),
-        halfpel_decode(picture, running_options, predictor.y, mvd.y, False, width, height),
+        _wrap_i16(halfpel_decode(picture, running_options, predictor.x, mvd.x, True, width, height)),
+        _wrap_i16(halfpel_decode(picture, running_options, predictor.y, mvd.y, False, width, height)),
     )

@@ -435,7 +435,8 @@ def _fused_scenario(rng: np.random.Generator, width: int, height: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _device_parse_fn(mbh: int, mbw: int, tape_len: int):
+def _device_parse_fn(mbh: int, mbw: int, tape_len: int,
+                     width: int = None, height: int = None):
     import jax
 
     from ..parser import device_frontend as df
@@ -444,29 +445,43 @@ def _device_parse_fn(mbh: int, mbw: int, tape_len: int):
         words = df.payload_words(data_u8)
         tapes = df.parse_frames_device(
             words, start_bit, nbits, quant0, ptype, v1,
-            mbh=mbh, mbw=mbw, tape_len=tape_len)
+            mbh=mbh, mbw=mbw, tape_len=tape_len,
+            width=width, height=height)
         return df.assemble(tapes, mbh=mbh, mbw=mbw) + (tapes["status"],)
 
     return jax.jit(run)
 
 
 def _agree_device(buf: bytes, width: int, height: int,
-                  opts=_OPTS) -> tuple[bool, str]:
+                  opts=_OPTS, running=None, pic=None) -> tuple[bool, str]:
     """Differential: the device entropy automaton vs the Python host
     parser — dense coefficients / MVs / INTER must match exactly on
     success, and error CLASSES must match on failure
     (df.status_error_class).  Cases whose picture header fails to parse
     are out of scope (headers are host work in the device path), as are
     standard payloads carrying embedded start codes (GOB resync is host
-    work; the production prep gates them identically)."""
-    from ..parser import device_frontend as df
+    work; the production prep gates them identically).
 
+    `running`: carried running options (the production gate/dispatch uses
+    carry_forward_options, never pic.options alone).  `pic`: header-LESS
+    mode — buf starts at the MB layer and `pic` is the synthetic header
+    (the UMV flavors)."""
+    from ..parser import device_frontend as df
+    from ..types import carry_forward_options
+
+    headerless = pic is not None
     try:
         r = BitReader(buf)
-        pic = decode_picture(r, opts, None)
-        if pic is None or not df.supports(pic, pic.options):
+        if not headerless:
+            pic = decode_picture(r, opts, None)
+            if pic is None:
+                return True, ""
+        run_opts = carry_forward_options(
+            pic, running if running is not None else PictureOption.NONE)
+        if not df.supports(pic, run_opts):
             return True, ""
-        if pic.version is None and df.has_embedded_start_code(buf, r.pos):
+        if (not headerless and pic.version is None
+                and df.has_embedded_start_code(buf, r.pos)):
             return True, ""  # dispatch-gated to the host front-end
     except H263Error:
         return True, ""  # host-side header reject; device never dispatches
@@ -474,11 +489,11 @@ def _agree_device(buf: bytes, width: int, height: int,
     mb_w, mb_h = -(-width // 16), -(-height // 16)
     nmb = mb_w * mb_h
     # NB: _outcome_python's `pic` parameter is for header-LESS buffers (the
-    # UMV flavor); here buf carries its header, so let it re-decode it and
-    # advance its own reader past it.
+    # UMV flavors); with a header in buf, let it re-decode it and advance
+    # its own reader past it.
     try:
-        a, ea = _outcome_python(buf, width, height, opts,
-                                pic.options), None
+        a, ea = _outcome_python(buf, width, height, opts, run_opts,
+                                pic if headerless else None), None
     except H263Error as e:
         a, ea = None, type(e)
 
@@ -486,12 +501,12 @@ def _agree_device(buf: bytes, width: int, height: int,
     if len(buf) > BUCKET:
         return True, ""  # outside the fuzz transfer bucket
     data_u8, nbits = df.pack_payloads([buf], BUCKET)
-    fn = _device_parse_fn(mb_h, mb_w, 96 * nmb)
+    fn = _device_parse_fn(mb_h, mb_w, 96 * nmb, width, height)
 
     dense, mvs, inter, ok, status = fn(
         data_u8, np.array([r.pos], np.int32), nbits,
         np.array([pic.quantizer], np.int32),
-        np.array([df.encode_ptype(pic)], np.int32),
+        np.array([df.encode_ptype(pic, run_opts)], np.int32),
         np.array([1 if pic.version == 1 else 0], np.int32))
     st = int(np.asarray(status)[0])
 
@@ -560,36 +575,61 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
             total += c
             fails += f
         return total, fails
-    if flavor in ("d24", "device", "device_std"):
+    if flavor in ("d24", "device", "device_std", "device_umv"):
         # "d24"/"device" run the _rand_d24_frame generator (rich in
         # discard / escape / sparsity edges); "device" checks the device
         # entropy automaton against the Python parser (tensors + error
         # classes), "device_std" does the same over STANDARD plain-PTYPE
-        # pictures at CIF-family dims (soft MCBPC/CBPY semantics; the UMV
-        # half of the generator exercises the supports() dispatch gate).
+        # pictures at CIF-family dims (soft MCBPC/CBPY semantics; half
+        # the bases run under CARRIED UNRESTRICTED_MOTION_VECTORS — the
+        # v1 range rule is reachable only via carried state).
+        # "device_umv" drives the automaton's table-D.3 MVD decode:
+        # PLUSPTYPE UMV pictures (EXTENDED and UNLIMITED ranges, INTER4V,
+        # large mantissas) vs the Python parser.
+        # Each generator yields (buf, pic_or_None, running); mutants of a
+        # base keep the base's synthetic header/running context.
         if flavor == "device_std":
             if (width, height) == (96, 80):
                 width, height = 128, 96
-            gen = lambda rng: _rand_frame(rng, width, height,
-                                          flavor="standard")
-            agree = lambda b, w, h: _agree_device(b, w, h,
-                                                  DecoderOption.NONE)
+
+            def gen(rng):
+                run = (PictureOption.UNRESTRICTED_MOTION_VECTORS
+                       if rng.random() < 0.5 else PictureOption.NONE)
+                return (_rand_frame(rng, width, height, flavor="standard"),
+                        None, run)
+
+            def agree(b, w, h, pic, run):
+                return _agree_device(b, w, h, DecoderOption.NONE,
+                                     running=run)
+        elif flavor == "device_umv":
+            def gen(rng):
+                buf, pic = _rand_umv_case(rng, width, height)
+                return buf, pic, PictureOption.UNRESTRICTED_MOTION_VECTORS
+
+            def agree(b, w, h, pic, run):
+                return _agree_device(b, w, h, DecoderOption.NONE,
+                                     running=run, pic=pic)
         else:
-            gen = lambda rng: _rand_d24_frame(rng, width, height)
-            agree = _agree_d24 if flavor == "d24" else _agree_device
+            def gen(rng):
+                return _rand_d24_frame(rng, width, height), None, None
+
+            _agree0 = _agree_d24 if flavor == "d24" else _agree_device
+
+            def agree(b, w, h, pic, run):
+                return _agree0(b, w, h)
         rng = np.random.default_rng(seed)
         report = on_fail or (lambda tag, why: print(f"MISMATCH {tag}: {why}"))
         total = fails = 0
         for i in range(n_base):
-            base = gen(rng)
-            ok, why = agree(base, width, height)
+            base, pic_i, run_i = gen(rng)
+            ok, why = agree(base, width, height, pic_i, run_i)
             total += 1
             if not ok:
                 fails += 1
                 report(f"base[{i}]", why)
             for m in range(mutations_per_base):
-                mut = _mutate(rng, base, lambda: gen(rng))
-                ok, why = agree(mut, width, height)
+                mut = _mutate(rng, base, lambda: gen(rng)[0])
+                ok, why = agree(mut, width, height, pic_i, run_i)
                 total += 1
                 if not ok:
                     fails += 1

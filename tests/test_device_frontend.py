@@ -399,6 +399,21 @@ def test_differential_fuzz_campaign_device_std():
     assert total == 6 * 6
 
 
+def test_differential_fuzz_campaign_device_umv():
+    """UMV flavor of the device differential fuzz: PLUSPTYPE UMV pictures
+    (table-D.3 fixed-code MVDs, EXTENDED and UNLIMITED motion-vector
+    ranges, INTER4V, large mantissas) + structured mutations vs the
+    Python parser — the automaton's round-4 scope extension."""
+    from h263_tpu.testing.fuzz import run_campaign
+
+    failures = []
+    total, fails = run_campaign(seed=71, n_base=6, mutations_per_base=5,
+                                flavor="device_umv",
+                                on_fail=lambda tag, why: failures.append((tag, why)))
+    assert fails == 0, failures[:5]
+    assert total == 6 * 6
+
+
 class TestPallasHarness:
     """The Pallas kernel harness must produce identical tapes/status to the
     XLA while_loop harness (they share the automaton body)."""
@@ -691,15 +706,20 @@ class TestDeviceFrontendDecoder:
 
 class TestCarriedOptionsGate:
     """The supports() gate must see CARRIED running options: a plain-PTYPE
-    picture after a UMV OPPTYPE still decodes under UMV (state.rs:147-155)
-    and must stay on the host front-end, not silently mis-decode."""
+    picture after an OPPTYPE carrying a host-only option (MODIFIED_
+    QUANTIZATION) still decodes under it (state.rs:147-155) and must stay
+    on the host front-end, not silently mis-decode.  UMV — host-gated
+    until round 4 — now decodes ON the automaton; the carried options
+    must reach encode_ptype so the follow-up picture uses the UMV range
+    rules its own bits don't announce."""
 
     @staticmethod
-    def _plusptype_qcif_umv():
+    def _plusptype_qcif(*, umv=False, mq=False, p=False, mbs=None):
         """PLUSPTYPE+OPPTYPE I-picture: source format QCIF (standard, so a
         plain-PTYPE QCIF follow-up is format-compatible — a format CHANGE
-        would trip the RPRP quirk instead), UMV on."""
-        from h263_tpu.testing.encoder import BitWriter
+        would trip the RPRP quirk instead).  `mbs`: optional MB payload
+        (encoded with table-D.3 MVDs when umv, the PLUSPTYPE coding)."""
+        from h263_tpu.testing.encoder import BitWriter, encode_macroblock
 
         w = BitWriter()
         w.write_bits(1, 17)          # PSC
@@ -710,24 +730,31 @@ class TestCarriedOptionsGate:
         w.write_code("001")          # UFEP: OPPTYPE present
         w.write_code("010")          # OPPTYPE fmt = QCIF (standard)
         w.write_bits(0, 1)           # custom PCF off
-        w.write_bits(1, 1)           # UMV on
-        w.write_bits(0, 9)           # other OPPTYPE options off
+        w.write_bits(1 if umv else 0, 1)   # UMV (Annex D)
+        w.write_bits(0, 8)           # SAC..AIV off
+        w.write_bits(1 if mq else 0, 1)    # MODIFIED_QUANTIZATION
         w.write_code("1000")         # mandatory tail
-        w.write_code("000")          # MPPTYPE: I
+        w.write_code("001" if p else "000")   # MPPTYPE: P / I
         w.write_code("000")          # rprp/rru/rounding off
         w.write_code("001")          # mandatory tail
         w.write_bits(0, 1)           # CPM off
-        w.write_bits(1, 1)           # UUI: '1' => extended range
+        if umv:
+            w.write_bits(1, 1)       # UUI: '1' => extended range
         w.write_bits(9, 5)           # PQUANT
         w.write_bits(0, 1)           # PEI end
+        for mb in (mbs or []):
+            encode_macroblock(
+                w, mb,
+                PictureTypeCode.P_FRAME if p else PictureTypeCode.I_FRAME,
+                None, umv_d3=umv)
         return w.to_bytes()
 
-    def test_carried_umv_keeps_gating(self):
+    def test_carried_mq_keeps_gating(self):
         from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
         from h263_tpu.testing.encoder import encode_standard_picture
         from h263_tpu.types import PictureOption
 
-        f0 = self._plusptype_qcif_umv()
+        f0 = self._plusptype_qcif(mq=True)
         f1 = encode_standard_picture(
             176, 144, PictureTypeCode.P_FRAME,
             [MBSpec(kind="uncoded")] * 99, temporal_reference=6)
@@ -738,16 +765,53 @@ class TestCarriedOptionsGate:
         # The legally parsed header commits even on scope rejection, so
         # the carried state exists for the next frame's gate.
         assert dec._pictures[0] is not None
-        assert dec._running[0] & PictureOption.UNRESTRICTED_MOTION_VECTORS
-        # The plain-PTYPE follow-up's own bits carry no UMV, but the
+        assert dec._running[0] & PictureOption.MODIFIED_QUANTIZATION
+        # The plain-PTYPE follow-up's own bits carry no MQ, but the
         # RUNNING options do: it must be rejected too (this dispatched and
         # mis-decoded before the fix).
         with pytest.raises(H263Error, match="scope"):
             dec.decode_step([f1])
-        # Same frame on a fresh slot (no carried UMV) is in scope.
+        # Same frame on a fresh slot (no carried MQ) is in scope.
         dec.reset_slot_state(0)
         dec.decode_step([f1])
         assert (dec.fetch_status() == 0).all()
+
+    def test_carried_umv_decodes_on_device(self):
+        """Round 4: UMV is automaton scope.  A plain-PTYPE P follow-up
+        under carried UMV must decode on the device path with the v1
+        range rules (its own bits carry no UMV) and match the host
+        batched decoder plane-for-plane."""
+        from h263_tpu.parallel.batch import BatchedStreamDecoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+        from h263_tpu.testing.encoder import encode_standard_picture
+        from h263_tpu.types import PictureOption
+
+        # A real intra payload: an empty I raises UncodedIFrameBlocks and
+        # a P with no reference is rejected by gather.rs:149 semantics.
+        f0 = self._plusptype_qcif(
+            umv=True,
+            mbs=[MBSpec(kind="intra", intradc=[8 * (1 + i % 120)] * 6)
+                 for i in range(99)])
+        mbs = []
+        for i in range(99):
+            if i % 7 == 0:
+                mbs.append(MBSpec(kind="inter", mvd=[(5 - (i % 11), 3)],
+                                  blocks=[[(0, 4)], [], [], [], [], []]))
+            else:
+                mbs.append(MBSpec(kind="uncoded"))
+        f1 = encode_standard_picture(
+            176, 144, PictureTypeCode.P_FRAME, mbs, temporal_reference=6)
+
+        dev = DeviceFrontendDecoder(1, 176, 144, DecoderOption.NONE)
+        host = BatchedStreamDecoder(1, 176, 144, DecoderOption.NONE)
+        for f in (f0, f1):
+            ya, cba, cra = dev.decode_step([f])
+            yb, cbb, crb = host.decode_step([f])
+            np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+            np.testing.assert_array_equal(np.asarray(cba), np.asarray(cbb))
+            np.testing.assert_array_equal(np.asarray(cra), np.asarray(crb))
+        assert dev._running[0] & PictureOption.UNRESTRICTED_MOTION_VECTORS
+        assert (dev.fetch_status() == 0).all()
 
     def test_recycled_slot_does_not_inherit_status(self):
         from h263_tpu.parallel.device_batch import DeviceFrontendDecoder

@@ -573,7 +573,7 @@ def test_standard_sniff_probe_differential():
             w, h, PictureTypeCode.I_FRAME,
             [MBSpec(kind="intra", intradc=[800] * 6)]
             * ((w // 16) * (h // 16))))
-    cases.append(TestCarriedOptionsGate._plusptype_qcif_umv())
+    cases.append(TestCarriedOptionsGate._plusptype_qcif(umv=True))
     cases.append(_plusptype_header().to_bytes())            # custom CPFMT
     cases.append(_plusptype_header(ufep=False).to_bytes())  # inherited fmt
 
@@ -590,3 +590,117 @@ def test_standard_sniff_probe_differential():
                 # Standard-format headers at matching dims should hit the
                 # fast path (perf regression guard, not correctness).
                 assert probe in ("unchanged", None)
+
+
+class TestAdaptiveFrontend:
+    """Degraded-window adaptation: the pool must notice a collapsed
+    transfer bandwidth (EMA vs the best window seen) and switch its
+    buckets to the device front-end live — byte reduction is the only
+    lever that works in such windows (CLAUDE.md).  The slowdown is
+    injected at the measurement boundary (_transfer_stats_fn), so the
+    detection logic AND the real switch mechanics both run."""
+
+    def test_simulated_slowdown_triggers_switch_bitexact(self):
+        from h263_tpu.parallel.batch import BatchedStreamDecoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+        from h263_tpu.utils.trace import get_counters
+
+        n_frames = 16
+        streams = {
+            "a": (48, 32, _frames(21, 48, 32, n=n_frames)),
+            "b": (48, 32, _frames(22, 48, 32, n=n_frames)),
+            "c": (32, 32, _frames(23, 32, 32, n=n_frames)),
+        }
+        pool = StreamPool(SORENSON, adaptive_frontend=True,
+                          degrade_ratio=4.0, adapt_min_samples=4)
+        ref = StreamPool(SORENSON)  # same path, no adaptation
+        for sid, (w, h, _) in streams.items():
+            pool.add_stream(sid, w, h)
+            ref.add_stream(sid, w, h)
+
+        # Healthy window for 6 steps, then a 10x slowdown.
+        step_no = {"t": 0}
+        pool._transfer_stats_fn = lambda dec: (
+            1 << 20, 0.001 if step_no["t"] < 6 else 0.010)
+
+        switched_at = None
+        for t in range(n_frames):
+            step_no["t"] = t
+            out = pool.decode_step(
+                {sid: s[2][t] for sid, s in streams.items()})
+            exp = ref.decode_step(
+                {sid: s[2][t] for sid, s in streams.items()})
+            if switched_at is None and pool.frontend == "device":
+                switched_at = t
+            for sid in streams:
+                ya, cba, cra = out[sid]
+                yb, cbb, crb = exp[sid]
+                np.testing.assert_array_equal(ya, yb, err_msg=f"{sid}@{t}")
+                np.testing.assert_array_equal(cba, cbb)
+                np.testing.assert_array_equal(cra, crb)
+
+        assert pool.frontend == "device"
+        assert switched_at is not None and 6 <= switched_at < n_frames - 1, \
+            f"switch mid-run so post-switch steps are exercised: {switched_at}"
+        for bucket in pool._buckets.values():
+            assert isinstance(bucket.dec, DeviceFrontendDecoder)
+        for bucket in ref._buckets.values():
+            assert isinstance(bucket.dec, BatchedStreamDecoder)
+        c = get_counters()
+        assert c.get("pool_degraded_window_detected", 0) >= 1
+        assert c.get("pool_frontend_switches", 0) >= 2  # both buckets
+
+    def test_healthy_window_never_switches(self):
+        from h263_tpu.parallel.batch import BatchedStreamDecoder
+
+        frames = _frames(31, 48, 32, n=10)
+        pool = StreamPool(SORENSON, adaptive_frontend=True,
+                          degrade_ratio=4.0, adapt_min_samples=4)
+        pool.add_stream("a", 48, 32)
+        pool._transfer_stats_fn = lambda dec: (1 << 20, 0.001)
+        for t in range(10):
+            pool.decode_step({"a": frames[t]})
+        assert pool.frontend == "host"
+        assert isinstance(pool._buckets[(48, 32)].dec, BatchedStreamDecoder)
+
+    def test_manual_switch_preserves_membership_and_state(self):
+        """switch_frontend mid-GOP: carried headers + reference planes
+        transplant; join/leave and absent-stream semantics keep working
+        on the device decoders afterwards."""
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        n_frames = 8
+        fa = _frames(41, 48, 32, n=n_frames)
+        fb = _frames(42, 48, 32, n=n_frames)
+        pool = StreamPool(SORENSON)
+        ref = StreamPool(SORENSON)
+        for p in (pool, ref):
+            p.add_stream("a", 48, 32)
+            p.add_stream("b", 48, 32)
+        for t in range(3):
+            pool.decode_step({"a": fa[t], "b": fb[t]})
+            ref.decode_step({"a": fa[t], "b": fb[t]})
+        pool.switch_frontend("device")
+        assert pool.frontend == "device"
+        for t in range(3, n_frames):
+            feed = {"a": fa[t]} if t == 4 else {"a": fa[t], "b": fb[t]}
+            out = pool.decode_step(feed)
+            exp = ref.decode_step(feed)
+            for sid in feed:
+                np.testing.assert_array_equal(out[sid][0], exp[sid][0],
+                                              err_msg=f"{sid}@{t}")
+        # Join after the switch lands on a device-frontend bucket.
+        pool.add_stream("late", 32, 32)
+        late = _frames(43, 32, 32, n=2)
+        out = pool.decode_step({"a": fa[-1], "late": late[0]})
+        assert isinstance(pool._buckets[(32, 32)].dec,
+                          DeviceFrontendDecoder)
+
+    def test_adaptive_requires_sorenson(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="Sorenson"):
+            StreamPool(DecoderOption.NONE, adaptive_frontend=True)
+        pool = StreamPool(DecoderOption.NONE)
+        with pytest.raises(ValueError, match="Sorenson"):
+            pool.switch_frontend("device")
