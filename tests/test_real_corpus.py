@@ -62,6 +62,15 @@ CORPUS = [
     # fraction (measured 0.9595).
     ("scenecut", 176, 144, 2, 0.95),
     ("p720", 1280, 720, 2, 0.99),
+    # Round-4 encoder-option sweeps (VERDICT r3 #7): pinned-coarse and
+    # pinned-fine quantizers, starved CIF rate control, 3-frame scene-cut
+    # cadence, and 16CIF-class custom dims (measured skews: max Y diff 2,
+    # max BGR 4-5 across all five).
+    ("qcoarse", 176, 144, 2, 0.95),
+    ("qfine", 176, 144, 2, 0.94),
+    ("starved", 352, 288, 2, 0.97),
+    ("cutstorm", 176, 144, 2, 0.95),
+    ("cif16", 1408, 1152, 2, 0.99),
 ]
 
 
@@ -177,7 +186,12 @@ def test_batched_fused_path_matches_single(name, w, h, tol, exact_min,
 # recoverable condition — resolve_overflows() must repair those frames to
 # oracle-exact planes, which this test pins on REAL encoder content.
 _DEVFE_CORPUS = [("qcif", 176, 144, 0), ("quant", 176, 144, 10),
-                 ("scenecut", 176, 144, 1), ("odd", 120, 90, 0)]
+                 ("scenecut", 176, 144, 1), ("odd", 120, 90, 0),
+                 # round-4 sweeps: pinned-fine quantizer = the densest
+                 # coefficient load the encoder emits (tape pressure),
+                 # 3-frame cut cadence = I-frame churn through the
+                 # automaton's header commit path.
+                 ("qfine", 176, 144, 0), ("cutstorm", 176, 144, 0)]
 
 
 @pytest.mark.parametrize("name,w,h,min_repairs", _DEVFE_CORPUS)
