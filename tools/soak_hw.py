@@ -179,7 +179,7 @@ def main():
 
         dec = DeviceFrontendDecoder(
             S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM)
-        tag = f"harness={dec.harness}"
+        tag = f"harness={dec.harness} payload={dec.payload}"
     else:
         dec = BatchedStreamDecoder(S, W, H,
                                    DecoderOption.SORENSON_SPARK_BITSTREAM)
