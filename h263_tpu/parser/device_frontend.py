@@ -21,11 +21,15 @@ cite the reference implementation (read-only, /root/reference):
   macroblock *header* (COD..MVDs) ends the picture with INTER/zero-MV
   tail-fill; EOF inside the *block* layer fails the whole picture.
 
-Scope: Sorenson Spark AND standard H.263 I/P frames without UMV /
-MODIFIED_QUANTIZATION (the two options that alter the MB layer), and —
-for standard pictures — without embedded GOB start codes (resync is host
-work; `has_embedded_start_code` gates).  `supports()` gates dispatch;
-out-of-scope streams stay on the host front-end.  Per-stream errors are recorded in a device-resident status
+Scope: Sorenson Spark AND standard H.263 I/P frames, including UMV
+(round 4: table-D.3 fixed-code MVDs + EXTENDED/UNLIMITED range rules run
+in the automaton).  Still host-gated: MODIFIED_QUANTIZATION (its extended
+DQUANT alters the MB layer; the reference itself errors on it,
+macroblock.rs:497-498) and — for standard pictures — payloads carrying
+embedded GOB start codes (resync is host work; `has_embedded_start_code`
+gates; real GOB headers are a deliberate stub in the reference too,
+gob.rs:20-42).  `supports()` gates dispatch; out-of-scope streams stay on
+the host front-end.  Per-stream errors are recorded in a device-resident status
 vector (never implicitly read back — CLAUDE.md "AXON READBACK TRAP");
 an errored lane yields the identity frame (all-INTER, zero MVs, zero
 coefficients == repeat of the reference picture), matching the
