@@ -313,6 +313,8 @@ def run_gates_child(out_path: str, budget_s: float) -> int:
     """
     report = {"ok": False, "strict_rounding": "pending",
               "devfe_match": "pending", "devfe_status_ok": None,
+              "devfe_distinct_match": "pending",
+              "devfe_distinct_bad_lanes": None,
               "streams": 4, "backend": None, "payload_layout": None,
               "wall_s": None, "error": None}
     t0 = time.perf_counter()
@@ -381,6 +383,41 @@ def run_gates_child(out_path: str, budget_s: float) -> int:
               & jnp.array_equal(cr1, cr2))
         n_ok = (dfe.last_status == 0).sum()
 
+        # Distinct-content certification for the parent's serve sections:
+        # the parent can NEVER cheaply read its own lane statuses (the
+        # axon trap conversion measured ~212 s in a minimal process and
+        # wedged >40 min in the full bench), so the CHILD certifies that
+        # every corpus in the parent's distinct pool decodes through the
+        # devfe with all lanes status-ok and planes equal to the host
+        # decoder — at the same per-MB tape budget (16/MB) the serve
+        # sections use.  A silently-errored lane decodes a cheap identity
+        # frame, which would INFLATE the parent's serve numbers; this
+        # gate is what makes them trustworthy.  QCIF here, CIF there:
+        # tape need is per-MB, so the budget check carries over.  Reuses
+        # the S=4 programs compiled above — zero extra compiles; all
+        # dispatches land before the first readback.
+        n_corp = 24
+        dist = [build_corpus(W, H, F, seed=100 + c) for c in range(n_corp)]
+        sweep = []
+        for g in range(0, n_corp, S):
+            group = dist[g:g + S]
+            dh = BatchedStreamDecoder(
+                S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                pack_cap=10 * nmb, pallas=pallas, coef_transport="d24")
+            dv = DeviceFrontendDecoder(
+                S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                pallas=pallas, tape_len=16 * nmb, max_frame_bytes=8192,
+                harness="xla")
+            for t in range(F):
+                hy, hcb, hcr = dh.decode_step(
+                    [group[s][t] for s in range(S)])
+                vy, vcb, vcr = dv.decode_step(
+                    [group[s][t] for s in range(S)])
+            sweep.append((
+                jnp.array_equal(hy, vy) & jnp.array_equal(hcb, vcb)
+                & jnp.array_equal(hcr, vcr),
+                (dv.last_status != 0).sum()))
+
         # Strict-rounding gate (this performs the child's first readback).
         try:
             verify_strict_rounding(dec, W, H)
@@ -391,9 +428,18 @@ def run_gates_child(out_path: str, budget_s: float) -> int:
 
         report["devfe_match"] = "ok" if bool(np.asarray(eq)) else "FAILED"
         report["devfe_status_ok"] = int(np.asarray(n_ok))
+        flush()
+        bad_groups = [g for g, (e, _) in enumerate(sweep)
+                      if not bool(np.asarray(e))]
+        bad_lanes = sum(int(np.asarray(b)) for _, b in sweep)
+        report["devfe_distinct_bad_lanes"] = bad_lanes
+        report["devfe_distinct_match"] = (
+            "ok" if not bad_groups and bad_lanes == 0
+            else f"FAILED: groups {bad_groups}, {bad_lanes} errored lanes")
         report["ok"] = (report["strict_rounding"] == "ok"
                         and report["devfe_match"] == "ok"
-                        and report["devfe_status_ok"] == S)
+                        and report["devfe_status_ok"] == S
+                        and report["devfe_distinct_match"] == "ok")
         flush()
     except Exception as e:  # pragma: no cover
         report["error"] = repr(e)[:300]
@@ -677,15 +723,18 @@ def main():
             if g is not None:
                 detail["gates"] = g
                 detail["strict_rounding"] = g["strict_rounding"]
-                if g["devfe_match"] != "pending":
+                dmatch = g.get("devfe_distinct_match", "ok")
+                if g["devfe_match"] != "pending" and dmatch != "pending":
                     detail["device_frontend_validation"] = (
                         "ok" if (g["devfe_match"] == "ok"
                                  and g["devfe_status_ok"]
-                                 == g.get("streams", 4))
+                                 == g.get("streams", 4)
+                                 and dmatch == "ok")
                         else "FAILED")
                 done = (g["error"] is not None
                         or (g["strict_rounding"] != "pending"
-                            and g["devfe_match"] != "pending"))
+                            and g["devfe_match"] != "pending"
+                            and dmatch != "pending"))
                 if done:
                     return True
             if time.perf_counter() >= deadline:
@@ -1139,12 +1188,58 @@ def main():
                 " (devfe demoted: validation failed)"
 
     emit("final")
+
+    # Post-record status fetch: the serve/720p lane-status readbacks are
+    # pure upside now that the final record is out — if the tunnel lets
+    # them through late, re-emit an upgraded final; if not, "unread"
+    # stands.  (Rehearsal #2: the FIRST readback wedged >120 s even on a
+    # healthy window — the axon trap conversion, not the window.)
+    if (dfe_serve is not None and serve_status is not None
+            and not isinstance(
+                detail["devfe_serve"].get("status_ok_streams"), int)):
+        # Deliberate second attempt: the trap conversion measured ~212 s
+        # in a minimal process, so the 120 s first attempt often loses —
+        # with the record already emitted this retry is pure upside.
+        # Bounded well under the exit deadline so a truly wedged tunnel
+        # still exits cleanly (and early enough for the driver).
+        _wedged["flag"] = False
+        late_wait = 600.0
+        if args.exit_deadline > 0:
+            late_wait = max(0.0, min(600.0, (args.exit_deadline - 240.0)
+                                     - (time.perf_counter() - bench_t0)))
+        st, err = bounded_device(lambda: np.asarray(serve_status),
+                                 late_wait, "late devfe status readback")
+        if st is not None:
+            n_ok = int((st == 0).sum())
+            detail["devfe_serve"]["status_ok_streams"] = n_ok
+            if n_ok != S_serve:
+                paths.pop("devfe_serve", None)
+                refresh_headline()
+                detail["headline_path"] = (
+                    f"{detail['headline_path']} (devfe demoted: "
+                    f"{S_serve - n_ok} lanes errored)")
+            if (dfe7_status is not None and detail.get("p720")
+                    and "devfe" in detail["p720"]):
+                st7, _ = bounded_device(lambda: np.asarray(dfe7_status),
+                                        60.0, "late 720p status readback")
+                if st7 is not None:
+                    detail["p720"]["devfe"]["status_ok_streams"] = int(
+                        (st7 == 0).sum())
+            emit("final_status")
+
     disarm_overall()
     try:
         os.unlink(sidecar)
     except OSError:
         pass
-    sys.exit(0)
+    # os._exit, not sys.exit: a bounded_device thread may still be wedged
+    # inside a C-level tunnel call; interpreter teardown then cancels it
+    # mid-unwind and the C++ runtime aborts ("terminate called ... FATAL:
+    # exception not rethrown") — rehearsal #2 recorded a perfect final
+    # line and still exited 134.  Skip destructors entirely.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
