@@ -136,10 +136,10 @@ class DeviceFrontendDecoder:
         import jax.numpy as jnp
 
         # Both bitstream flavors decode here (the automaton speaks the
-        # shared MB layer, including UMV's table-D.3 MVDs and range
-        # rules); per-frame gates remain — MODIFIED_QUANTIZATION pictures
-        # and standard payloads carrying GOB start codes fall back per
-        # stream (df.supports / df.has_embedded_start_code).
+        # shared MB layer, including UMV's table-D.3 MVDs, range rules,
+        # and the GOB-resync scan on soft MB errors); one per-frame gate
+        # remains — MODIFIED_QUANTIZATION pictures fall back per stream
+        # (df.supports).
         if pallas == "auto":
             try:
                 backend = jax.default_backend()
@@ -460,11 +460,6 @@ class DeviceFrontendDecoder:
                             self._running[i] = running
                         if not df.supports(pic, running):
                             raise H263Error("outside device front-end scope")
-                        if (pic.version is None
-                                and df.has_embedded_start_code(buf, r.pos)):
-                            raise H263Error(
-                                "embedded start code: GOB resync is host "
-                                "front-end work")
                         if not absent:
                             # Absent lanes keep their last real frame's
                             # presentation params (header-commit

@@ -23,13 +23,14 @@ cite the reference implementation (read-only, /root/reference):
 
 Scope: Sorenson Spark AND standard H.263 I/P frames, including UMV
 (round 4: table-D.3 fixed-code MVDs + EXTENDED/UNLIMITED range rules run
-in the automaton).  Still host-gated: MODIFIED_QUANTIZATION (its extended
+in the automaton) and — round 4 late — GOB-bearing standard payloads:
+the host's GOB-resync scan on soft MB errors runs as a lane-local peek
+(picture boundary ends the picture; a real GOB header fails the frame
+with UnimplementedDecoding, the reference's own deliberate stub,
+gob.rs:20-42).  Still host-gated: MODIFIED_QUANTIZATION (its extended
 DQUANT alters the MB layer; the reference itself errors on it,
-macroblock.rs:497-498) and — for standard pictures — payloads carrying
-embedded GOB start codes (resync is host work; `has_embedded_start_code`
-gates; real GOB headers are a deliberate stub in the reference too,
-gob.rs:20-42).  `supports()` gates dispatch; out-of-scope streams stay on
-the host front-end.  Per-stream errors are recorded in a device-resident status
+macroblock.rs:497-498).  `supports()` gates dispatch; out-of-scope
+streams stay on the host front-end.  Per-stream errors are recorded in a device-resident status
 vector (never implicitly read back — CLAUDE.md "AXON READBACK TRAP");
 an errored lane yields the identity frame (all-INTER, zero MVs, zero
 coefficients == repeat of the reference picture), matching the
@@ -315,13 +316,15 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         matching macroblock.rs:461-464; uncoded COD=1 MBs still parse).
         Bit 2 (value +4) marks a STANDARD (non-Sorenson) picture: its
         MB layer is identical except that invalid MCBPC/CBPY codes are
-        SOFT — the host resyncs to the next GOB start code
-        (frame.py:186-198), and in-scope standard payloads carry none
-        (prepare gates on has_embedded_start_code), so the scan hits EOF
-        and the picture ends tail-filled.  Every other error class
-        (MVD/DC/TCOEF/escape/beyond-count/unimplemented) hard-fails the
-        frame for both flavors (error.rs:82-85: only those two classes
-        trigger resync).
+        SOFT — the automaton runs the host's GOB-resync scan in-lane
+        (round 4; frame.py:193-207 / gob.rs:21-42): no start code within
+        realignment distance, or EOF during the scan, or a picture
+        boundary (GN 0/15) all end the picture tail-filled; a real GOB
+        header (GN 1..14) fails the frame with UnimplementedDecoding,
+        matching the reference's deliberate GOB stub.  Every other error
+        class (MVD/DC/TCOEF/escape/beyond-count/unimplemented) hard-fails
+        the frame for both flavors (error.rs:82-85: only those two
+        classes trigger resync).
         UMV flag bits (encode_ptype derives them from the CARRIED running
         options + this picture's header, mirroring the host's
         decode_motion_vector / halfpel_decode gates):
@@ -580,18 +583,48 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         h_err = jnp.where(h_beyond & ~h_eof & (h_err == 0), ST_BEYOND_NMB, h_err)
 
         # Standard lanes: invalid MCBPC/CBPY are macroblock-class errors
-        # (error.rs:82-85) — the host's GOB resync finds no start code in
-        # an in-scope payload and the picture ends tail-filled, i.e. the
-        # same outcome as header EOF.  All other classes stay hard.
+        # (error.rs:82-85) — the host resyncs via decode_gob
+        # (frame.py:193-207, picture.py:467-485, gob.rs:21-42).  The MB
+        # decode is transactional, so the scan starts at this MB's first
+        # bit (nothing is consumed on the error paths): candidates
+        # s = 0..align+1 stuffing zeros ahead (recognize_start_code's
+        # reference off-by-one, bitio.py:104-110), first outcome in scan
+        # order wins:
+        #   s+17 > rem         -> EOF mid-peek       -> tail-filled end
+        #   17-bit code at s   -> read GN (5 bits):
+        #       s+22 > rem     -> EOF                -> tail-filled end
+        #       GN in {0, 15}  -> picture boundary   -> tail-filled end
+        #       GN in 1..14    -> real GOB header    -> UnimplementedDecoding
+        #                         (gob stub parity — the frame FAILS)
+        #   no code in range   -> InvalidGobHeader   -> tail-filled end
+        # s+22 <= 30 <= 32 and valid >= 33 here, so one `hi` peek covers
+        # the whole scan; window bits past nbits are zero-padding, hence
+        # every peek is gated on `rem` first.  All other error classes
+        # stay hard for both flavors.
         h_soft = is_std & (h_bad_m | h_bad_y)
-        h_fail = (h_err != 0) & ~h_eof & ~h_soft
+        align = (8 - (st["bitpos"] & 7)) & 7
+        g_dec = jnp.zeros((S,), jnp.int32)  # 0 undecided / 1 tail / 2 fail
+        for s_c in range(9):
+            g_eof = s_c + 17 > rem
+            g_code = _peek(hi, s_c, 17) == 1
+            gn = _peek(hi, s_c + 17, 5)
+            g_gn_ends = (s_c + 22 > rem) | (gn == 0) | (gn == 15)
+            take = (g_dec == 0) & (s_c <= align + 1)
+            g_dec = jnp.where(
+                take & (g_eof | (g_code & g_gn_ends)), 1, g_dec)
+            g_dec = jnp.where(
+                take & ~g_eof & g_code & ~g_gn_ends, 2, g_dec)
+        h_soft_fail = h_soft & (g_dec == 2)
+        h_soft_tail = h_soft & ~h_soft_fail
+        h_err = jnp.where(h_soft_fail, ST_UNIMPLEMENTED, h_err)
+        h_fail = ((h_err != 0) & ~h_eof & ~h_soft) | h_soft_fail
         h_ok = ~h_eof & ~h_soft & ~h_fail
 
         # Header-phase results --------------------------------------------
         hdr_consumed = jnp.where(
             h_eof | h_soft, 0,
             jnp.where(uncoded, 1, jnp.where(stuffing, c1, c3)))
-        hdr_phase = jnp.where(h_eof | h_soft, PH_DONE,
+        hdr_phase = jnp.where(h_eof | h_soft_tail, PH_DONE,
                               jnp.where(h_fail, PH_ERR, PH_HEADER))
         # (coded-MB phase transitions applied below via enter_blocks / MVD)
 
@@ -1161,67 +1194,15 @@ def assemble(tapes, *, mbh: int, mbw: int):
 def supports(picture, running_options) -> bool:
     """Dispatch gate for the device front-end: Sorenson OR standard
     pictures whose MB layer the automaton speaks.  UMV is in scope since
-    round 4 (encode_ptype carries the table-D.3 / range-rule flags);
+    round 4 (encode_ptype carries the table-D.3 / range-rule flags), and
+    so is GOB resync (round 4 late: the scan runs in-automaton, so
+    GOB-bearing payloads no longer need a host gate);
     MODIFIED_QUANTIZATION's extended DQUANT is not — those frames stay on
     the host.  Every other option is MB-layer-inert in the host parser
-    too (macroblock.rs:445-549).  Standard payloads additionally need the
-    has_embedded_start_code scan (GOB resync is host work)."""
+    too (macroblock.rs:445-549)."""
     from ..types import PictureOption
 
     return not (running_options & PictureOption.MODIFIED_QUANTIZATION)
-
-
-def has_embedded_start_code(buf: bytes, start_bit: int) -> bool:
-    """True if a start-code-shaped run (>=16 consecutive zero bits) exists
-    at or after `start_bit` (the first MB-layer bit).  Standard H.263
-    pictures may carry GOB headers mid-picture; resync is host work, so
-    such payloads must not dispatch to the device.  VLC data cannot
-    emulate 16 zero bits (start-code emulation prevention), so a hit IS a
-    boundary (or corruption — either way, host).  Runs beginning up to 15
-    bits before start_bit are counted (a run crossing the header/MB seam
-    still contains a boundary)."""
-    arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-    lo = max(0, start_bit - 15)
-    if arr.size * 8 - lo < 16:
-        return False
-    # Byte-level scan (the bit-unpacked convolve cost ~0.5M int ops per
-    # 4 KB frame on the per-step host hot path).  Any >=16-zero-bit run
-    # contains at least one all-zero byte, so it decomposes as
-    # trailing_zeros(prev) + 8*L + leading_zeros(next) with L >= 1 zero
-    # bytes: L >= 2 always qualifies; L == 1 needs tz+lz >= 8.  Bits
-    # before `lo` are masked to ones first so pre-seam runs don't count.
-    if lo:
-        arr = arr.copy()
-        arr[:lo // 8] = 0xFF
-        if lo % 8:
-            arr[lo // 8] |= (0xFF << (8 - lo % 8)) & 0xFF
-    z = arr == 0
-    if not z.any():
-        return False
-    if (z[:-1] & z[1:]).any():
-        return True
-    idx = np.nonzero(z)[0]
-    tz = np.where(idx > 0, _TZ_LUT[arr[np.maximum(idx - 1, 0)]], 0)
-    lz = np.where(idx < arr.size - 1,
-                  _LZ_LUT[arr[np.minimum(idx + 1, arr.size - 1)]], 0)
-    return bool((tz + lz >= 8).any())
-
-
-def _make_zero_run_luts():
-    tz = np.zeros(256, dtype=np.int32)
-    lz = np.zeros(256, dtype=np.int32)
-    for b in range(256):
-        t = 0
-        while t < 8 and not (b >> t) & 1:
-            t += 1
-        l = 0
-        while l < 8 and not (b << l) & 0x80:
-            l += 1
-        tz[b], lz[b] = t, l
-    return tz, lz
-
-
-_TZ_LUT, _LZ_LUT = _make_zero_run_luts()
 
 
 def encode_ptype(picture, running_options=None) -> int:
@@ -1285,9 +1266,6 @@ def prepare_batch(frames: list[bytes], decoder_options,
                       else PictureOption.NONE))
         if pic is None or not supports(pic, running):
             raise ValueError(f"stream {i} outside device front-end scope")
-        if pic.version is None and has_embedded_start_code(buf, r.pos):
-            raise ValueError(f"stream {i}: embedded start code "
-                             f"(GOB resync is host work)")
         start_bit[i] = r.pos
         quant0[i] = pic.quantizer
         ptype[i] = encode_ptype(pic, running)

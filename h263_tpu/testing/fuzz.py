@@ -458,9 +458,9 @@ def _agree_device(buf: bytes, width: int, height: int,
     parser — dense coefficients / MVs / INTER must match exactly on
     success, and error CLASSES must match on failure
     (df.status_error_class).  Cases whose picture header fails to parse
-    are out of scope (headers are host work in the device path), as are
-    standard payloads carrying embedded start codes (GOB resync is host
-    work; the production prep gates them identically).
+    are out of scope (headers are host work in the device path).
+    Standard payloads carrying embedded start codes are IN scope since
+    round 4 late — the GOB-resync scan runs in-automaton.
 
     `running`: carried running options (the production gate/dispatch uses
     carry_forward_options, never pic.options alone).  `pic`: header-LESS
@@ -480,9 +480,6 @@ def _agree_device(buf: bytes, width: int, height: int,
             pic, running if running is not None else PictureOption.NONE)
         if not df.supports(pic, run_opts):
             return True, ""
-        if (not headerless and pic.version is None
-                and df.has_embedded_start_code(buf, r.pos)):
-            return True, ""  # dispatch-gated to the host front-end
     except H263Error:
         return True, ""  # host-side header reject; device never dispatches
 
@@ -582,7 +579,9 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
         # classes), "device_std" does the same over STANDARD plain-PTYPE
         # pictures at CIF-family dims (soft MCBPC/CBPY semantics; half
         # the bases run under CARRIED UNRESTRICTED_MOTION_VECTORS — the
-        # v1 range rule is reachable only via carried state).
+        # v1 range rule is reachable only via carried state; 40% of the
+        # bases carry a spliced GOB-header-shaped run, driving the
+        # in-automaton resync scan).
         # "device_umv" drives the automaton's table-D.3 MVD decode:
         # PLUSPTYPE UMV pictures (EXTENDED and UNLIMITED ranges, INTER4V,
         # large mantissas) vs the Python parser.
@@ -595,8 +594,21 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
             def gen(rng):
                 run = (PictureOption.UNRESTRICTED_MOTION_VECTORS
                        if rng.random() < 0.5 else PictureOption.NONE)
-                return (_rand_frame(rng, width, height, flavor="standard"),
-                        None, run)
+                buf = _rand_frame(rng, width, height, flavor="standard")
+                if rng.random() < 0.4:
+                    # Splice a GOB-header-shaped run mid-payload so the
+                    # in-automaton resync scan (soft MB error -> start-code
+                    # peek -> GN routes tail-fill vs UnimplementedDecoding)
+                    # is differentially exercised.  GN 0/15 = picture
+                    # boundary; 1..14 = real GOB header (frame fails).
+                    gn = int(rng.choice([0, 15, 1, 5, 14]))
+                    code = bytes([0, 0, 0x80 | (gn << 2)
+                                  | int(rng.integers(0, 4))])
+                    if rng.random() < 0.3:
+                        code = b"\x00" + code  # stuffing-heavy run
+                    at = int(rng.integers(6, max(7, len(buf))))
+                    buf = buf[:at] + code + buf[at:]
+                return buf, None, run
 
             def agree(b, w, h, pic, run):
                 return _agree_device(b, w, h, DecoderOption.NONE,

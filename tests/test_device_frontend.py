@@ -337,16 +337,109 @@ class TestStandardStreams:
         # The first half really decoded (soft end kept prior MBs).
         assert np.any(dense[0] != 0)
 
-    def test_gob_payloads_are_gated(self):
-        """A standard payload containing a second start code must not
-        dispatch (resync is host work): prepare_batch refuses it."""
-        import pytest
+    def _gob_builder(self, k=5):
+        """A 128x96 standard P-picture with k decoded MBs; returns the
+        BitWriter positioned at the MB boundary where the resync scan will
+        start (the invalid-MCBPC error rolls back to this bit)."""
+        from h263_tpu.testing.encoder import BitWriter, encode_macroblock
 
-        frames = self.rich_std_gop(63, n=2)
-        gob = frames[0] + b"\x00\x00\x80\x02"  # embedded start-code bytes
-        assert df.has_embedded_start_code(gob, 40)
-        with pytest.raises(ValueError):
-            df.prepare_batch([gob], self.OPTS)
+        w = BitWriter()
+        w.write_bits(1, 17); w.write_bits(0, 5); w.write_bits(1, 8)
+        w.write_code("10"); w.write_code("000")
+        w.write_bits(1, 3)              # source format: 128x96
+        for _ in range(5):              # P-frame, no options
+            w.write_bits(0, 1)
+        w.write_bits(8, 5); w.write_bits(0, 1); w.write_bits(0, 1)
+        for _ in range(k):
+            encode_macroblock(w, MBSpec(
+                kind="inter", mvd=[(2, -2)],
+                blocks=[[(0, 5)], [], [], [], [], []]),
+                PictureTypeCode.P_FRAME, None)
+        return w
+
+    def _gob_case(self, gn, stuff, k=5):
+        """k MBs, then `stuff` zero bits + the 17-bit start code + GN."""
+        w = self._gob_builder(k)
+        w.write_code("0" * stuff)
+        w.write_bits(1, 17)
+        w.write_bits(gn, 5)
+        w.write_code("11")              # keep byte padding off the code
+        return w.to_bytes(pad_bit=1)
+
+    def test_gob_resync_routes_in_automaton(self):
+        """GOB-bearing standard payloads dispatch since round 4 late: on
+        the soft MB error at the GOB boundary the automaton runs the
+        host's recognize_start_code scan in-lane (gob.rs:21-42 stub
+        parity).  GN in {0, 15} = picture boundary -> the lane ends OK,
+        tail-filled, with the prior MBs kept; GN in 1..14 = a real GOB
+        header -> the frame fails with UnimplementedDecoding."""
+        from h263_tpu.types import UnimplementedDecoding
+
+        probe = self._gob_case(0, 0)
+        pic = decode_picture(BitReader(probe), self.OPTS, None)
+        if pic.format is None or pic.format.width_and_height() != (128, 96):
+            import pytest
+
+            pytest.skip("format bits drifted; regenerate the header")
+
+        # Picture boundary: tail-filled end, bit-identical to the host.
+        for gn in (0, 15):
+            buf = self._gob_case(gn, 0)
+            dense, mvs, inter, ok, status = device_parse(
+                [buf], 128, 96, tape_len=4096, opts=self.OPTS)
+            assert ok[0] and status[0] == 0, status
+            hd, hmv, hin = host_parse(buf, 128, 96, opts=self.OPTS)
+            np.testing.assert_array_equal(dense[0], hd)
+            np.testing.assert_array_equal(mvs[0], hmv)
+            np.testing.assert_array_equal(inter[0], hin)
+            assert np.any(dense[0] != 0)  # the k decoded MBs were kept
+
+        # Real GOB header: UnimplementedDecoding on both front-ends.
+        buf = self._gob_case(5, 0)
+        try:
+            host_parse(buf, 128, 96, opts=self.OPTS)
+            raise AssertionError("host accepted a real GOB header")
+        except UnimplementedDecoding:
+            pass
+        _, _, _, ok, status = device_parse(
+            [buf], 128, 96, tape_len=4096, opts=self.OPTS)
+        assert not ok[0] and status[0] == df.ST_UNIMPLEMENTED, status
+
+    def test_gob_resync_differential_sweep(self):
+        """Stuffing distances x GN values x EOF-mid-code truncations, all
+        differentially vs the host parser (the scan's accept/reject and
+        EOF outcomes must agree bit-for-bit)."""
+        frames = [self._gob_case(gn, s)
+                  for gn in (0, 1, 5, 14, 15) for s in (0, 2, 5, 9)]
+        base = self._gob_case(5, 0)
+        frames += [base[:-2], base[:-3]]  # EOF inside the scan window
+        assert_matches_host(frames, 128, 96, tape_len=4096, opts=self.OPTS)
+
+    def test_gob_resync_off_by_one_skip_bound(self):
+        """recognize_start_code accepts a code up to max_skip+1 bits ahead
+        (the reference off-by-one, bitio.py:104-110): at stuff=align+1 the
+        GN=5 header is FOUND (frame fails, both front-ends); at
+        stuff=align+2 the scan gives up -> tail-filled OK end."""
+        from h263_tpu.types import UnimplementedDecoding
+
+        w = self._gob_builder()
+        align = (8 - len(w._bits) % 8) % 8
+        found = self._gob_case(5, align + 1)
+        missed = self._gob_case(5, align + 2)
+        try:
+            host_parse(found, 128, 96, opts=self.OPTS)
+            raise AssertionError("host accepted a code at align+1? "
+                                 "(off-by-one regressed)")
+        except UnimplementedDecoding:
+            pass
+        hd, hmv, hin = host_parse(missed, 128, 96, opts=self.OPTS)
+        dense, mvs, inter, ok, status = device_parse(
+            [found, missed], 128, 96, tape_len=4096, opts=self.OPTS)
+        assert not ok[0] and status[0] == df.ST_UNIMPLEMENTED, status
+        assert ok[1] and status[1] == 0, status
+        np.testing.assert_array_equal(dense[1], hd)
+        np.testing.assert_array_equal(mvs[1], hmv)
+        np.testing.assert_array_equal(inter[1], hin)
 
     def test_decoder_end_to_end_standard(self):
         from h263_tpu.decoder.state import H263Decoder
@@ -907,49 +1000,6 @@ def _gop_like_frame():
         32, 32, PictureTypeCode.I_FRAME,
         [MBSpec(kind="intra", intradc=[int(rng.integers(1, 128)) * 8] * 6)
          for _ in range(4)], temporal_reference=0)
-
-
-class TestEmbeddedStartCodeScan:
-    """The byte-level scan must match the bit-level reference exactly."""
-
-    @staticmethod
-    def _ref(buf: bytes, start_bit: int) -> bool:
-        bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
-        lo = max(0, start_bit - 15)
-        z = (bits[lo:] == 0).astype(np.int32)
-        if z.size < 16:
-            return False
-        w = np.convolve(z, np.ones(16, dtype=np.int32), mode="valid")
-        return bool((w == 16).any())
-
-    def test_crafted_edges(self):
-        cases = [
-            (b"\x00\x00", 0),                # aligned 16-zero pair
-            (b"\xf0\x00\x0f", 0),            # 4 + 8 + 4 straddle
-            (b"\x01\x00\x80", 0),            # 0 + 8 + 0 = 8: no
-            (b"\xff\x00\xff", 0),            # lone zero byte, no slack
-            (b"\x00\x00\xff", 9),            # run starts before start_bit
-            (b"\xff\x00\x00\xff", 31),       # masked out by start_bit
-            (b"\x03\x00\x00\xc0", 0),
-            (b"", 0), (b"\x00", 0),          # too short
-        ]
-        for buf, sb in cases:
-            assert df.has_embedded_start_code(buf, sb) == self._ref(buf, sb), \
-                (buf, sb)
-
-    def test_randomized_equivalence(self):
-        rng = np.random.default_rng(33)
-        for _ in range(400):
-            n = int(rng.integers(0, 40))
-            buf = bytes(rng.integers(0, 256, n, dtype=np.uint8))
-            if n and rng.random() < 0.5:  # plant zero runs
-                at = int(rng.integers(0, n))
-                ln = int(rng.integers(1, 4))
-                buf = buf[:at] + b"\x00" * ln + buf[at + ln:]
-                buf = buf[:n]
-            sb = int(rng.integers(0, max(1, 8 * len(buf) + 4)))
-            assert df.has_embedded_start_code(buf, sb) == self._ref(buf, sb), \
-                (buf.hex(), sb)
 
 
 class TestRaggedPayload:
