@@ -119,6 +119,67 @@ def get_device_step_fn(h: int, w: int, tape_len: int, pallas: str = "off",
                                    ragged))
 
 
+def make_whole_step_multi(h: int, w: int, tape_len: int,
+                          pallas: str = "off", unroll: int = 4):
+    """T-frame fused step: decode a WINDOW of T frames per lane in one
+    device program (ragged payload, xla harness only).
+
+    At the serving shape the single-frame step is host-RPC-floor-bound —
+    the device automaton+reconstruct hides entirely under ~2.7 ms of
+    host-side prep/transfer/dispatch per call (CLAUDE.md round-4
+    rehearsals), so chaining T frames through one dispatch amortizes the
+    per-call floor T-ways.  A `lax.scan` over the per-frame meta rows
+    carries the reference planes frame to frame ON DEVICE — the exact
+    carry the reference performs between decode_next_picture calls
+    (state.rs:429-463), lifted into the compiled program.
+
+    Signature: step(data_u8 [Nw, 4], meta [T, 6, S] int32,
+                    ref_y, ref_cb, ref_cr)
+        -> (ys [T, S, h, w], cbs, crs, status [T, S])
+
+    data_u8 holds ALL T frames' word-aligned payloads back to back; meta
+    row 5 per frame is each lane's word offset into the SHARED flat
+    buffer (the host rebases frame t's offsets by the running total).
+    T is implicit in meta's leading dimension, so one jitted program per
+    (dims, tape, T, payload-rung) shape — same compile-caching story as
+    the single-frame rungs.
+    """
+    mbh, mbw = -(-h // 16), -(-w // 16)
+
+    def step(data_u8, meta, ref_y, ref_cb, ref_cr):
+        import jax
+
+        from ..decoder.reconstruct import reconstruct_from_dense
+
+        words = df.payload_words(data_u8)
+
+        def body(carry, m):
+            ry, rcb, rcr = carry
+            tapes = df.parse_frames_device(
+                words, m[0], m[1], m[2], m[3], m[4],
+                mbh=mbh, mbw=mbw, tape_len=tape_len, unroll=unroll,
+                base=m[5], width=w, height=h)
+            dense, mvs, inter, ok = df.assemble(tapes, mbh=mbh, mbw=mbw)
+            y, cb, cr = reconstruct_from_dense(
+                dense, mvs, inter, ry, rcb, rcr, pallas=pallas)
+            return (y, cb, cr), (y, cb, cr, tapes["status"])
+
+        _, (ys, cbs, crs, status) = jax.lax.scan(
+            body, (ref_y, ref_cb, ref_cr), meta)
+        return ys, cbs, crs, status
+
+    return step
+
+
+@functools.lru_cache(maxsize=16)
+def get_device_multi_step_fn(h: int, w: int, tape_len: int,
+                             pallas: str = "off", unroll: int = 4):
+    """Jitted make_whole_step_multi (T lives in the meta shape)."""
+    import jax
+
+    return jax.jit(make_whole_step_multi(h, w, tape_len, pallas, unroll))
+
+
 class DeviceFrontendDecoder:
     """Decode S same-resolution Sorenson streams with the device front-end.
 
@@ -196,6 +257,9 @@ class DeviceFrontendDecoder:
         self.ref_cb = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
         self.ref_cr = jnp.zeros((n_streams, self.ch, self.cw), dtype=jnp.uint8)
         self.last_status = None        # device-resident int32 [S]
+        self.last_status_steps = None  # decode_steps: int32 [T, S] (device)
+        self._fn_multi = None          # lazily-built window step program
+        self._last_window = None       # (pre-window refs, window buffers)
         # Last step's host->device payload cost (see batch.py: the pool's
         # degraded-window monitor reads these after every step).
         self.last_transfer_s = 0.0
@@ -308,9 +372,14 @@ class DeviceFrontendDecoder:
         actually HIT jit-compiles once (jax caches per shape); steady-state
         content occupies 1-2 adjacent rungs, so the fine grid does not
         cause a compile storm the way per-step exact shapes would."""
+        return self._quantize_ragged(
+            sum(((len(b) + 3) // 4) * 4 for b in bufs))
+
+    @staticmethod
+    def _quantize_ragged(need: int) -> int:
         import math
 
-        need = max(4096, sum(((len(b) + 3) // 4) * 4 for b in bufs))
+        need = max(4096, need)
         k = max(0, math.ceil(math.log2(need / 4096.0) * 4.0))
         bucket = ((int(math.ceil(4096.0 * 2.0 ** (k / 4.0))) + 3) // 4) * 4
         # Guard against float edge: the rung must cover need.
@@ -544,6 +613,183 @@ class DeviceFrontendDecoder:
         if first_err is not None:
             raise first_err
         return y, cb, cr
+
+    # -- multi-frame window step ---------------------------------------------
+
+    def _next_stage_ragged_multi(self, T: int, bucket: int):
+        key = ("raggedT", T, bucket)
+        pp = self._stage_pp.get(key)
+        if pp is None:
+            pp = dict(
+                stage=[np.zeros((bucket // 4, 4), dtype=np.uint8)
+                       for _ in range(2)],
+                meta=[np.zeros((T, 6, self.n), dtype=np.int32)
+                      for _ in range(2)],
+                idx=0, in_flight=[None, None])
+            self._stage_pp[key] = pp
+        pp["idx"] ^= 1
+        i = pp["idx"]
+        if pp["in_flight"][i] is not None:
+            with trace_stage("reclaim_wait"):
+                for a in pp["in_flight"][i]:
+                    a.block_until_ready()
+            pp["in_flight"][i] = None
+        return pp, pp["stage"][i], pp["meta"][i]
+
+    def decode_steps(self, frame_lists: Sequence[Sequence[bytes]]):
+        """Decode a WINDOW of T frames per stream in ONE device dispatch.
+
+        `frame_lists`: T sequences of S buffers (None = absent slot, which
+        decodes the cached skip frame with header commit suppressed, as in
+        decode_step).  Returns device-resident uint8 (ys, cbs, crs) stacked
+        [T, S, ...]; per-(frame, stream) status lands in
+        `self.last_status_steps` (int32 [T, S], device) and the FINAL
+        frame's row in `self.last_status` (the slot-recycle contract).
+
+        Rationale: at the serving shape the single-frame step is bound by
+        the fixed per-dispatch host cost (prep + device_put RPC + dispatch
+        RPC); one window dispatch pays that floor once for T frames — see
+        make_whole_step_multi.  Requires the ragged payload layout (native
+        prep packs all T frames back to back into one flat leaf).
+
+        Error semantics per (frame, lane) are decode_step's: a failed lane
+        emits the identity frame FOR THAT FRAME and later window frames
+        decode against the surviving reference — exactly the sequence of
+        single steps with no host repair in between.  Mid-window
+        ST_TAPE_OVERFLOW therefore cannot be repaired by
+        resolve_overflows (the intra-window reference has moved on);
+        use resolve_window_overflows(), which replays a flagged lane's
+        whole window from the pre-window planes kept for that purpose.
+        """
+        import jax
+
+        if self.payload != "ragged" or self._prep is None:
+            raise ValueError(
+                "decode_steps requires payload='ragged' (native prep)")
+        T = len(frame_lists)
+        if T < 1:
+            raise ValueError("empty window")
+        cap = self.max_frame_bytes
+        r_lists = []
+        for bufs in frame_lists:
+            if len(bufs) != self.n:
+                raise ValueError(
+                    f"expected {self.n} buffers, got {len(bufs)}")
+            r_lists.append([self._skip_frame_bytes() if b is None
+                            else (b"" if len(b) > cap else b) for b in bufs])
+        wbytes_t = [sum(((len(b) + 3) // 4) * 4 for b in bufs)
+                    for bufs in r_lists]
+        bucket = self._quantize_ragged(sum(wbytes_t))
+        pp, stage, meta = self._next_stage_ragged_multi(T, bucket)
+        flat = stage.reshape(-1)
+        first_err: Optional[Exception] = None
+        woff = 0  # running word offset into the shared flat buffer
+        with trace_stage("host_parse"):
+            for t, bufs in enumerate(r_lists):
+                # Exact-size view: the prep zero-fills its view's tail, so
+                # handing it the whole remaining buffer would memset the
+                # full bucket T times.
+                view = flat[woff * 4: woff * 4 + wbytes_t[t]]
+                failed = self._prep.prepare_ragged(bufs, view, meta[t])
+                okm = self._prep.rc == 0
+                commit = okm & np.array(
+                    [b is not None for b in frame_lists[t]], dtype=bool)
+                np.copyto(self._last_quant, self._prep.hdr[:, 6],
+                          where=commit)
+                np.copyto(self._last_deblock, self._prep.hdr[:, 5] != 0,
+                          where=commit)
+                if failed and first_err is None:
+                    i = int(np.argmin(okm))
+                    first_err = H263Error(
+                        f"frame {t} stream {i}: header rejected by device "
+                        f"front-end prep (rc {int(self._prep.rc[i])})")
+                # Rebase frame t's lane offsets into the shared buffer and
+                # advance by what the prep consumed (failed lanes stage no
+                # payload and consume nothing).
+                meta[t, 5] += woff
+                woff += int(np.sum(np.where(
+                    okm, (self._prep._lengths + 3) // 4, 0)))
+
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        with trace_stage("transfer"):
+            dev_stage = jax.device_put(stage)
+            dev_meta = jax.device_put(meta)
+        self.last_transfer_s = _time.perf_counter() - _t0
+        self.last_transfer_bytes = stage.nbytes + meta.nbytes
+        pp["in_flight"][pp["idx"]] = (dev_stage, dev_meta)
+
+        # Keep the PRE-window planes alive for window-granularity overflow
+        # repair (resolve_window_overflows) — device arrays are immutable,
+        # so this is a reference, not a copy.
+        prev_refs = (self.ref_y, self.ref_cb, self.ref_cr)
+
+        if self._fn_multi is None:
+            self._fn_multi = get_device_multi_step_fn(
+                self.h, self.w, self.tape_len, self.pallas, self.unroll)
+        with trace_stage("reconstruct_dispatch"):
+            ys, cbs, crs, status = self._fn_multi(
+                dev_stage, dev_meta, self.ref_y, self.ref_cb, self.ref_cr)
+        self._dispatch_ok = True
+        self.ref_y = ys[T - 1]
+        self.ref_cb = cbs[T - 1]
+        self.ref_cr = crs[T - 1]
+        self.last_status_steps = status
+        self.last_status = status[T - 1]
+        pp["in_flight"][pp["idx"]] = (ys, cbs, crs)
+        self._last_window = (prev_refs, [list(bufs) for bufs in r_lists])
+        self._last_buffers = list(frame_lists[T - 1])
+
+        if first_err is not None:
+            raise first_err
+        return ys, cbs, crs
+
+    def resolve_window_overflows(self, status=None) -> list:
+        """resolve_overflows for decode_steps windows: lanes that flagged
+        ST_TAPE_OVERFLOW at ANY frame of the last window are replayed
+        frame-by-frame through the host front-end from the pre-window
+        reference planes (kept by decode_steps).  Lanes whose replay hits a
+        genuine stream error keep the window's device result (identity-
+        frame contract).  Returns the repaired lane indices.
+        """
+        from ..decoder.state import reconstruct_frame_numpy
+        from ..parser.frame import parse_frame_auto
+
+        if getattr(self, "_last_window", None) is None:
+            return []
+        if status is None:
+            status = np.asarray(self.last_status_steps)
+        (py, pcb, pcr), window = self._last_window
+        lanes = [i for i in range(self.n)
+                 if np.any(status[:, i] == df.ST_TAPE_OVERFLOW)]
+        repaired = []
+        for i in lanes:
+            ry = np.asarray(py[i])
+            rcb = np.asarray(pcb[i])
+            rcr = np.asarray(pcr[i])
+            pic_prev = None
+            try:
+                for bufs in window:
+                    buf = bytes(bufs[i])
+                    r = BitReader(buf)
+                    pic = decode_picture(r, self.decoder_options, pic_prev)
+                    frame = parse_frame_auto(
+                        r, pic, self.decoder_options,
+                        self._running[i], self.w, self.h)
+                    ry, rcb, rcr = reconstruct_frame_numpy(
+                        frame, ry, rcb, rcr)
+                    pic_prev = pic
+            except H263Error:
+                continue
+            self.ref_y = self.ref_y.at[i].set(ry)
+            self.ref_cb = self.ref_cb.at[i].set(rcb)
+            self.ref_cr = self.ref_cr.at[i].set(rcr)
+            repaired.append(i)
+        if repaired:
+            idx = np.asarray(repaired, dtype=np.int32)
+            self.last_status = self.last_status.at[idx].set(0)
+        return repaired
 
     def reset_slot_state(self, slot: int, running=None) -> None:
         """Reset one lane to the fresh-stream state (planes zeroed, no

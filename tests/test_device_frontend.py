@@ -1111,3 +1111,106 @@ class TestRaggedPayload:
         end = base[2] * 4 + len(bufs[2])
         assert not flat[end:].any()
         assert meta[1, 1] == 0  # failed lane stages nbits = 0
+
+
+class TestDecodeStepsWindow:
+    """decode_steps: a T-frame window through ONE device dispatch
+    (lax.scan chains the reference planes in-program) must be frame-for-
+    frame identical to T sequential decode_step calls — the same
+    state-carry the reference performs between decode_next_picture calls
+    (state.rs:429-463), lifted into the compiled program."""
+
+    def _decoders(self, n, tape_len=None):
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        kw = dict(tape_len=tape_len) if tape_len else {}
+        a = DeviceFrontendDecoder(n, 48, 32, SORENSON, payload="ragged", **kw)
+        b = DeviceFrontendDecoder(n, 48, 32, SORENSON, payload="ragged", **kw)
+        return a, b
+
+    def test_window_matches_sequential_steps(self):
+        streams = [rich_gop(810 + i, n=4) for i in range(3)]
+        win, seq = self._decoders(3)
+        lists = [[streams[i][t] for i in range(3)] for t in range(4)]
+        ys, cbs, crs = win.decode_steps(lists)
+        status = np.asarray(win.last_status_steps)
+        for t in range(4):
+            y, cb, cr = seq.decode_step(lists[t])
+            np.testing.assert_array_equal(np.asarray(ys[t]), np.asarray(y),
+                                          err_msg=f"t={t} luma")
+            np.testing.assert_array_equal(np.asarray(cbs[t]), np.asarray(cb))
+            np.testing.assert_array_equal(np.asarray(crs[t]), np.asarray(cr))
+            np.testing.assert_array_equal(status[t], seq.fetch_status(),
+                                          err_msg=f"t={t} status")
+        # Final refs and [S]-shaped last_status match the sequential tail.
+        np.testing.assert_array_equal(np.asarray(win.ref_y),
+                                      np.asarray(seq.ref_y))
+        np.testing.assert_array_equal(np.asarray(win.last_status),
+                                      seq.fetch_status())
+
+    def test_window_absent_lane_and_block_error(self):
+        """None slots (skip frame, commit suppressed) and a mid-window
+        block-layer corruption behave exactly as in sequential stepping;
+        neighbors are untouched."""
+        streams = [rich_gop(830 + i, n=4) for i in range(2)]
+        win, seq = self._decoders(2)
+        lists = [[streams[i][t] for i in range(2)] for t in range(4)]
+        lists[1][1] = None                      # absent
+        lists[2][1] = streams[1][2][:14]        # cut inside block layer
+        ys, cbs, crs = win.decode_steps(lists)
+        status = np.asarray(win.last_status_steps)
+        for t in range(4):
+            y, _, _ = seq.decode_step(lists[t])
+            np.testing.assert_array_equal(np.asarray(ys[t]), np.asarray(y),
+                                          err_msg=f"t={t}")
+            np.testing.assert_array_equal(status[t], seq.fetch_status(),
+                                          err_msg=f"t={t} status")
+
+    def test_window_header_reject_surfaces_after_dispatch(self):
+        streams = [rich_gop(850 + i, n=3) for i in range(2)]
+        win, seq = self._decoders(2)
+        lists = [[streams[i][t] for i in range(2)] for t in range(3)]
+        lists[1][0] = b"\x12\x34\x56"           # header garbage
+        with pytest.raises(H263Error):
+            win.decode_steps(lists)
+        for t in range(3):
+            try:
+                seq.decode_step(lists[t])
+            except H263Error:
+                pass
+        # The window still decoded: surviving lane matches sequential.
+        np.testing.assert_array_equal(np.asarray(win.ref_y[1]),
+                                      np.asarray(seq.ref_y[1]))
+        np.testing.assert_array_equal(np.asarray(win.ref_y[0]),
+                                      np.asarray(seq.ref_y[0]))
+
+    def test_window_overflow_repair(self):
+        """Mid-window ST_TAPE_OVERFLOW corrupts the lane's remaining window
+        frames (the intra-window reference moved on), and
+        resolve_window_overflows replays the whole window host-side from
+        the kept pre-window planes."""
+        from h263_tpu.parallel.batch import BatchedStreamDecoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(870 + i, n=4) for i in range(2)]
+        lists = [[streams[i][t] for i in range(2)] for t in range(4)]
+        win = DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="ragged",
+                                    tape_len=8)
+        host = BatchedStreamDecoder(2, 48, 32, SORENSON)
+        win.decode_steps(lists)
+        status = np.asarray(win.last_status_steps)
+        assert (status == df.ST_TAPE_OVERFLOW).any()
+        repaired = win.resolve_window_overflows(status)
+        assert repaired == [0, 1]
+        for t in range(4):
+            yh, cbh, crh = host.decode_step(lists[t])
+        np.testing.assert_array_equal(np.asarray(win.ref_y), np.asarray(yh))
+        np.testing.assert_array_equal(np.asarray(win.ref_cb), np.asarray(cbh))
+        np.testing.assert_array_equal(np.asarray(win.ref_cr), np.asarray(crh))
+
+    def test_window_requires_ragged(self):
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="rows")
+        with pytest.raises(ValueError):
+            dec.decode_steps([[None, None]])
