@@ -609,6 +609,12 @@ class DeviceFrontendDecoder:
         self.last_status = status
         pp["in_flight"][pp["idx"]] = (y, cb, cr)
         self._last_buffers = list(buffers)
+        # A single-frame step advances the reference planes past the last
+        # decode_steps window: its pre-window snapshot is no longer the
+        # planes any replay should start from.  Invalidate it so a stale
+        # resolve_window_overflows cannot overwrite the advanced refs.
+        self._last_window = None
+        self.last_status_steps = None
 
         if first_err is not None:
             raise first_err
@@ -709,6 +715,17 @@ class DeviceFrontendDecoder:
                 meta[t, 5] += woff
                 woff += int(np.sum(np.where(
                     okm, (self._prep._lengths + 3) // 4, 0)))
+            # Whole-buffer zero-fill invariant (single-frame ragged parity,
+            # TestRaggedPayload): a reused ping-pong buffer keeps the
+            # PREVIOUS window's bytes past this window's payload end.  The
+            # automaton's reads past nbits are rem-gated, but correctness
+            # must not rest on that alone — zero the residual up to this
+            # buffer's high-water mark (cheap: only previously-dirtied
+            # bytes, not the whole bucket).
+            hw = pp.setdefault("highwater", [0, 0])
+            if hw[pp["idx"]] > woff * 4:
+                flat[woff * 4: hw[pp["idx"]]] = 0
+            hw[pp["idx"]] = woff * 4
 
         import time as _time
 
@@ -761,8 +778,11 @@ class DeviceFrontendDecoder:
         if status is None:
             status = np.asarray(self.last_status_steps)
         (py, pcb, pcr), window = self._last_window
+        # Recycled slots have their window buffers cleared to None by
+        # reset_slot_state — never replay a departed occupant's window.
         lanes = [i for i in range(self.n)
-                 if np.any(status[:, i] == df.ST_TAPE_OVERFLOW)]
+                 if np.any(status[:, i] == df.ST_TAPE_OVERFLOW)
+                 and all(bufs[i] is not None for bufs in window)]
         repaired = []
         for i in lanes:
             ry = np.asarray(py[i])
@@ -809,6 +829,14 @@ class DeviceFrontendDecoder:
             # A recycled slot must not report the departed stream's
             # error/overflow status for its new occupant.
             self.last_status = self.last_status.at[slot].set(0)
+        # Any pending decode_steps window belongs to the departed occupant:
+        # a later resolve_window_overflows must not replay its frames over
+        # the recycled slot's fresh planes.
+        if self.last_status_steps is not None:
+            self.last_status_steps = self.last_status_steps.at[:, slot].set(0)
+        if self._last_window is not None:
+            for bufs in self._last_window[1]:
+                bufs[slot] = None
 
     def resolve_overflows(self, status: Optional[np.ndarray] = None) -> list:
         """Repair lanes whose LAST step hit ST_TAPE_OVERFLOW by re-decoding
@@ -834,6 +862,12 @@ class DeviceFrontendDecoder:
 
         if self.last_status is None:
             return []  # never stepped: nothing to repair
+        if self._last_window is not None:
+            # The last step was a decode_steps window: single-frame repair
+            # would both miss mid-window overflows (last_status holds only
+            # the final frame's row) and replay against an intra-window-
+            # corrupted reference.  Window repair subsumes it.
+            return self.resolve_window_overflows()
         if status is None:
             status = self.fetch_status()
         lanes = [i for i in range(self.n)

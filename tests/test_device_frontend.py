@@ -1214,3 +1214,90 @@ class TestDecodeStepsWindow:
         dec = DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="rows")
         with pytest.raises(ValueError):
             dec.decode_steps([[None, None]])
+
+    def test_single_step_invalidates_window_state(self):
+        """ADVICE r4: a decode_step after a decode_steps window advances the
+        reference planes past the pre-window snapshot; a later
+        resolve_window_overflows must be a no-op, not a silent replay of
+        the stale window over the advanced refs."""
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(890 + i, n=4) for i in range(2)]
+        lists = [[streams[i][t] for i in range(2)] for t in range(4)]
+        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="ragged",
+                                    tape_len=8)  # tiny tape -> overflows
+        dec.decode_steps(lists[:3])
+        assert (np.asarray(dec.last_status_steps)
+                == df.ST_TAPE_OVERFLOW).any()
+        dec.decode_step(lists[3])
+        assert dec._last_window is None and dec.last_status_steps is None
+        before = np.asarray(dec.ref_y)
+        assert dec.resolve_window_overflows() == []
+        np.testing.assert_array_equal(np.asarray(dec.ref_y), before)
+
+    def test_resolve_overflows_delegates_to_window(self):
+        """ADVICE r4: after decode_steps, the generic resolve_overflows
+        contract (StreamPool calls it) must repair MID-window overflows
+        too — it delegates to resolve_window_overflows while a window is
+        pending."""
+        from h263_tpu.parallel.batch import BatchedStreamDecoder
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(910 + i, n=4) for i in range(2)]
+        lists = [[streams[i][t] for i in range(2)] for t in range(4)]
+        win = DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="ragged",
+                                    tape_len=8)
+        host = BatchedStreamDecoder(2, 48, 32, SORENSON)
+        win.decode_steps(lists)
+        status = np.asarray(win.last_status_steps)
+        assert (status == df.ST_TAPE_OVERFLOW).any()
+        # Mid-window overflows exist even where the final frame is clean:
+        # the generic entry point must still repair those lanes.
+        repaired = win.resolve_overflows()
+        assert repaired == [0, 1]
+        for t in range(4):
+            yh, _, _ = host.decode_step(lists[t])
+        np.testing.assert_array_equal(np.asarray(win.ref_y), np.asarray(yh))
+
+    def test_reset_slot_clears_window_eligibility(self):
+        """ADVICE r4: a recycled slot's lane must not be replayed from the
+        departed occupant's window by a later resolve_window_overflows."""
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(930 + i, n=4) for i in range(2)]
+        lists = [[streams[i][t] for i in range(2)] for t in range(4)]
+        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="ragged",
+                                    tape_len=8)
+        dec.decode_steps(lists)
+        assert (np.asarray(dec.last_status_steps)
+                == df.ST_TAPE_OVERFLOW).any()
+        dec.reset_slot_state(0)
+        zero = np.asarray(dec.ref_y[0])
+        assert not zero.any()
+        repaired = dec.resolve_window_overflows()
+        assert 0 not in repaired
+        np.testing.assert_array_equal(np.asarray(dec.ref_y[0]), zero)
+
+    def test_window_buffer_reuse_smaller_second_window(self):
+        """ADVICE r4: a big window followed by a smaller one on the SAME
+        (T, bucket) staging key must not leak the first window's payload
+        bytes past the second's end (whole-buffer zero-fill invariant)."""
+        from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
+
+        streams = [rich_gop(950 + i, n=4) for i in range(2)]
+        lists = [[streams[i][t] for i in range(2)] for t in range(4)]
+        win, seq = self._decoders(2)
+        # Window 1: 2 frames of rich content (big payload).
+        win.decode_steps(lists[:2])
+        # Window 2, same T: absent lanes -> tiny skip-frame payloads; the
+        # quantizer floors at 4096 so both windows share the bucket.
+        ys, cbs, crs = win.decode_steps([[None, None], [None, None]])
+        for t in range(2):
+            seq.decode_step(lists[t])
+        y, cb, cr = None, None, None
+        for _ in range(2):
+            y, cb, cr = seq.decode_step([None, None])
+        np.testing.assert_array_equal(np.asarray(win.ref_y), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(win.ref_cb), np.asarray(cb))
+        np.testing.assert_array_equal(np.asarray(win.ref_cr), np.asarray(cr))
+        assert (np.asarray(win.last_status) == 0).all()
