@@ -253,43 +253,77 @@ def stage_summary():
     return out
 
 
-def measure_e2e(dec, frame_lists, budget_left, passes=3):
+def measure_e2e(dec, frame_lists, budget_left, passes=3, window=0):
     """Warm pass (untimed, steady-state) + up to `passes` timed passes over
-    frames 2..F; returns (best_fps, worst_fps, stage_metrics)."""
+    frames 2..F; returns (best_fps, worst_fps, stages_best, stages_worst).
+
+    Stage summaries are captured PER PASS and the summaries of the best
+    and worst passes are returned separately (VERDICT r4 #7: a worst-pass
+    outlier must be attributable to transfer vs dispatch vs prep from the
+    record alone, not inferred from a best-pass mean).
+
+    window > 0: decode through decode_steps in windows of `window` frames
+    (the K-frame megastep — one device dispatch and one transfer leaf per
+    K frames, amortizing the per-call host RPC floor that bounds the
+    serving shape).  Frames 2..F are trimmed to a multiple of `window` so
+    every pass replays the same (T, payload-rung) program shapes.
+    """
     from h263_tpu.utils import trace
 
     S = dec.n
     F = len(frame_lists)
-    y, _, _ = dec.decode_step(frame_lists[0])
-    y, _, _ = dec.decode_step(frame_lists[1])
-    y.block_until_ready()
+    if window:
+        usable = ((F - 2) // window) * window
+        wins = [frame_lists[2 + k * window: 2 + (k + 1) * window]
+                for k in range(usable // window)]
+
+        def one_pass():
+            for wlists in wins:
+                ys, _, _ = dec.decode_steps(wlists)
+            ys.block_until_ready()
+            return S * usable
+
+        # Seed the reference planes (I-frame rides in the first window)
+        # and compile the T-frame program + the I-window's payload rung.
+        ys, _, _ = dec.decode_steps(frame_lists[:window])
+        ys.block_until_ready()
+    else:
+        def one_pass():
+            for t in range(2, F):
+                y, _, _ = dec.decode_step(frame_lists[t])
+            y.block_until_ready()
+            return S * (F - 2)
+
+        y, _, _ = dec.decode_step(frame_lists[0])
+        y, _, _ = dec.decode_step(frame_lists[1])
+        y.block_until_ready()
     # Steady-state warm pass: first-pass effects (icache/predictor warmup,
     # CPU frequency ramp, lazily-bound buffers) measured ~15-40% slower
     # than steady state; serving throughput is the steady-state number.
-    for t in range(2, F):
-        y, _, _ = dec.decode_step(frame_lists[t])
-    y.block_until_ready()
-    trace.reset_metrics()
+    one_pass()
     best, worst = 0.0, float("inf")
+    stages_best = stages_worst = None
     t_end = time.perf_counter() + budget_left
     for rep in range(passes):
         if rep and time.perf_counter() > t_end:
             break
+        trace.reset_metrics()
         t0 = time.perf_counter()
-        for t in range(2, F):
-            y, cb, cr = dec.decode_step(frame_lists[t])
-        y.block_until_ready()
-        fps = S * (F - 2) / (time.perf_counter() - t0)
-        best = max(best, fps)
-        worst = min(worst, fps)
-    return best, worst, stage_summary()
+        n_frames = one_pass()
+        fps = n_frames / (time.perf_counter() - t0)
+        st = stage_summary()
+        if fps > best:
+            best, stages_best = fps, st
+        if fps < worst:
+            worst, stages_worst = fps, st
+    return best, worst, stages_best, stages_worst
 
 
 # ---------------------------------------------------------------------------
 # Correctness-gate child (VERDICT r3 #2)
 # ---------------------------------------------------------------------------
 
-def run_gates_child(out_path: str, budget_s: float) -> int:
+def run_gates_child(out_path: str, budget_s: float, args=None) -> int:
     """Run the on-hardware correctness gates in THIS (child) process on
     tiny shapes and write a JSON verdict to `out_path`.
 
@@ -310,12 +344,23 @@ def run_gates_child(out_path: str, budget_s: float) -> int:
 
     All decode dispatches are issued BEFORE the first readback; the
     readbacks are a handful of on-device-reduced scalars.
+
+    Serve-shape certification (VERDICT r4 #2): the parent can never
+    reliably read its own S=1024 lane statuses (the axon readback trap
+    wedged the r4 finalize and left status_ok_streams "unread"), so this
+    child ALSO replays the parent's full serve content — same S, same
+    corpora, same shapes — through both the single-step and K-megastep
+    device-front-end paths, reduces the [T, S] statuses to scalars ON
+    DEVICE, and reports the ok-lane counts + megastep-vs-single plane
+    equality in its verdict file.  The driver record then proves S=1024
+    correctness even when the parent's own bounded fetch times out.
     """
     report = {"ok": False, "strict_rounding": "pending",
               "devfe_match": "pending", "devfe_status_ok": None,
               "devfe_distinct_match": "pending",
               "devfe_distinct_bad_lanes": None,
               "streams": 4, "backend": None, "payload_layout": None,
+              "serve_cert": None,
               "wall_s": None, "error": None}
     t0 = time.perf_counter()
 
@@ -441,6 +486,68 @@ def run_gates_child(out_path: str, budget_s: float) -> int:
                         and report["devfe_status_ok"] == S
                         and report["devfe_distinct_match"] == "ok")
         flush()
+
+        # Serve-shape certification (VERDICT r4 #2) — AFTER the primary
+        # verdicts so its big compiles never delay them.  Exact parent
+        # serve shapes: same W/H, the same distinct corpora (seeds 100+c),
+        # the serving batch size, and the parent's tape/payload params.
+        # The process is already in the axon post-readback sync mode here,
+        # so each dispatch costs ~1 s — the loop below is minutes, which
+        # is why it runs last and flushes incrementally.
+        S_big = getattr(args, "serve_streams", 0) if args else 0
+        K = getattr(args, "megastep", 0) if args else 0
+        if S_big > 0 and (backend != "cpu" or os.environ.get(
+                "H263_BENCH_FORCE_SERVE_CERT")):
+            Wc, Hc, Fc = args.width, args.height, args.frames
+            mbs_c = (-(-Wc // 16)) * (-(-Hc // 16))
+            n_corp = max(2, args.distinct_corpora)
+            usable = max(K, (Fc // K) * K) if K > 0 else Fc
+            corp = [build_corpus(Wc, Hc, Fc, seed=100 + c)
+                    for c in range(n_corp)]
+            cert_lists = [[corp[s % n_corp][t % Fc] for s in range(S_big)]
+                          for t in range(usable)]
+            cert = {"streams": S_big, "frames": usable,
+                    "megastep_window": K,
+                    "status_ok_streams": "pending",
+                    "bad_lane_frames_single": None,
+                    "bad_lane_frames_megastep": None,
+                    "megastep_match": "pending" if K > 0 else "n/a"}
+            report["serve_cert"] = cert
+            flush()
+            d1 = DeviceFrontendDecoder(
+                S_big, Wc, Hc, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                pallas=pallas, tape_len=16 * mbs_c, max_frame_bytes=8192,
+                harness="xla")
+            bad1 = jnp.zeros((), jnp.int32)
+            for t in range(usable):
+                d1.decode_step(cert_lists[t])
+                bad1 = bad1 + (d1.last_status != 0).sum().astype(jnp.int32)
+            cert["bad_lane_frames_single"] = int(np.asarray(bad1))
+            cert["status_ok_streams"] = int(
+                np.asarray((d1.last_status == 0).sum()))
+            flush()
+            if K > 0:
+                dm = DeviceFrontendDecoder(
+                    S_big, Wc, Hc, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                    pallas=pallas, tape_len=16 * mbs_c,
+                    max_frame_bytes=8192, harness="xla")
+                bad_m = jnp.zeros((), jnp.int32)
+                for k0 in range(0, usable, K):
+                    dm.decode_steps(cert_lists[k0:k0 + K])
+                    bad_m = bad_m + (dm.last_status_steps != 0).sum(
+                        ).astype(jnp.int32)
+                eq_m = (jnp.array_equal(d1.ref_y, dm.ref_y)
+                        & jnp.array_equal(d1.ref_cb, dm.ref_cb)
+                        & jnp.array_equal(d1.ref_cr, dm.ref_cr))
+                cert["bad_lane_frames_megastep"] = int(np.asarray(bad_m))
+                cert["megastep_match"] = (
+                    "ok" if bool(np.asarray(eq_m)) else "FAILED")
+            cert["cert_ok"] = (
+                cert["status_ok_streams"] == S_big
+                and cert["bad_lane_frames_single"] == 0
+                and (K == 0 or (cert["bad_lane_frames_megastep"] == 0
+                                and cert["megastep_match"] == "ok")))
+            flush()
     except Exception as e:  # pragma: no cover
         report["error"] = repr(e)[:300]
         flush()
@@ -486,6 +593,11 @@ def main():
                          "shape; the automaton's per-step cost is ~flat in "
                          "S so larger batches raise frames/s/chip nearly "
                          "linearly.  0 skips the section")
+    ap.add_argument("--megastep", type=int, default=4,
+                    help="K-frame megastep window for the device-front-end "
+                         "serving shape (decode_steps: one transfer leaf + "
+                         "one dispatch per K frames, amortizing the host "
+                         "RPC floor).  0 skips the megastep section")
     ap.add_argument("--no-720p", action="store_true",
                     help="skip the 720p secondary measurement")
     ap.add_argument("--budget", type=float, default=1100.0,
@@ -522,7 +634,7 @@ def main():
     args = ap.parse_args()
 
     if args.run_gates:
-        sys.exit(run_gates_child(args.run_gates, args.gates_timeout))
+        sys.exit(run_gates_child(args.run_gates, args.gates_timeout, args))
 
     disarm_watchdog = (_spawn_watchdog(args.init_timeout)
                        if args.init_timeout > 0 else (lambda: None))
@@ -543,7 +655,16 @@ def main():
         gates_child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--run-gates", gates_path,
-             "--gates-timeout", str(args.gates_timeout)],
+             "--gates-timeout", str(args.gates_timeout),
+             # Serve-shape certification params (VERDICT r4 #2): the child
+             # replays the parent's exact serve content and reports the
+             # S=1024 lane statuses the parent cannot safely read itself.
+             "--serve-streams", str(args.serve_streams),
+             "--frames", str(args.frames),
+             "--width", str(args.width),
+             "--height", str(args.height),
+             "--megastep", str(args.megastep),
+             "--distinct-corpora", str(args.distinct_corpora)],
             stdout=open(gates_log, "w"), stderr=subprocess.STDOUT)
 
     import jax
@@ -817,11 +938,12 @@ def main():
         detail["host_parse_fps_per_core"] = round(host_fps, 1)
         log(f"host entropy decode: {host_fps:.1f} frames/s/core "
             f"(best of 3 passes, shared corpus)")
-        seq_fps, seq_worst, stages_shared = measure_e2e(
+        seq_fps, seq_worst, stages_shared, stages_shared_w = measure_e2e(
             dec, shared_lists, budget_left())
         detail["end_to_end_shared_fps"] = round(seq_fps, 1)
         detail["end_to_end_shared_worst_fps"] = round(seq_worst, 1)
         detail["stages_ms_shared"] = stages_shared
+        detail["stages_ms_shared_worst"] = stages_shared_w
         log(f"end-to-end sequential: {seq_fps:.1f} frames/s/chip "
             f"(batch={S}, shared corpus, best of 3; worst {seq_worst:.1f})")
         log(f"  stages: { {k: v['mean_ms'] for k, v in stages_shared.items()} }")
@@ -831,12 +953,13 @@ def main():
             host_distinct_fps, 1)
         log(f"host entropy decode: {host_distinct_fps:.1f} frames/s/core "
             f"(best of 3 passes, DISTINCT per-stream content)")
-        seq_distinct_fps, seq_distinct_worst, stages_distinct = measure_e2e(
-            dec, dist_lists, budget_left())
+        (seq_distinct_fps, seq_distinct_worst, stages_distinct,
+         stages_distinct_w) = measure_e2e(dec, dist_lists, budget_left())
         detail["end_to_end_distinct_fps"] = round(seq_distinct_fps, 1)
         detail["end_to_end_distinct_worst_fps"] = round(
             seq_distinct_worst, 1)
         detail["stages_ms_distinct"] = stages_distinct
+        detail["stages_ms_distinct_worst"] = stages_distinct_w
         log(f"end-to-end sequential: {seq_distinct_fps:.1f} frames/s/chip "
             f"(DISTINCT content, best of 3; worst {seq_distinct_worst:.1f})")
         log(f"  stages: { {k: v['mean_ms'] for k, v in stages_distinct.items()} }")
@@ -925,6 +1048,7 @@ def main():
     # largest batch the content mix sustains.
     dfe_serve = None
     serve_status = None
+    serve_status_steps = None
     S_serve = args.serve_streams
     if S_serve > 0 and budget_left() > 300:
         try:
@@ -939,7 +1063,7 @@ def main():
                 S_serve, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
                 pallas=args.pallas, tape_len=16 * mbs_per_frame,
                 max_frame_bytes=8192, harness="xla")
-            best_s, worst_s, stages_s = measure_e2e(
+            best_s, worst_s, stages_s, stages_s_w = measure_e2e(
                 dfe_serve, serve_lists, budget_left())
             detail["devfe_serve"] = {
                 "streams": S_serve,
@@ -947,6 +1071,7 @@ def main():
                 "end_to_end_distinct_fps": round(best_s, 1),
                 "end_to_end_distinct_worst_fps": round(worst_s, 1),
                 "stages_ms": stages_s,
+                "stages_ms_worst": stages_s_w,
             }
             paths["devfe_serve"] = (best_s, worst_s)
             refresh_headline()
@@ -962,6 +1087,34 @@ def main():
             dfe_serve = None
         poll_gates()
         emit("devfe_serve")
+
+        # K-frame megastep (VERDICT r4 #3): same decoder, but decode_steps
+        # ships K frames in ONE transfer leaf and runs K automaton frames
+        # per dispatch — the single-frame serve step is host-RPC-floor-
+        # bound (prep + transfer RPC + dispatch RPC, all host-side), so
+        # the megastep amortizes that floor K ways and exposes the
+        # device automaton as the bound instead.
+        if dfe_serve is not None and args.megastep > 0 and budget_left() > 180:
+            try:
+                best_m, worst_m, stages_m, stages_m_w = measure_e2e(
+                    dfe_serve, serve_lists, budget_left(),
+                    window=args.megastep)
+                detail["devfe_serve"]["megastep"] = {
+                    "window": args.megastep,
+                    "end_to_end_distinct_fps": round(best_m, 1),
+                    "end_to_end_distinct_worst_fps": round(worst_m, 1),
+                    "stages_ms": stages_m,
+                    "stages_ms_worst": stages_m_w,
+                }
+                paths["devfe_megastep"] = (best_m, worst_m)
+                refresh_headline()
+                log(f"device front-end megastep e2e: {best_m:.1f} frames/s/"
+                    f"chip distinct (K={args.megastep}, worst {worst_m:.1f})")
+                serve_status_steps = dfe_serve.last_status_steps
+            except Exception as e:  # pragma: no cover
+                log(f"megastep section failed: {e!r}")
+                detail["devfe_serve"]["megastep"] = {"error": repr(e)[:200]}
+            emit("devfe_megastep")
     else:
         log("device front-end serving section skipped "
             f"(serve_streams={S_serve}, budget_left={budget_left():.0f})")
@@ -981,12 +1134,13 @@ def main():
                 S7, W7, H7, DecoderOption.SORENSON_SPARK_BITSTREAM,
                 pack_cap=args.pack_per_mb * mbs7, pallas=args.pallas,
                 coef_transport="d24")
-            best7, worst7, stages7 = measure_e2e(dec7, lists7, budget_left())
+            best7, worst7, stages7, stages7w = measure_e2e(
+                dec7, lists7, budget_left())
             p720["host"] = {
                 "end_to_end_distinct_fps": round(best7, 1),
                 "end_to_end_distinct_worst_fps": round(worst7, 1),
                 "realtime_streams_distinct": round(best7 / 30.0, 1),
-                "stages_ms": stages7}
+                "stages_ms": stages7, "stages_ms_worst": stages7w}
             p720["streams"] = S7
             detail["p720"] = p720
             log(f"720p host-path e2e: {best7:.1f} frames/s/chip distinct "
@@ -1013,7 +1167,7 @@ def main():
                     S7, W7, H7, DecoderOption.SORENSON_SPARK_BITSTREAM,
                     pallas=args.pallas, tape_len=16 * mbs7,
                     max_frame_bytes=cap7, harness="xla")
-                best7d, worst7d, stages7d = measure_e2e(
+                best7d, worst7d, stages7d, stages7dw = measure_e2e(
                     dfe7, lists7, budget_left())
                 p720["devfe"] = {
                     "end_to_end_distinct_fps": round(best7d, 1),
@@ -1021,10 +1175,27 @@ def main():
                     "realtime_streams_distinct": round(best7d / 30.0, 1),
                     "payload_layout": dfe7.payload,
                     "max_frame_bytes": cap7,
-                    "stages_ms": stages7d}
+                    "stages_ms": stages7d, "stages_ms_worst": stages7dw}
                 log(f"720p devfe e2e: {best7d:.1f} frames/s/chip distinct "
                     f"(worst {worst7d:.1f}; = {best7d / 30.0:.0f} real-time "
                     f"streams)")
+                if args.megastep > 0 and budget_left() > 120:
+                    try:
+                        b7m, w7m, st7m, st7mw = measure_e2e(
+                            dfe7, lists7, budget_left(),
+                            window=args.megastep)
+                        p720["devfe"]["megastep"] = {
+                            "window": args.megastep,
+                            "end_to_end_distinct_fps": round(b7m, 1),
+                            "end_to_end_distinct_worst_fps": round(w7m, 1),
+                            "realtime_streams_distinct": round(b7m / 30.0, 1),
+                            "stages_ms": st7m, "stages_ms_worst": st7mw}
+                        log(f"720p devfe megastep e2e: {b7m:.1f} frames/s/"
+                            f"chip (worst {w7m:.1f}; = {b7m / 30.0:.0f} "
+                            f"real-time streams)")
+                    except Exception as e:  # pragma: no cover
+                        log(f"720p megastep skipped: {e!r}")
+                        p720["devfe"]["megastep"] = {"error": repr(e)[:200]}
                 # Keep only the tiny per-lane status array for the
                 # finalize readback; free the decoder's HBM now.
                 dfe7_status = dfe7.last_status
@@ -1046,10 +1217,17 @@ def main():
     # sample pairs stay in the detail so nothing is hidden.
     if dec is not None and seq_fps is not None and budget_left() > 45:
         try:
-            s2_best, s2_worst, _ = measure_e2e(dec, shared_lists,
-                                               budget_left())
-            d2_best, d2_worst, _ = measure_e2e(dec, dist_lists,
-                                               budget_left())
+            s2_best, s2_worst, _, s2_stw = measure_e2e(dec, shared_lists,
+                                                       budget_left())
+            d2_best, d2_worst, _, d2_stw = measure_e2e(dec, dist_lists,
+                                                       budget_left())
+            # Worst-pass attribution (VERDICT r4 #7): the recorded
+            # diagnostic follows the globally WORST pass seen, whichever
+            # sample produced it.
+            if s2_worst < seq_worst:
+                detail["stages_ms_shared_worst"] = s2_stw
+            if d2_worst < seq_distinct_worst:
+                detail["stages_ms_distinct_worst"] = d2_stw
             log(f"second sample: shared {s2_best:.1f} (worst {s2_worst:.1f}"
                 f"), distinct {d2_best:.1f} (worst {d2_worst:.1f}) "
                 f"frames/s/chip")
@@ -1074,7 +1252,7 @@ def main():
                              else (seq_fps, seq_worst))
             # Devfe serve second sample (cheap: everything is compiled).
             if dfe_serve is not None and budget_left() > 20:
-                sv2_best, sv2_worst, _ = measure_e2e(
+                sv2_best, sv2_worst, _, sv2_stw = measure_e2e(
                     dfe_serve, serve_lists, budget_left())
                 log(f"second sample devfe serve: {sv2_best:.1f} (worst "
                     f"{sv2_worst:.1f}) frames/s/chip")
@@ -1083,6 +1261,8 @@ def main():
                      detail["devfe_serve"]["end_to_end_distinct_worst_fps"]],
                     [round(sv2_best, 1), round(sv2_worst, 1)]]
                 b0, w0 = paths["devfe_serve"]
+                if sv2_worst < w0:
+                    detail["devfe_serve"]["stages_ms_worst"] = sv2_stw
                 paths["devfe_serve"] = (max(b0, sv2_best),
                                         max(w0, sv2_worst))
                 detail["devfe_serve"]["end_to_end_distinct_fps"] = round(
@@ -1090,6 +1270,30 @@ def main():
                 detail["devfe_serve"]["end_to_end_distinct_worst_fps"] = (
                     round(paths["devfe_serve"][1], 1))
                 serve_status = dfe_serve.last_status
+                # Megastep second sample (compiled; one warm + timed pass).
+                if ("megastep" in detail.get("devfe_serve", {})
+                        and "error" not in detail["devfe_serve"]["megastep"]
+                        and budget_left() > 20):
+                    m2_best, m2_worst, _, m2_stw = measure_e2e(
+                        dfe_serve, serve_lists, budget_left(),
+                        window=args.megastep)
+                    log(f"second sample devfe megastep: {m2_best:.1f} "
+                        f"(worst {m2_worst:.1f}) frames/s/chip")
+                    ms = detail["devfe_serve"]["megastep"]
+                    pairs["devfe_megastep"] = [
+                        [ms["end_to_end_distinct_fps"],
+                         ms["end_to_end_distinct_worst_fps"]],
+                        [round(m2_best, 1), round(m2_worst, 1)]]
+                    b0, w0 = paths["devfe_megastep"]
+                    if m2_worst < w0:
+                        ms["stages_ms_worst"] = m2_stw
+                    paths["devfe_megastep"] = (max(b0, m2_best),
+                                               max(w0, m2_worst))
+                    ms["end_to_end_distinct_fps"] = round(
+                        paths["devfe_megastep"][0], 1)
+                    ms["end_to_end_distinct_worst_fps"] = round(
+                        paths["devfe_megastep"][1], 1)
+                    serve_status_steps = dfe_serve.last_status_steps
             detail["cif_sample_pairs_best_worst"] = pairs
             refresh_headline()
         except Exception as e:  # pragma: no cover
@@ -1123,6 +1327,54 @@ def main():
                 refresh_headline()
         else:
             detail["devfe_serve"]["status_ok_streams"] = f"unread: {err}"
+    if (serve_status_steps is not None
+            and "megastep" in (detail.get("devfe_serve") or {})):
+        stm, errm = bounded_device(
+            lambda: np.asarray(serve_status_steps), 90.0,
+            "devfe megastep status readback")
+        ms = detail["devfe_serve"]["megastep"]
+        if stm is not None:
+            n_bad = int((stm != 0).sum())
+            ms["bad_lane_frames_last_window"] = n_bad
+            if n_bad:
+                log(f"devfe megastep status: {n_bad} bad lane-frames in "
+                    f"the last window -> demoting megastep")
+                paths.pop("devfe_megastep", None)
+                refresh_headline()
+        else:
+            ms["bad_lane_frames_last_window"] = f"unread: {errm}"
+
+    def fold_serve_cert():
+        """Fold the gate child's S=1024 serve certification (VERDICT r4
+        #2) into the record: the child's device-reduced lane statuses
+        stand in whenever the parent's own bounded fetch timed out, so
+        status_ok_streams is a NUMBER even under a late wedge — and a
+        failed certification demotes the corresponding path."""
+        cert = (detail.get("gates") or {}).get("serve_cert")
+        dsv = detail.get("devfe_serve")
+        if not cert or not isinstance(dsv, dict):
+            return
+        dsv["serve_cert"] = cert
+        n_ok = cert.get("status_ok_streams")
+        if not isinstance(dsv.get("status_ok_streams"), int) \
+                and isinstance(n_ok, int):
+            dsv["status_ok_streams"] = n_ok
+            dsv["status_ok_source"] = "gate_child_cert"
+        if isinstance(n_ok, int) and (
+                n_ok != cert.get("streams")
+                or cert.get("bad_lane_frames_single", 0)):
+            if "devfe_serve" in paths:
+                log("serve cert: single-step lane errors -> demoting devfe")
+                paths.pop("devfe_serve", None)
+                refresh_headline()
+        bad_m = cert.get("bad_lane_frames_megastep")
+        if cert.get("megastep_match") == "FAILED" or (
+                isinstance(bad_m, int) and bad_m):
+            if "devfe_megastep" in paths:
+                log("serve cert: megastep mismatch/errors -> demoting "
+                    "megastep")
+                paths.pop("devfe_megastep", None)
+                refresh_headline()
     if (dfe7_status is not None and detail.get("p720")
             and "devfe" in detail["p720"]):
         st7, err7 = bounded_device(lambda: np.asarray(dfe7_status), 90.0,
@@ -1144,6 +1396,27 @@ def main():
     else:
         wait_s = max(0.0, min(args.gates_timeout, budget_left() + 120.0))
     gates_done = poll_gates(wait_s=wait_s)
+    if gates_done and not args.no_gates and gates_child is not None:
+        # The serve certification is an addendum the child writes AFTER
+        # the primary verdicts; wait for it (file polls only) while the
+        # exit deadline allows and the child is still alive.
+        def cert_pending():
+            cert = (detail.get("gates") or {}).get("serve_cert")
+            return (args.serve_streams > 0 and (
+                cert is None or cert.get("status_ok_streams") == "pending"
+                or (args.megastep > 0
+                    and cert.get("megastep_match") == "pending")))
+
+        cert_deadline = time.perf_counter() + max(0.0, min(
+            600.0,
+            (args.exit_deadline - 120.0) - (time.perf_counter() - bench_t0)
+            if args.exit_deadline > 0 else budget_left() + 120.0))
+        while (cert_pending() and time.perf_counter() < cert_deadline
+               and gates_child.poll() is None):
+            time.sleep(5)
+            poll_gates()
+        poll_gates()
+    fold_serve_cert()
     if not args.no_gates and not gates_done:
         log("gate child did not finish in time")
         if detail["strict_rounding"] == "pending":
@@ -1225,6 +1498,8 @@ def main():
                 if st7 is not None:
                     detail["p720"]["devfe"]["status_ok_streams"] = int(
                         (st7 == 0).sum())
+            poll_gates()
+            fold_serve_cert()
             emit("final_status")
 
     disarm_overall()
