@@ -1,4 +1,32 @@
-"""Pallas TPU kernel harness for the device-side entropy automaton.
+"""RETIRED (round 5): Pallas TPU kernel harness for the entropy automaton.
+
+Kept for reference only — this module is NOT part of the package and has
+no production dispatch path.  Why it was retired (VERDICT r4 #5):
+
+* Mosaic REJECTS the kernel at lowering: the automaton's VLC-table
+  gathers (per-lane int index into a flat [T] LUT) hit
+  `_gather_lowering_rule`'s `indices.shape == operand.shape + (1,)`
+  assertion — Mosaic's only vector gather is `tpu.dynamic_gather`, a
+  same-shape take_along_axis (per-sublane or per-lane), so a [S]-indices-
+  into-[8k]-table lookup would need ~64 broadcast+select+gather ops per
+  lookup (the table spans 64 lane rows).  A one-hot matmul alternative is
+  ~2M MACs/lookup at T=8k.  Neither beats XLA:TPU's native 1D gather.
+* The kernel therefore NEVER executed on v5e; every hardware "pallas"
+  number ever recorded was the sticky XLA fallback (counter
+  device_frontend_pallas_fallback=1 on HW, 2026-08-19).  A dispatch path
+  that cannot succeed is risk + benchmark-confusion surface, so the
+  harness moved here and the fallback machinery was deleted.
+* The XLA while_loop harness IS the production path: automaton compute
+  is ~flat in S (docs/DEVFE_COMPUTE_SWEEP_r3) and e2e serving runs at
+  >10x the north star without a Mosaic kernel.
+
+If a future Mosaic grows a LUT-gather primitive, start from
+`tpu.dynamic_gather` batching (jax/_src/pallas/mosaic/lowering.py) and
+re-add the harness behind get_device_step_fn; the interpreter-mode parity
+tests that used to pin this file lived at
+tests/test_device_frontend.py::TestPallasHarness (git history, round 3).
+
+Original module docstring follows.
 
 Runs the SAME step function as the XLA harness
 (parser/device_frontend.py::make_step) inside one Pallas kernel, keeping

@@ -44,7 +44,7 @@ from ..parser import device_frontend as df
 from ..parser.picture import decode_picture
 from ..types import (DecoderOption, H263Error, PictureOption,
                      PictureTypeCode, carry_forward_options)
-from ..utils.trace import incr, trace_stage
+from ..utils.trace import trace_stage
 
 
 def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
@@ -54,39 +54,32 @@ def make_whole_step(h: int, w: int, tape_len: int, pallas: str = "off",
     planes.  Signature: step(data_u8, start_bit, nbits, quant0, ptype, v1,
     ref_y, ref_cb, ref_cr) -> (y, cb, cr, status).
 
-    harness: "xla" runs the automaton as a lax.while_loop; "pallas" as the
-    Pallas TPU kernel (ops/parse_pallas.py); "pallas_interpret" the same
-    kernel under the interpreter (CPU testing).  `unroll` (xla harness
-    only) trades compile time for loop overhead — automaton steps per
-    while_loop body (see df.parse_frames_device).
+    harness: "xla" (the only value) runs the automaton as a lax.while_loop.
+    A Pallas kernel harness existed through round 4 but could never lower
+    through Mosaic (VLC-table gathers; see docs/retired/parse_pallas.py)
+    and was retired — the parameter stays so checkpoints and call sites
+    keep their shape.  `unroll` trades compile time for loop overhead —
+    automaton steps per while_loop body (see df.parse_frames_device).
 
     ragged: the payload leaf is a FLAT [Nw, 4] uint8 buffer holding every
     lane's word-aligned payload back to back, with a `base` word-offset
     argument inserted after data_u8 — step(data_u8, base, start_bit, ...).
-    Ships sum(len) bytes instead of S * bucket(max len); xla harness only
-    (the Pallas kernel keeps the rows layout).
+    Ships sum(len) bytes instead of S * bucket(max len).
     """
     mbh, mbw = -(-h // 16), -(-w // 16)
-    if ragged and harness != "xla":
-        raise ValueError("ragged payload requires the xla harness")
+    if harness != "xla":
+        raise ValueError(
+            f"unknown parse harness {harness!r}: the Pallas harness was "
+            f"retired (docs/retired/parse_pallas.py); only 'xla' remains")
 
     def step_core(words, base, start_bit, nbits, quant0, ptype, v1,
                   ref_y, ref_cb, ref_cr):
         from ..decoder.reconstruct import reconstruct_from_dense
 
-        if harness == "xla":
-            tapes = df.parse_frames_device(
-                words, start_bit, nbits, quant0, ptype, v1,
-                mbh=mbh, mbw=mbw, tape_len=tape_len, unroll=unroll,
-                base=base, width=w, height=h)
-        else:
-            from ..ops.parse_pallas import parse_frames_pallas
-
-            tapes = parse_frames_pallas(
-                words, start_bit, nbits, quant0, ptype, v1,
-                mbh=mbh, mbw=mbw, tape_len=tape_len,
-                interpret=(harness == "pallas_interpret"),
-                width=w, height=h)
+        tapes = df.parse_frames_device(
+            words, start_bit, nbits, quant0, ptype, v1,
+            mbh=mbh, mbw=mbw, tape_len=tape_len, unroll=unroll,
+            base=base, width=w, height=h)
         dense, mvs, inter, ok = df.assemble(tapes, mbh=mbh, mbw=mbw)
         y, cb, cr = reconstruct_from_dense(
             dense, mvs, inter, ref_y, ref_cb, ref_cr, pallas=pallas)
@@ -241,15 +234,17 @@ class DeviceFrontendDecoder:
         if not self._buckets:
             self._buckets = [cap]
         self._buckets.sort()
+        if harness != "xla":
+            raise ValueError(
+                f"unknown parse harness {harness!r}: the Pallas harness "
+                f"was retired (docs/retired/parse_pallas.py); only 'xla' "
+                f"remains")
         self.harness = harness
         self.unroll = unroll
         # step_fn injection: a pre-jitted whole-step program (e.g. the
         # mesh-sharded one from sharding.shard_device_frontend_fn) replaces
         # the default single-device jit.  Must have make_whole_step's
-        # signature and THIS decoder's tape_len/dims.  Injected programs
-        # opt out of the pallas->xla harness fallback below.
-        self._fn_injected = step_fn is not None
-        self._dispatch_ok = False  # set once a step fn call has succeeded
+        # signature and THIS decoder's tape_len/dims.
         self._step_fn_arg = step_fn  # resolved into self._fn below, after
         # the native prep exists (the ragged payload layout needs it)
 
@@ -304,17 +299,17 @@ class DeviceFrontendDecoder:
         # per-lane word offsets (make_whole_step ragged) — ships ~sum(len)
         # bytes instead of S * bucket(max len), and a single long frame
         # (I-frame, joiner) no longer forces every lane to its bucket.
-        # "auto" picks ragged when the prerequisites hold: xla harness
-        # (the Pallas kernel keeps rows), default step fn (injected
-        # programs own their signature), and the native prep (which packs
-        # the flat buffer; the Python staging loop stays rows-only).
+        # "auto" picks ragged when the prerequisites hold: default step fn
+        # (injected programs own their signature) and the native prep
+        # (which packs the flat buffer; the Python staging loop stays
+        # rows-only).
         if payload == "auto":
-            payload = ("ragged" if (harness == "xla" and step_fn is None
+            payload = ("ragged" if (step_fn is None
                                     and self._prep is not None) else "rows")
         elif payload == "ragged":
-            if harness != "xla" or step_fn is not None:
-                raise ValueError("payload='ragged' requires harness='xla' "
-                                 "and the default step fn")
+            if step_fn is not None:
+                raise ValueError("payload='ragged' requires the default "
+                                 "step fn")
             if self._prep is None:
                 raise ValueError("payload='ragged' requires the native prep")
         elif payload != "rows":
@@ -569,42 +564,16 @@ class DeviceFrontendDecoder:
         pp["in_flight"][pp["idx"]] = (dev_stage, dev_meta)
 
         with trace_stage("reconstruct_dispatch"):
-            try:
-                if ragged:
-                    y, cb, cr, status = self._fn(
-                        dev_stage, dev_meta[5], dev_meta[0], dev_meta[1],
-                        dev_meta[2], dev_meta[3], dev_meta[4],
-                        self.ref_y, self.ref_cb, self.ref_cr)
-                else:
-                    y, cb, cr, status = self._fn(
-                        dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
-                        dev_meta[3], dev_meta[4],
-                        self.ref_y, self.ref_cb, self.ref_cr)
-            except Exception:
-                # The Pallas automaton kernel is semantically identical to
-                # the XLA while_loop harness but its Mosaic lowering is a
-                # backend property (dynamic gathers may not lower on a
-                # given TPU generation).  A FIRST-dispatch failure there
-                # falls back to the XLA harness — sticky, observable, and
-                # state-safe (the failed call mutated nothing).  Once a
-                # pallas step has succeeded the kernel provably lowers, so
-                # later errors (transient tunnel RPC failures, OOM) raise
-                # instead of silently demoting the configured harness; and
-                # "pallas_interpret" (CPU parity testing) never falls back
-                # — masking interpreter-mode kernel bugs would defeat it.
-                if (self._fn_injected or self.harness != "pallas"
-                        or self._dispatch_ok):
-                    raise
-                incr("device_frontend_pallas_fallback")
-                self.harness = "xla"
-                self._fn = get_device_step_fn(
-                    self.h, self.w, self.tape_len, self.pallas, "xla",
-                    self.unroll)
+            if ragged:
+                y, cb, cr, status = self._fn(
+                    dev_stage, dev_meta[5], dev_meta[0], dev_meta[1],
+                    dev_meta[2], dev_meta[3], dev_meta[4],
+                    self.ref_y, self.ref_cb, self.ref_cr)
+            else:
                 y, cb, cr, status = self._fn(
                     dev_stage, dev_meta[0], dev_meta[1], dev_meta[2],
                     dev_meta[3], dev_meta[4],
                     self.ref_y, self.ref_cb, self.ref_cr)
-        self._dispatch_ok = True
         self.ref_y, self.ref_cb, self.ref_cr = y, cb, cr
         self.last_status = status
         pp["in_flight"][pp["idx"]] = (y, cb, cr)
@@ -748,7 +717,6 @@ class DeviceFrontendDecoder:
         with trace_stage("reconstruct_dispatch"):
             ys, cbs, crs, status = self._fn_multi(
                 dev_stage, dev_meta, self.ref_y, self.ref_cb, self.ref_cr)
-        self._dispatch_ok = True
         self.ref_y = ys[T - 1]
         self.ref_cb = cbs[T - 1]
         self.ref_cr = crs[T - 1]

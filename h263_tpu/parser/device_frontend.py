@@ -47,9 +47,9 @@ coefficients + one scatter for records.  The zigzag->rowmajor mapping and
 the dense coefficient layout are shared with the delta24 transport.
 
 The automaton body is written in plain int32/uint32 jnp ops (no i64, no
-Python branching on traced values) so the identical body lowers through
-XLA today and into a Pallas TPU kernel (ops/parse_pallas.py) without
-change.
+Python branching on traced values).  It lowers through XLA; a Pallas
+kernel harness around the same body was retired in round 5 — Mosaic has
+no lowering for the VLC-table gathers (docs/retired/parse_pallas.py).
 """
 
 from __future__ import annotations
@@ -300,10 +300,9 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
     lever for the device front-end (CLAUDE.md "Degraded-bandwidth
     windows").
 
-    The step function is pure int32/uint32 jnp — it lowers unchanged
-    through XLA (parse_frames_device wraps it in a lax.while_loop carrying
-    the tapes) and inside a Pallas TPU kernel (ops/parse_pallas.py stores
-    the emissions to output refs).
+    The step function is pure int32/uint32 jnp; parse_frames_device wraps
+    it in a lax.while_loop carrying the tapes.  (A Pallas kernel harness
+    around the same body was retired — docs/retired/parse_pallas.py.)
 
     Args:
       data_u32: uint32 [S, Lw] — frame payload bytes packed big-endian into

@@ -379,7 +379,11 @@ def load_device_frontend_state(blob: bytes, **kwargs):
         "pallas": meta["pallas"],
         "tape_len": meta["tape_len"],
         "max_frame_bytes": meta["max_frame_bytes"],
-        "harness": meta["harness"],
+        # Round-4 blobs could record the since-retired Pallas parse
+        # harness (docs/retired/parse_pallas.py); on hardware those always
+        # ran the XLA fallback anyway, so the coercion changes nothing.
+        "harness": ("xla" if str(meta["harness"]).startswith("pallas")
+                    else meta["harness"]),
         "unroll": meta.get("unroll", 4),
         # Older blobs (pre-payload) restore with 'auto' — the only layout
         # that existed when they were written resolves identically.

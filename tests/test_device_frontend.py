@@ -507,56 +507,6 @@ def test_differential_fuzz_campaign_device_umv():
     assert total == 6 * 6
 
 
-class TestPallasHarness:
-    """The Pallas kernel harness must produce identical tapes/status to the
-    XLA while_loop harness (they share the automaton body)."""
-
-    def _run_both(self, frames, width, height, tape_len=512):
-        import jax.numpy as jnp
-
-        from h263_tpu.ops.parse_pallas import parse_frames_pallas
-
-        mbh, mbw = -(-height // 16), -(-width // 16)
-        inputs, _ = df.prepare_batch(frames, SORENSON)
-        words = df.payload_words(jnp.asarray(inputs["data_u8"]))
-        args = (words, inputs["start_bit"], inputs["nbits"],
-                inputs["quant0"], inputs["ptype"], inputs["sorenson_v1"])
-        a = df.parse_frames_device(*args, mbh=mbh, mbw=mbw,
-                                   tape_len=tape_len)
-        b = parse_frames_pallas(*args, mbh=mbh, mbw=mbw, tape_len=tape_len,
-                                chunk=128, interpret=True)
-        return a, b
-
-    def test_tapes_match_xla_harness(self):
-        frames = rich_gop(77, n=3) + rich_gop(78, n=2, version=0)
-        a, b = self._run_both(frames, 48, 32)
-        np.testing.assert_array_equal(np.asarray(a["status"]),
-                                      np.asarray(b["status"]))
-        # The XLA harness stops at the last active iteration; the Pallas
-        # tape beyond it is sentinel-filled.  Compare the assembled result
-        # (scatter output), which is what downstream consumes.
-        da, mva, ia, oka = df.assemble(a, mbh=2, mbw=3)
-        db, mvb, ib, okb = df.assemble(b, mbh=2, mbw=3)
-        np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
-        np.testing.assert_array_equal(np.asarray(mva), np.asarray(mvb))
-        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
-        np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
-
-    def test_truncation_matches(self):
-        base = rich_gop(79, n=2)[1]
-        r = BitReader(base)
-        decode_picture(r, SORENSON, None)
-        cuts = [base[:k] for k in range(r.pos // 8 + 1, len(base), 7)]
-        a, b = self._run_both(cuts, 48, 32)
-        np.testing.assert_array_equal(np.asarray(a["status"]),
-                                      np.asarray(b["status"]))
-        da, mva, ia, _ = df.assemble(a, mbh=2, mbw=3)
-        db, mvb, ib, _ = df.assemble(b, mbh=2, mbw=3)
-        np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
-        np.testing.assert_array_equal(np.asarray(mva), np.asarray(mvb))
-        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
-
-
 class TestNativePrep:
     def test_matches_python_prepare_batch(self):
         """DevicePrepBatch (one FFI call) fills the same meta rows and
@@ -649,27 +599,15 @@ class TestDeviceFrontendDecoder:
             np.testing.assert_array_equal(np.asarray(cra), np.asarray(crb))
         np.testing.assert_array_equal(a.fetch_status(), b.fetch_status())
 
-    def test_pallas_harness_falls_back_to_xla(self):
-        """A Pallas-harness compile/dispatch failure falls back to the XLA
-        while_loop harness sticky, with correct planes and a counter bump.
-        (On CPU the Mosaic kernel never lowers — the same failure mode a
-        TPU generation without dynamic-gather support would hit.)"""
-        from h263_tpu.decoder.state import H263Decoder
+    def test_retired_pallas_harness_rejected(self):
+        """The Pallas parse harness was retired in round 5 (it never
+        lowered through Mosaic — docs/retired/parse_pallas.py); asking
+        for it must fail loudly at construction, never silently demote."""
         from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
-        from h263_tpu.utils.trace import get_counters
 
-        streams = [rich_gop(400 + i, n=3) for i in range(2)]
-        dec = DeviceFrontendDecoder(2, 48, 32, SORENSON, harness="pallas")
-        before = get_counters().get("device_frontend_pallas_fallback", 0)
-        oracles = [H263Decoder(SORENSON, backend="numpy") for _ in range(2)]
-        for t in range(3):
-            y, _, _ = dec.decode_step([streams[i][t] for i in range(2)])
-            for i in range(2):
-                pic = oracles[i].decode_next_picture(streams[i][t])
-                np.testing.assert_array_equal(np.asarray(y[i]),
-                                              pic.as_luma())
-        assert dec.harness == "xla"
-        assert get_counters()["device_frontend_pallas_fallback"] == before + 1
+        for h in ("pallas", "pallas_interpret", "mosaic"):
+            with pytest.raises(ValueError, match="retired|unknown"):
+                DeviceFrontendDecoder(2, 48, 32, SORENSON, harness=h)
 
     def test_matches_host_batched_decoder(self):
         from h263_tpu.parallel.batch import BatchedStreamDecoder
@@ -1073,12 +1011,12 @@ class TestRaggedPayload:
         bucket = rag._pick_bucket_ragged(bufs)
         assert need <= bucket <= max(4096, int(need * 1.19) + 4)
 
-    def test_ragged_requires_native_prep_and_xla(self):
+    def test_ragged_rejects_injected_step_and_bad_layout(self):
         from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
 
         with pytest.raises(ValueError):
             DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="ragged",
-                                  harness="pallas_interpret")
+                                  step_fn=lambda *a: None)
         with pytest.raises(ValueError):
             DeviceFrontendDecoder(2, 48, 32, SORENSON, payload="nope")
 

@@ -62,7 +62,10 @@ def main():
                     help="comma-separated batch sizes to sweep (xla harness)")
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--passes", type=int, default=3)
-    ap.add_argument("--harnesses", default="xla,pallas")
+    ap.add_argument("--harnesses", default="xla",
+                    help="parse harnesses to compare ('xla' is the only "
+                         "production value; the Pallas harness was retired "
+                         "— docs/retired/parse_pallas.py)")
     ap.add_argument("--tape-per-mb", type=int, default=16)
     ap.add_argument("--unroll", type=int, default=4,
                     help="xla-harness automaton steps per while_loop body "
@@ -113,13 +116,11 @@ def main():
     # Harness comparison at S0.
     dfes = {}
     for harness in harnesses:
-        h = harness if not (on_cpu and harness == "pallas") else \
-            "pallas_interpret"
         try:
             dfe = DeviceFrontendDecoder(
                 S0, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
                 pallas=pallas, tape_len=tape, max_frame_bytes=8192,
-                harness=h, unroll=args.unroll)
+                harness=harness, unroll=args.unroll)
             res["harness"][harness] = measure(dfe, lists0, args.passes,
                                               f"devfe/{harness} S={S0}")
             dfes[harness] = dfe
@@ -158,8 +159,6 @@ def main():
     except Exception as e:
         val["error"] = repr(e)[:200]
     res["validation"] = val
-    # Surface the sticky pallas->xla fallback: a "pallas" row above is only
-    # genuinely the Mosaic kernel if this counter stayed 0.
     from h263_tpu.utils.trace import get_counters
 
     res["counters"] = {k: v for k, v in get_counters().items()

@@ -144,9 +144,7 @@ def main():
             dec = DeviceFrontendDecoder(
                 S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
                 pallas=pallas, tape_len=tape, max_frame_bytes=8192,
-                harness=args.harness if not (on_cpu and
-                                             args.harness == "pallas")
-                else "pallas_interpret", unroll=args.unroll,
+                harness=args.harness, unroll=args.unroll,
                 payload="rows")
             staged = stage_all(dec, lists)
             row, status = measure_compute(dec, staged, args.passes,
