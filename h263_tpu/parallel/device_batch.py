@@ -189,11 +189,11 @@ class DeviceFrontendDecoder:
         import jax
         import jax.numpy as jnp
 
-        # Both bitstream flavors decode here (the automaton speaks the
+        # Both bitstream flavors decode here: the automaton speaks the
         # shared MB layer, including UMV's table-D.3 MVDs, range rules,
-        # and the GOB-resync scan on soft MB errors); one per-frame gate
-        # remains — MODIFIED_QUANTIZATION pictures fall back per stream
-        # (df.supports).
+        # the GOB-resync scan on soft MB errors, and (r5) the
+        # MODIFIED_QUANTIZATION UnimplementedDecoding stub — no per-frame
+        # host gate remains (df.supports is unconditional).
         if pallas == "auto":
             try:
                 backend = jax.default_backend()
@@ -508,22 +508,18 @@ class DeviceFrontendDecoder:
                             raise H263Error(
                                 f"stream {i} resolution {fmt} != bucket "
                                 f"({self.w}, {self.h})")
-                        # The MB-layer gate runs against the stream's
-                        # CARRIED running options (state.rs:147-155), not
-                        # the frame's own bits — a plain-PTYPE picture
-                        # after a UMV/MODIFIED_QUANTIZATION OPPTYPE still
-                        # decodes under those options and must stay on the
-                        # host.  The legally-parsed header commits even
-                        # when the frame is rejected as out-of-scope, so
-                        # later frames keep inheriting correctly (and keep
-                        # being rejected, rather than mis-decoding).
+                        # The MB layer runs against the stream's CARRIED
+                        # running options (state.rs:147-155), not the
+                        # frame's own bits — a plain-PTYPE picture after a
+                        # UMV/MODIFIED_QUANTIZATION OPPTYPE still decodes
+                        # under those options; encode_ptype below ships
+                        # them to the automaton (r5: MQ included — no
+                        # host gate remains, supports() is unconditional).
                         running = carry_forward_options(
                             pic, self._running[i])
                         if not absent:
                             self._pictures[i] = pic
                             self._running[i] = running
-                        if not df.supports(pic, running):
-                            raise H263Error("outside device front-end scope")
                         if not absent:
                             # Absent lanes keep their last real frame's
                             # presentation params (header-commit

@@ -27,10 +27,11 @@ in the automaton) and — round 4 late — GOB-bearing standard payloads:
 the host's GOB-resync scan on soft MB errors runs as a lane-local peek
 (picture boundary ends the picture; a real GOB header fails the frame
 with UnimplementedDecoding, the reference's own deliberate stub,
-gob.rs:20-42).  Still host-gated: MODIFIED_QUANTIZATION (its extended
-DQUANT alters the MB layer; the reference itself errors on it,
-macroblock.rs:497-498).  `supports()` gates dispatch; out-of-scope
-streams stay on the host front-end.  Per-stream errors are recorded in a device-resident status
+gob.rs:20-42).  Round 5 closed the last host gate: MODIFIED_QUANTIZATION
+pictures run in-automaton too — the first coded MB fails with the
+reference's own UnimplementedDecoding (macroblock.rs:497-498, ptype bit
+64), so `supports()` is unconditional and no per-frame host
+option-sniffing remains.  Per-stream errors are recorded in a device-resident status
 vector (never implicitly read back — CLAUDE.md "AXON READBACK TRAP");
 an errored lane yields the identity frame (all-INTER, zero MVs, zero
 coefficients == repeat of the reference picture), matching the
@@ -513,6 +514,7 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         umv1 = (ptype & 8) != 0       # Annex-D UMV without PLUSPTYPE
         d3l = (ptype & 16) != 0       # PLUSPTYPE UMV: table-D.3 MVD codes
         extl = (ptype & 32) != 0      # motion_vector_range == EXTENDED
+        mq_l = (ptype & 64) != 0      # MODIFIED_QUANTIZATION carried
         is_p_like = pt != 0
         cod_bits = jnp.where(is_p_like, 1, 0)
         cod = jnp.where(is_p_like, i32(_peek(hi, 0, 1)), 0)
@@ -554,7 +556,13 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         has_q = ((mtype == _MT_INTER_Q) | (mtype == _MT_INTRA_Q)
                  | (mtype == _MT_INTER_4V_Q))
         dq_bits = jnp.where(reads_on & ~stuffing & has_q, 2, 0)
-        e_dq = rd_y & ~e_y & ~h_bad_y & (c2 + dq_bits > rem)
+        # MODIFIED_QUANTIZATION: the host raises UnimplementedDecoding on
+        # every coded non-stuffing MB AFTER the CBPY decode and BEFORE the
+        # DQUANT read (macroblock.rs:497-498) — so a CBPY error keeps its
+        # own class, and a would-be DQUANT EOF cannot turn the MQ error
+        # into a tail-filled picture end (the read is never attempted).
+        h_mq = rd_y & ~e_y & ~h_bad_y & mq_l
+        e_dq = rd_y & ~e_y & ~h_bad_y & ~h_mq & (c2 + dq_bits > rem)
         h_eof = e_cod | e_m | e_y | e_dq
         dqb = i32(_peek(hi, c2, 2))
         dq = jnp.where(dqb == 0, -1,
@@ -574,6 +582,7 @@ def make_step(data_u32, nbits, ptype, sorenson_v1, *, mbh: int, mbw: int,
         h_err = jnp.where(h_bad_m, ST_BAD_MCBPC,
                           jnp.where(h_bad_y, ST_BAD_CBPY, 0))
         h_err = jnp.where(h_unimpl & ~h_eof, ST_UNIMPLEMENTED, h_err)
+        h_err = jnp.where(h_mq, ST_UNIMPLEMENTED, h_err)
 
         # Beyond-MB-count check for INTRA MBs (no MVD phase follows); the
         # inter case is checked at MVD completion (frame.py:234-240 runs
@@ -1191,26 +1200,29 @@ def assemble(tapes, *, mbh: int, mbw: int):
 
 
 def supports(picture, running_options) -> bool:
-    """Dispatch gate for the device front-end: Sorenson OR standard
-    pictures whose MB layer the automaton speaks.  UMV is in scope since
-    round 4 (encode_ptype carries the table-D.3 / range-rule flags), and
-    so is GOB resync (round 4 late: the scan runs in-automaton, so
-    GOB-bearing payloads no longer need a host gate);
-    MODIFIED_QUANTIZATION's extended DQUANT is not — those frames stay on
-    the host.  Every other option is MB-layer-inert in the host parser
-    too (macroblock.rs:445-549)."""
-    from ..types import PictureOption
-
-    return not (running_options & PictureOption.MODIFIED_QUANTIZATION)
+    """Dispatch gate for the device front-end — UNCONDITIONAL since round
+    5.  UMV is in scope since round 4 (encode_ptype carries the
+    table-D.3 / range-rule flags), GOB resync since round 4 late (the
+    scan runs in-automaton), and MODIFIED_QUANTIZATION since round 5:
+    the automaton raises the reference's UnimplementedDecoding at the
+    first coded macroblock of an MQ picture (macroblock.rs:497-498, via
+    ptype bit 64), so MQ frames no longer need a host fallback — an
+    all-uncoded MQ picture decodes, exactly as the host parser does.
+    Every other option is MB-layer-inert in the host parser too
+    (macroblock.rs:445-549).  Kept as a function so dispatch sites keep
+    their shape."""
+    return True
 
 
 def encode_ptype(picture, running_options=None) -> int:
     """The automaton's ptype field for a parsed picture header: bits 0-1
     the type (0 I / 1 P / 2 other), +4 for standard (non-Sorenson), plus
     the UMV flag bits (+8 v1 range rule / +16 table-D.3 codes / +32
-    EXTENDED range) derived from the CARRIED running options and this
-    picture's header — the same gates the host's decode_motion_vector /
-    halfpel_decode apply (macroblock.rs:414-437, mvd_pred.rs:70-117)."""
+    EXTENDED range) and +64 for MODIFIED_QUANTIZATION, all derived from
+    the CARRIED running options and this picture's header — the same
+    gates the host's decode_motion_vector / halfpel_decode /
+    decode_macroblock apply (macroblock.rs:414-437,497-498,
+    mvd_pred.rs:70-117)."""
     from ..types import MotionVectorRange, PictureOption, PictureTypeCode
 
     base = (0 if picture.picture_type is PictureTypeCode.I_FRAME
@@ -1224,6 +1236,9 @@ def encode_ptype(picture, running_options=None) -> int:
                 base += 32
         else:
             base += 8
+    if (running_options is not None
+            and running_options & PictureOption.MODIFIED_QUANTIZATION):
+        base += 64
     return base
 
 

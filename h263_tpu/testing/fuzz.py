@@ -594,6 +594,12 @@ def run_campaign(seed: int = 0, n_base: int = 25, width: int = 96,
             def gen(rng):
                 run = (PictureOption.UNRESTRICTED_MOTION_VECTORS
                        if rng.random() < 0.5 else PictureOption.NONE)
+                if rng.random() < 0.25:
+                    # r5: MODIFIED_QUANTIZATION runs in-automaton — the
+                    # first coded MB must fail UnimplementedDecoding
+                    # (macroblock.rs:497-498) while all-uncoded pictures
+                    # decode; differentially pinned here under carried MQ.
+                    run |= PictureOption.MODIFIED_QUANTIZATION
                 buf = _rand_frame(rng, width, height, flavor="standard")
                 if rng.random() < 0.4:
                     # Splice a GOB-header-shaped run mid-payload so the

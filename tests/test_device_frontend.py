@@ -780,31 +780,49 @@ class TestCarriedOptionsGate:
                 None, umv_d3=umv)
         return w.to_bytes()
 
-    def test_carried_mq_keeps_gating(self):
+    def test_carried_mq_runs_in_automaton(self):
+        """Round 5: MODIFIED_QUANTIZATION is automaton scope.  A coded MB
+        in an MQ picture fails with the reference's UnimplementedDecoding
+        (macroblock.rs:497-498: raised after CBPY, before DQUANT); an
+        all-uncoded MQ picture DECODES — and the carried MQ option binds
+        plain-PTYPE follow-ups exactly as it does on the host."""
+        import h263_tpu.parser.device_frontend as dfm
         from h263_tpu.parallel.device_batch import DeviceFrontendDecoder
         from h263_tpu.testing.encoder import encode_standard_picture
-        from h263_tpu.types import PictureOption
+        from h263_tpu.types import PictureOption, UnimplementedDecoding
 
-        f0 = self._plusptype_qcif(mq=True)
+        f0 = self._plusptype_qcif(
+            mq=True,
+            mbs=[MBSpec(kind="intra", intradc=[8 * (1 + i % 120)] * 6)
+                 for i in range(99)])
         f1 = encode_standard_picture(
             176, 144, PictureTypeCode.P_FRAME,
             [MBSpec(kind="uncoded")] * 99, temporal_reference=6)
+        f2 = encode_standard_picture(
+            176, 144, PictureTypeCode.P_FRAME,
+            [MBSpec(kind="inter", mvd=[(2, -2)],
+                    blocks=[[(0, 4)], [], [], [], [], []])]
+            + [MBSpec(kind="uncoded")] * 98, temporal_reference=7)
 
         dec = DeviceFrontendDecoder(1, 176, 144, DecoderOption.NONE)
-        with pytest.raises(H263Error, match="scope"):
-            dec.decode_step([f0])
-        # The legally parsed header commits even on scope rejection, so
-        # the carried state exists for the next frame's gate.
-        assert dec._pictures[0] is not None
+        # Coded intra MBs under MQ: UnimplementedDecoding, frame -> identity.
+        dec.decode_step([f0])
+        st = dec.fetch_status()
+        assert st[0] == dfm.ST_UNIMPLEMENTED
+        assert dfm.status_error_class(int(st[0])) is UnimplementedDecoding
         assert dec._running[0] & PictureOption.MODIFIED_QUANTIZATION
-        # The plain-PTYPE follow-up's own bits carry no MQ, but the
-        # RUNNING options do: it must be rejected too (this dispatched and
-        # mis-decoded before the fix).
-        with pytest.raises(H263Error, match="scope"):
-            dec.decode_step([f1])
-        # Same frame on a fresh slot (no carried MQ) is in scope.
+        # All-uncoded P under carried MQ decodes (host parity: the MQ
+        # raise sits inside the coded-MB path only).
+        dec.decode_step([f1])
+        assert (dec.fetch_status() == 0).all()
+        # A coded MB in the plain-PTYPE follow-up still fails: the RUNNING
+        # options carry MQ even though the frame's own bits do not.
+        dec.decode_step([f2])
+        assert dec.fetch_status()[0] == dfm.ST_UNIMPLEMENTED
+        # Fresh slot (no carried MQ): the same coded frame decodes.
         dec.reset_slot_state(0)
         dec.decode_step([f1])
+        dec.decode_step([f2])
         assert (dec.fetch_status() == 0).all()
 
     def test_carried_umv_decodes_on_device(self):
