@@ -23,8 +23,12 @@ padding, giving a serving-shaped lifecycle (VERDICT r1 item 4):
 
 Buckets decode with either entropy front-end (`frontend="host"` — the
 default BatchedStreamDecoder — or `"device"` — the device entropy
-automaton; out-of-scope frames fall back per stream); the lifecycle
-above is front-end-agnostic.
+automaton); the lifecycle above is front-end-agnostic.  Device pools
+also serve the K-frame megastep: `decode_steps` decodes a window of T
+frames with one transfer leaf + one dispatch per bucket
+(DeviceFrontendDecoder.decode_steps; ~1.6-1.8x single-step serving
+throughput on hardware, CLAUDE.md "Round 5"), falling back to
+sequential steps around resolution changes.
 
 Degraded-window adaptation (`adaptive_frontend=True`, Sorenson pools):
 the tunneled TPU link swings between multi-minute windows up to 25-80x
@@ -571,6 +575,96 @@ class StreamPool:
             first_err.pool_step_result = out
             raise first_err
         return out
+
+    def decode_steps(self, frame_lists) -> list:
+        """Decode a WINDOW of T frames (`frame_lists`: T dicts of
+        stream_id -> frame bytes) with ONE device dispatch per bucket per
+        window — the K-frame megastep (DeviceFrontendDecoder.decode_steps;
+        one ragged transfer leaf and one lax.scan program run per K
+        frames, amortizing the per-call host RPC floor that bounds
+        single-frame serving, CLAUDE.md "Round 5").
+
+        Returns a list of T PoolStepResult — frame t's entries hold the
+        same planes T sequential decode_step calls would have produced
+        (pinned differentially by the pool window tests).  Semantics
+        match T decode_step calls exactly:
+
+        * registered streams absent from a frame's dict decode the skip
+          frame with header commit suppressed;
+        * failed (frame, lane)s decode identity frames and the FIRST
+          error is raised after every bucket has stepped, with
+          `pool_window_results` attached;
+        * mid-window ST_TAPE_OVERFLOW is repaired by resolve_overflows()
+          at the next sync point (it delegates to window-granularity
+          replay while a window is pending).
+
+        Falls back to T sequential decode_step calls — identical results,
+        just without the dispatch amortization — when the pool's
+        front-end is "host" (BatchedStreamDecoder has no window step),
+        when a bucket lacks the ragged payload (no native prep), or when
+        any frame in the window would rebucket a stream (resolution
+        changes need the per-frame pre-pass).
+        """
+        T = len(frame_lists)
+        if T == 0:
+            return []
+        unknown = set()
+        for b in frame_lists:
+            unknown |= set(b) - set(self._dims)
+        if unknown:
+            raise KeyError(
+                f"unregistered streams: {sorted(unknown, key=repr)!r}")
+
+        def sequential():
+            return [self.decode_step(b) for b in frame_lists]
+
+        if self.frontend != "device":
+            return sequential()
+        for b in frame_lists:
+            for sid, buf in b.items():
+                sniffed = self._sniff(sid, buf)
+                if (sniffed is not None
+                        and (sniffed[0], sniffed[1]) != self._dims[sid]):
+                    return sequential()  # mid-window resolution change
+        for key in list(self._pending):
+            self._finalize(key)
+        if any(getattr(b.dec, "payload", None) != "ragged"
+               for b in self._buckets.values() if b.slots):
+            return sequential()
+
+        results = [PoolStepResult() for _ in range(T)]
+        first_err: Optional[H263Error] = None
+        for key, bucket in self._buckets.items():
+            dec = bucket.dec
+            window = []
+            any_present = False
+            for b in frame_lists:
+                batch = [None] * dec.n
+                for sid, slot in bucket.slots.items():
+                    if sid in b:
+                        batch[slot] = b[sid]
+                        any_present = True
+                window.append(batch)
+            if not any_present:
+                continue
+            try:
+                ys, cbs, crs = dec.decode_steps(window)
+            except H263Error as e:
+                # Same per-stream isolation as decode_step: the window
+                # dispatched (failed lanes decode identity frames) before
+                # raising, so the remaining buckets must still step; this
+                # bucket's per-frame planes are simply not attached.
+                if first_err is None:
+                    first_err = e
+                continue
+            for t in range(T):
+                for sid, slot in bucket.slots.items():
+                    if sid in frame_lists[t]:
+                        results[t]._add(sid, ys[t], cbs[t], crs[t], slot)
+        if first_err is not None:
+            first_err.pool_window_results = results
+            raise first_err
+        return results
 
     # -- degraded-window adaptation (module docstring) ----------------------
 

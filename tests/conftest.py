@@ -50,3 +50,73 @@ def _bound_xla_executable_accumulation():
     cross-module recompiles."""
     jax.clear_caches()
     yield
+
+
+# ---------------------------------------------------------------------------
+# Slow-test split (VERDICT r4 #8): the full differential suite costs ~50 min
+# on this 1-core box (XLA:CPU compiles dominate; the per-module cache clear
+# above makes them unavoidable).  The heaviest long-form differentials —
+# each a deeper replay of behavior a faster test in the same area already
+# pins — are marked `slow` and EXCLUDED FROM THE DEFAULT RUN so the green
+# signal stays cheap (~<20 min) and keeps getting run:
+#
+#     python -m pytest tests/ -q                       # default: fast suite
+#     python -m pytest tests/ -q -m slow               # long-form only
+#     python -m pytest tests/ -q -m "slow or not slow" # everything
+#                                                      # (milestones/rounds)
+#
+# Run the FULL suite before declaring a round/release done.  The list is
+# curated from `--durations` profiles (r5: every entry >=21 s); keep it in
+# sync when adding similarly heavy tests.
+# ---------------------------------------------------------------------------
+
+_SLOW_NODEID_PARTS = [
+    "test_real_corpus.py",          # whole module: long-GOP corpus replays
+    "test_soak.py",                 # whole module: 60-frame drift soaks
+    "test_native.py::test_differential_fuzz_campaign_fused",
+    "test_parallel.py::TestGraftEntry::test_dryrun_multichip",
+    "test_pool.py::TestDeviceFrontendPool::test_mixed_resolutions_churn_bitexact",
+    "test_pool.py::test_pool_mixed_resolutions",
+    "test_pool.py::TestAdaptiveFrontend::test_simulated_slowdown_triggers_switch_bitexact",
+    "test_pool.py::test_pool_resolution_switch_rebuckets",
+    "test_pool.py::test_pool_randomized_churn_vs_singles",
+    "test_pool.py::TestPoolMegastep::test_window_matches_sequential_mixed_buckets",
+    "test_device_frontend.py::TestTransferBuckets::test_gop_spanning_buckets_matches_oracle",
+    "test_device_frontend.py::TestDeviceFrontendDecoder::test_resolve_overflows_repairs_via_host",
+    "test_device_frontend.py::TestDeviceFrontendDecoder::test_matches_host_batched_decoder",
+    "test_device_frontend.py::TestDeviceFrontendDecoder::test_unroll_factor_is_semantics_preserving",
+    "test_device_frontend.py::TestDeviceFrontendDecoder::test_gop_matches_single_stream_oracle",
+    "test_device_frontend.py::TestStandardStreams::test_decoder_end_to_end_standard",
+    "test_device_frontend.py::TestStandardStreams::test_gob_resync_routes_in_automaton",
+    "test_device_frontend.py::TestRaggedPayload::test_rich_gops_match_rows",
+    "test_device_frontend.py::TestRaggedPayload::test_absent_overcap_and_error_lanes",
+    "test_device_frontend.py::TestCarriedOptionsGate::test_recycled_slot_does_not_inherit_status",
+    "test_device_frontend.py::TestDecodeStepsWindow::test_window_matches_sequential_steps",
+    "test_device_frontend.py::TestDecodeStepsWindow::test_window_absent_lane_and_block_error",
+    "test_device_frontend.py::TestDecodeStepsWindow::test_window_overflow_repair",
+    "test_adversarial.py::test_pei_stuffing_gop_three_frontends_agree",
+    "test_parallel.py::TestSplitPackedTransport::test_720p_split_equals_dense",
+    "test_parallel.py::TestSplitPackedTransport::test_split_transport_sharded",
+    "test_parallel.py::TestStandardH263Batched::test_standard_streams_batched",
+    "test_parallel.py::TestDelta24Transport::test_d24_large_picture_equals_split",
+    "test_robustness.py::TestStandardBatchedRobustness::test_corrupt_stream_raises_and_state_survives",
+    "test_checkpoint.py::test_batched_sticky_state_survives",
+    "test_fused_transport.py::TestFusedParity::test_bucket_ladder_cut",
+    "test_fused_transport.py::TestFusedParity::test_varied_mv_flip_matches_scalar_reference",
+]
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-form differential (excluded from the "
+        "default run; see conftest)")
+    # Default to excluding slow tests ONLY when the user gave no -m of
+    # their own (a CLI -m overrides this entirely).
+    if not config.option.markexpr:
+        config.option.markexpr = "not slow"
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(part in item.nodeid for part in _SLOW_NODEID_PARTS):
+            item.add_marker(pytest.mark.slow)

@@ -704,3 +704,106 @@ class TestAdaptiveFrontend:
         pool = StreamPool(DecoderOption.NONE)
         with pytest.raises(ValueError, match="Sorenson"):
             pool.switch_frontend("device")
+
+
+class TestPoolMegastep:
+    """StreamPool.decode_steps: the K-frame megastep over pool buckets —
+    T frames, one device dispatch per bucket — must be frame-for-frame
+    identical to T sequential decode_step calls (the same state-carry
+    the reference performs between decode_next_picture calls,
+    state.rs:429-463, lifted into one compiled program)."""
+
+    def _pools(self, **kw):
+        return (StreamPool(SORENSON, frontend="device", **kw),
+                StreamPool(SORENSON, frontend="device", **kw))
+
+    def test_window_matches_sequential_mixed_buckets(self):
+        win, seq = self._pools()
+        corp = {"a": _frames(11, 48, 32, n=5), "b": _frames(12, 48, 32, n=5),
+                "q": _frames(13, 32, 32, n=5)}
+        for pool in (win, seq):
+            pool.add_stream("a", 48, 32)
+            pool.add_stream("b", 48, 32)
+            pool.add_stream("q", 32, 32)
+        # Frame dicts with churn: "b" absent at t=2, "q" absent at t=3.
+        dicts = []
+        for t in range(4):
+            d = {"a": corp["a"][t]}
+            if t != 2:
+                d["b"] = corp["b"][t]
+            if t != 3:
+                d["q"] = corp["q"][t]
+            dicts.append(d)
+        outs = win.decode_steps(dicts)
+        assert len(outs) == 4
+        for t, d in enumerate(dicts):
+            ref = seq.decode_step(d)
+            assert set(outs[t].keys()) == set(ref.keys())
+            for sid in d:
+                yw, cbw, crw = outs[t][sid]
+                yr, cbr, crr = ref[sid]
+                np.testing.assert_array_equal(yw, yr, err_msg=f"{sid}@{t}")
+                np.testing.assert_array_equal(cbw, cbr)
+                np.testing.assert_array_equal(crw, crr)
+        # Final pool state identical: one more sequential step on both.
+        d4 = {sid: corp[sid_key][4] for sid, sid_key in
+              zip(("a", "b", "q"), ("a", "b", "q"))}
+        o_w = win.decode_step(d4)
+        o_s = seq.decode_step(d4)
+        for sid in d4:
+            np.testing.assert_array_equal(o_w[sid][0], o_s[sid][0],
+                                          err_msg=sid)
+
+    def test_host_frontend_window_falls_back(self):
+        pool = StreamPool(SORENSON)  # host front-end
+        ref = H263Decoder(SORENSON, backend="numpy")
+        frames = _frames(21, 32, 32, n=4)
+        pool.add_stream("s", 32, 32)
+        outs = pool.decode_steps([{"s": f} for f in frames])
+        assert len(outs) == 4
+        for t, f in enumerate(frames):
+            pic = ref.decode_next_picture(f)
+            np.testing.assert_array_equal(outs[t]["s"][0], pic.as_luma(),
+                                          err_msg=f"t={t}")
+
+    def test_window_overflow_repaired_at_sync_point(self):
+        """Window overflows repair to the TRUE decode: resolve_overflows
+        after a pool window replays every flagged lane's whole window
+        from the pre-window planes (resolve_window_overflows), so the
+        result matches the single-stream oracle even when EVERY frame of
+        the window overflowed — a case the sequential single-frame
+        repair contract cannot fix (its mid-run overflows chain identity
+        frames into the reference)."""
+        win, _ = self._pools(tape_len=8)  # tiny tape -> overflows
+        frames = {"x": _frames(31, 48, 32, n=4), "y": _frames(32, 48, 32, n=4)}
+        oracles = {sid: H263Decoder(SORENSON, backend="numpy")
+                   for sid in frames}
+        win.add_stream("x", 48, 32)
+        win.add_stream("y", 48, 32)
+        dicts = [{sid: frames[sid][t] for sid in frames} for t in range(4)]
+        outs = win.decode_steps(dicts)
+        repaired = win.resolve_overflows(outs[-1])
+        assert sorted(repaired) == ["x", "y"]  # rich frames overflow 8 slots
+        for sid in frames:
+            for t in range(4):
+                pic = oracles[sid].decode_next_picture(frames[sid][t])
+            np.testing.assert_array_equal(
+                np.asarray(outs[-1][sid][0]), pic.as_luma(), err_msg=sid)
+            np.testing.assert_array_equal(
+                np.asarray(outs[-1][sid][1]), pic.as_chroma_b())
+
+    def test_window_resolution_change_falls_back(self):
+        win, seq = self._pools()
+        a_small = _frames(41, 32, 32, n=2)
+        a_big = _frames(42, 48, 32, n=3)  # I-frame rebucket mid-window
+        for pool in (win, seq):
+            pool.add_stream("a", 32, 32)
+        dicts = [{"a": a_small[0]}, {"a": a_small[1]},
+                 {"a": a_big[0]}, {"a": a_big[1]}]
+        outs = win.decode_steps(dicts)
+        for t, d in enumerate(dicts):
+            ref = seq.decode_step(d)
+            np.testing.assert_array_equal(
+                np.asarray(outs[t]["a"][0]), np.asarray(ref["a"][0]),
+                err_msg=f"t={t}")
+        assert outs[-1]["a"][0].shape == (32, 48)

@@ -25,9 +25,12 @@ run() {  # run <name> <timeout_s> <cmd...>
     tail -3 "$OUT/$name.log" | sed 's/^/    /'
 }
 
-# 1. Device front-end profile: does the Pallas automaton lower through
-#    Mosaic at all, what is the per-iteration cost, does S scale freely?
+# 1. Device front-end profile: per-iteration cost, batch-size scaling.
 run prof_devfe 2400 python tools/prof_devfe.py --sizes 256,512,1024
+
+# 1b. Megastep A/B: single-step vs decode_steps windows at the serving
+#     shape (order-balanced; r5's headline lever).
+run prof_megastep 2700 python tools/prof_megastep.py --streams 1024
 
 # 2. The driver's own artifact: full bench (both CIF regimes, 720p,
 #    device front-end sections, strict gate).  Watchdogs keep it
