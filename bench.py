@@ -588,11 +588,15 @@ def main():
     ap.add_argument("--distinct-corpora", type=int, default=24,
                     help="number of distinct stream corpora cycled over "
                          "the batch for the distinct-content measurements")
-    ap.add_argument("--serve-streams", type=int, default=1024,
+    ap.add_argument("--serve-streams", type=int, default=2048,
                     help="batch size for the device-front-end serving "
                          "shape; the automaton's per-step cost is ~flat in "
                          "S so larger batches raise frames/s/chip nearly "
-                         "linearly.  0 skips the section")
+                         "linearly (measured 2026-08-21: S=2048 single-step "
+                         "547k / K=4 megastep 626-629k f/s in a healthy "
+                         "moment vs 274-338k / 410-605k at S=1024; "
+                         "degraded-window mode is byte-bound and therefore "
+                         "~S-invariant).  0 skips the section")
     ap.add_argument("--megastep", type=int, default=4,
                     help="K-frame megastep window for the device-front-end "
                          "serving shape (decode_steps: one transfer leaf + "
@@ -1161,15 +1165,27 @@ def main():
                     DeviceFrontendDecoder,
                 )
 
+                # The devfe serves a LARGER batch than the host path: the
+                # automaton's device cost is ~flat in S (latency-bound,
+                # DEVFE_COMPUTE_SWEEP) while the per-dispatch host floor is
+                # not, so the serving shape amortizes it over 4x the
+                # streams.  Measured 2026-08-21 (prof_megastep 720p,
+                # mixed-health window): S=256 single 42-63k f/s vs S=64
+                # 12-45k; S=256 K=4 megastep best 108.7k = 3,623 real-time
+                # 720p streams/chip vs 73.3k at S=64.
+                S7D = 256
+                lists7d = [[corp7[s % 4][t] for s in range(S7D)]
+                           for t in range(F7)]
                 maxb = max(len(b) for corp in corp7 for b in corp)
                 cap7 = max(8192, ((maxb + 4095) // 4096) * 4096)
                 dfe7 = DeviceFrontendDecoder(
-                    S7, W7, H7, DecoderOption.SORENSON_SPARK_BITSTREAM,
+                    S7D, W7, H7, DecoderOption.SORENSON_SPARK_BITSTREAM,
                     pallas=args.pallas, tape_len=16 * mbs7,
                     max_frame_bytes=cap7, harness="xla")
                 best7d, worst7d, stages7d, stages7dw = measure_e2e(
-                    dfe7, lists7, budget_left())
+                    dfe7, lists7d, budget_left())
                 p720["devfe"] = {
+                    "streams": S7D,
                     "end_to_end_distinct_fps": round(best7d, 1),
                     "end_to_end_distinct_worst_fps": round(worst7d, 1),
                     "realtime_streams_distinct": round(best7d / 30.0, 1),
@@ -1182,7 +1198,7 @@ def main():
                 if args.megastep > 0 and budget_left() > 120:
                     try:
                         b7m, w7m, st7m, st7mw = measure_e2e(
-                            dfe7, lists7, budget_left(),
+                            dfe7, lists7d, budget_left(),
                             window=args.megastep)
                         p720["devfe"]["megastep"] = {
                             "window": args.megastep,

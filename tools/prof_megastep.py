@@ -54,6 +54,9 @@ def main():
                     help="ABBA groups per K")
     ap.add_argument("--distinct-corpora", type=int, default=24)
     ap.add_argument("--tape-per-mb", type=int, default=16)
+    ap.add_argument("--max-frame-bytes", type=int, default=0,
+                    help="payload cap per frame; 0 = auto-size from the "
+                         "corpus (needed for non-CIF shapes, e.g. 720p)")
     ap.add_argument("--trap-exp", action="store_true",
                     help="after timing, run the device_put->cpu readback-"
                          "trap escape-hatch experiment (poisons the "
@@ -79,9 +82,16 @@ def main():
     lists = [[corp[s % n_corp][t] for s in range(S)] for t in range(F)]
     log(f"corpora: {n_corp} x {F} frames in {time.perf_counter() - t0:.1f}s")
 
+    cap = args.max_frame_bytes
+    if cap <= 0:
+        # Same auto-sizing as bench.py's 720p section: cover the largest
+        # corpus frame, 4 KiB-quantized, floor 8 KiB (CIF default).
+        maxb = max(len(b) for c in corp for b in c)
+        cap = max(8192, ((maxb + 4095) // 4096) * 4096)
+    log(f"max_frame_bytes={cap}")
     dfe = DeviceFrontendDecoder(
         S, W, H, DecoderOption.SORENSON_SPARK_BITSTREAM,
-        tape_len=args.tape_per_mb * nmb, max_frame_bytes=8192,
+        tape_len=args.tape_per_mb * nmb, max_frame_bytes=cap,
         harness="xla")
 
     def pass_single():
