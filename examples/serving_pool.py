@@ -120,6 +120,25 @@ def main():
         print(f"step {step}: decoded {sorted(out)} "
               f"({len(out)} frames, all bit-exact)")
 
+    # K-frame megastep (device front-end pools): a window of T frames
+    # decodes with ONE ragged transfer leaf + ONE dispatch per bucket
+    # (pool.decode_steps), amortizing the per-call host RPC floor that
+    # bounds single-frame serving — the round-5 serving shape.  Host
+    # pools transparently fall back to T sequential steps.
+    window = []
+    for _ in range(3):
+        bufs = {sid: s.next_frame() for sid, s in streams.items()}
+        window.append({sid: b for sid, b in bufs.items() if b is not None})
+    if all(window):
+        outs = pool.decode_steps(window)
+        for t, out in enumerate(outs):
+            for sid, (y, _, _) in out.items():
+                pic = streams[sid].oracle.decode_next_picture(window[t][sid])
+                np.testing.assert_array_equal(
+                    y, pic.as_luma(), err_msg=f"{sid} window frame {t}")
+        print(f"megastep window: {len(window)} frames x {len(outs[0])} "
+              f"streams in one dispatch per bucket, bit-exact")
+
     rgba = pool.present_rgba(deblock=False)
     shapes = {sid: a.shape for sid, a in sorted(rgba.items())}
     print(f"present_rgba shapes: {shapes}")

@@ -124,24 +124,34 @@ def main():
     results = {"streams": S, "frames": F, "groups": args.groups,
                "single_fps": [], "window_fps": {}}
 
-    for K in [int(k) for k in args.windows.split(",") if k]:
-        pw = make_pass_window(K)
+    # Compile every K program up front, then interleave ALL variants
+    # inside each group (mirror-ordered: single, K1..Kn, Kn..K1, single)
+    # so the K values are compared within the SAME tunnel window — the
+    # serial per-K group structure kept losing one K's half to a window
+    # change (three degraded-half runs on 2026-08-20/21).
+    Ks = [int(k) for k in args.windows.split(",") if k]
+    pws = {}
+    for K in Ks:
+        pws[K] = make_pass_window(K)
         t0 = time.perf_counter()
         dfe.decode_steps(lists[:K])  # compile T=K program + I-window rung
         log(f"K={K} window compile {time.perf_counter() - t0:.1f}s")
-        pw()  # compile remaining rungs + steady state
+        pws[K]()  # compile remaining rungs + steady state
         results["window_fps"][str(K)] = []
-        for g in range(args.groups):
-            for name, fn in (("single", pass_single), (f"win{K}", pw),
-                             (f"win{K}", pw), ("single", pass_single)):
-                t0 = time.perf_counter()
-                n = fn()
-                fps = n / (time.perf_counter() - t0)
-                log(f"  group {g} {name}: {fps:.0f} f/s/chip")
-                if name == "single":
-                    results["single_fps"].append(round(fps, 1))
-                else:
-                    results["window_fps"][str(K)].append(round(fps, 1))
+    order = ([("single", pass_single)]
+             + [(f"win{K}", pws[K]) for K in Ks]
+             + [(f"win{K}", pws[K]) for K in reversed(Ks)]
+             + [("single", pass_single)])
+    for g in range(args.groups):
+        for name, fn in order:
+            t0 = time.perf_counter()
+            n = fn()
+            fps = n / (time.perf_counter() - t0)
+            log(f"  group {g} {name}: {fps:.0f} f/s/chip")
+            if name == "single":
+                results["single_fps"].append(round(fps, 1))
+            else:
+                results["window_fps"][name[3:]].append(round(fps, 1))
         emit({"partial": True, **results})
 
     summary = {
