@@ -78,6 +78,7 @@ _SLOW_NODEID_PARTS = [
     "test_pool.py::TestDeviceFrontendPool::test_mixed_resolutions_churn_bitexact",
     "test_pool.py::test_pool_mixed_resolutions",
     "test_pool.py::TestAdaptiveFrontend::test_simulated_slowdown_triggers_switch_bitexact",
+    "test_pool.py::TestAdaptiveFrontend::test_manual_switch_preserves_membership_and_state",
     "test_pool.py::test_pool_resolution_switch_rebuckets",
     "test_pool.py::test_pool_randomized_churn_vs_singles",
     "test_pool.py::TestPoolMegastep::test_window_matches_sequential_mixed_buckets",
@@ -94,6 +95,15 @@ _SLOW_NODEID_PARTS = [
     "test_device_frontend.py::TestDecodeStepsWindow::test_window_matches_sequential_steps",
     "test_device_frontend.py::TestDecodeStepsWindow::test_window_absent_lane_and_block_error",
     "test_device_frontend.py::TestDecodeStepsWindow::test_window_overflow_repair",
+    # r5 durations pass 2 (each >=40 s; a faster pin per area stays in the
+    # default run — test_window_buffer_reuse_smaller_second_window for the
+    # window-state hazards, test_gob_resync_off_by_one_skip_bound +
+    # test_soft_mcbpc_tail_fills for GOB resync, per-stream isolation via
+    # test_robustness's batched flavors):
+    "test_device_frontend.py::TestDecodeStepsWindow::test_single_step_invalidates_window_state",
+    "test_device_frontend.py::TestDecodeStepsWindow::test_resolve_overflows_delegates_to_window",
+    "test_device_frontend.py::TestDeviceFrontendDecoder::test_corrupt_stream_isolated",
+    "test_device_frontend.py::TestStandardStreams::test_gob_resync_differential_sweep",
     "test_adversarial.py::test_pei_stuffing_gop_three_frontends_agree",
     "test_parallel.py::TestSplitPackedTransport::test_720p_split_equals_dense",
     "test_parallel.py::TestSplitPackedTransport::test_split_transport_sharded",
