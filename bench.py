@@ -274,6 +274,10 @@ def measure_e2e(dec, frame_lists, budget_left, passes=3, window=0):
     F = len(frame_lists)
     if window:
         usable = ((F - 2) // window) * window
+        if usable == 0:
+            raise ValueError(
+                f"megastep window {window} needs >= {window + 2} frames, "
+                f"corpus has {F}")
         wins = [frame_lists[2 + k * window: 2 + (k + 1) * window]
                 for k in range(usable // window)]
 
@@ -526,22 +530,125 @@ def run_gates_child(out_path: str, budget_s: float, args=None) -> int:
             cert["status_ok_streams"] = int(
                 np.asarray((d1.last_status == 0).sum()))
             flush()
+
+            def drop_staged(dec_obj):
+                # Release the decoder's staged step outputs (the reuse
+                # gate's in_flight refs).  At the serving shape the K=8
+                # stacked [T, S, H, W] outputs are ~2.5 GB per ping-pong
+                # slot and this child SHARES the chip's HBM with the
+                # parent's still-alive serve/720p decoders — the r5
+                # rehearsal-3 TPU worker crash happened exactly at the
+                # combined peak.  Certification has no throughput goal,
+                # so blocking + dropping after every dispatch is free.
+                for pp in getattr(dec_obj, "_stage_pp", {}).values():
+                    infl = pp.get("in_flight")
+                    if not infl:
+                        continue
+                    for i, fl in enumerate(infl):
+                        if fl is not None:
+                            for a in fl:
+                                a.block_until_ready()
+                            infl[i] = None
+
+            drop_staged(d1)
             if K > 0:
-                dm = DeviceFrontendDecoder(
-                    S_big, Wc, Hc, DecoderOption.SORENSON_SPARK_BITSTREAM,
-                    pallas=pallas, tape_len=16 * mbs_c,
-                    max_frame_bytes=8192, harness="xla")
-                bad_m = jnp.zeros((), jnp.int32)
-                for k0 in range(0, usable, K):
-                    dm.decode_steps(cert_lists[k0:k0 + K])
-                    bad_m = bad_m + (dm.last_status_steps != 0).sum(
-                        ).astype(jnp.int32)
-                eq_m = (jnp.array_equal(d1.ref_y, dm.ref_y)
-                        & jnp.array_equal(d1.ref_cb, dm.ref_cb)
-                        & jnp.array_equal(d1.ref_cr, dm.ref_cr))
-                cert["bad_lane_frames_megastep"] = int(np.asarray(bad_m))
-                cert["megastep_match"] = (
-                    "ok" if bool(np.asarray(eq_m)) else "FAILED")
+                # Defer the megastep cert until the parent has freed its
+                # serving/720p decoders (it touches <out>.parent_done
+                # right after) — the T-frame program's stacked outputs
+                # plus the parent's live decoders crashed the TPU worker
+                # twice at the combined peak (rehearsals 3-4); the
+                # single-step cert above is lighter and runs
+                # concurrently just fine.  Bounded: proceed anyway after
+                # 900 s (a dead parent must not starve the verdict).
+                t_wait = time.perf_counter()
+                while (not os.path.exists(out_path + ".parent_done")
+                       and time.perf_counter() - t_wait < 900.0):
+                    time.sleep(5)
+                # The megastep cert keeps dying to transient TPU-worker /
+                # tunnel faults in degraded-window minutes (rehearsals
+                # 3-5: "TPU worker process crashed or restarted" exactly
+                # here while the parent observed wedged readbacks) — so
+                # on a runtime error, cool down and retry once with a
+                # fresh decoder; a second failure records an explicit
+                # environment error instead of leaving "pending" (the
+                # fold demotes only on FAILED / nonzero bad counts).
+                for attempt in (1, 2):
+                    try:
+                        dm = DeviceFrontendDecoder(
+                            S_big, Wc, Hc,
+                            DecoderOption.SORENSON_SPARK_BITSTREAM,
+                            pallas=pallas, tape_len=16 * mbs_c,
+                            max_frame_bytes=8192, harness="xla")
+                        bad_m = jnp.zeros((), jnp.int32)
+                        for k0 in range(0, usable, K):
+                            dm.decode_steps(cert_lists[k0:k0 + K])
+                            bad_m = bad_m + (
+                                dm.last_status_steps != 0).sum(
+                                ).astype(jnp.int32)
+                            drop_staged(dm)
+                        eq_m = (jnp.array_equal(d1.ref_y, dm.ref_y)
+                                & jnp.array_equal(d1.ref_cb, dm.ref_cb)
+                                & jnp.array_equal(d1.ref_cr, dm.ref_cr))
+                        cert["bad_lane_frames_megastep"] = int(
+                            np.asarray(bad_m))
+                        cert["megastep_match"] = (
+                            "ok" if bool(np.asarray(eq_m)) else "FAILED")
+                        break
+                    except Exception as em:  # pragma: no cover - env faults
+                        cert["megastep_match"] = (
+                            f"error: {em!r:.200}")
+                        flush()
+                        if attempt == 1:
+                            dm = None
+                            time.sleep(90)
+                if str(cert["megastep_match"]).startswith("error"):
+                    # Full-shape megastep cert failed on an environment
+                    # fault both times (it has never once succeeded in a
+                    # bench child at S=2048/K=8 while the parent runs the
+                    # same program fine — rehearsals 3-6).  Certify the
+                    # megastep-vs-single plane equality at a smaller
+                    # batch instead: the T-frame scan program is
+                    # structurally identical, only the lane count
+                    # differs, so this still pins the K-frame path's
+                    # correctness ON HARDWARE; the record says which
+                    # shape proved it.
+                    try:
+                        S_f = min(512, S_big)
+                        fb_lists = [[corp[s % n_corp][t % Fc]
+                                     for s in range(S_f)]
+                                    for t in range(usable)]
+                        df1 = DeviceFrontendDecoder(
+                            S_f, Wc, Hc,
+                            DecoderOption.SORENSON_SPARK_BITSTREAM,
+                            pallas=pallas, tape_len=16 * mbs_c,
+                            max_frame_bytes=8192, harness="xla")
+                        for t in range(usable):
+                            df1.decode_step(fb_lists[t])
+                        drop_staged(df1)
+                        dfm = DeviceFrontendDecoder(
+                            S_f, Wc, Hc,
+                            DecoderOption.SORENSON_SPARK_BITSTREAM,
+                            pallas=pallas, tape_len=16 * mbs_c,
+                            max_frame_bytes=8192, harness="xla")
+                        bad_f = jnp.zeros((), jnp.int32)
+                        for k0 in range(0, usable, K):
+                            dfm.decode_steps(fb_lists[k0:k0 + K])
+                            bad_f = bad_f + (
+                                dfm.last_status_steps != 0).sum(
+                                ).astype(jnp.int32)
+                            drop_staged(dfm)
+                        eq_f = (jnp.array_equal(df1.ref_y, dfm.ref_y)
+                                & jnp.array_equal(df1.ref_cb, dfm.ref_cb)
+                                & jnp.array_equal(df1.ref_cr, dfm.ref_cr))
+                        cert["megastep_fallback"] = {
+                            "streams": S_f,
+                            "bad_lane_frames": int(np.asarray(bad_f)),
+                            "match": ("ok" if bool(np.asarray(eq_f))
+                                      else "FAILED")}
+                    except Exception as ef:  # pragma: no cover
+                        cert["megastep_fallback"] = {
+                            "error": repr(ef)[:200]}
+                    flush()
             cert["cert_ok"] = (
                 cert["status_ok_streams"] == S_big
                 and cert["bad_lane_frames_single"] == 0
@@ -597,11 +704,15 @@ def main():
                          "moment vs 274-338k / 410-605k at S=1024; "
                          "degraded-window mode is byte-bound and therefore "
                          "~S-invariant).  0 skips the section")
-    ap.add_argument("--megastep", type=int, default=4,
+    ap.add_argument("--megastep", type=int, default=8,
                     help="K-frame megastep window for the device-front-end "
                          "serving shape (decode_steps: one transfer leaf + "
                          "one dispatch per K frames, amortizing the host "
-                         "RPC floor).  0 skips the megastep section")
+                         "RPC floor).  Default 8: interleaved same-window "
+                         "A/B 2026-08-21 measured K=8 median 497k vs K=4 "
+                         "414k f/s at S=2048 and K=8 >= K=4 in every group "
+                         "incl. degraded; 720p S=256 K=8 verified no-OOM. "
+                         "0 skips the megastep section")
     ap.add_argument("--no-720p", action="store_true",
                     help="skip the 720p secondary measurement")
     ap.add_argument("--budget", type=float, default=1100.0,
@@ -631,8 +742,13 @@ def main():
                          "covers the tunnel dying mid-compile.  <=0 disables")
     ap.add_argument("--no-gates", action="store_true",
                     help="skip the forked correctness-gate child (testing)")
-    ap.add_argument("--gates-timeout", type=float, default=1200.0,
-                    help="bound (s) on the gate child's whole run")
+    ap.add_argument("--gates-timeout", type=float, default=1500.0,
+                    help="bound (s) on the gate child's whole run (the "
+                         "megastep half of the serve cert waits for the "
+                         "parent's finalize-time HBM frees, so the child "
+                         "budget must reach past the parent's timed "
+                         "sections; its verdict file flushes after every "
+                         "sub-verdict either way)")
     ap.add_argument("--run-gates", metavar="OUT", default=None,
                     help=argparse.SUPPRESS)  # internal: gate-child mode
     args = ap.parse_args()
@@ -650,7 +766,7 @@ def main():
     gates_path = f"/tmp/h263_bench_gates_{os.getpid()}.json"
     gates_log = f"/tmp/h263_bench_gates_{os.getpid()}.log"
     gates_child = None
-    for p in (gates_path, gates_path + ".tmp"):
+    for p in (gates_path, gates_path + ".tmp", gates_path + ".parent_done"):
         try:
             os.unlink(p)
         except OSError:
@@ -1128,7 +1244,10 @@ def main():
     if not args.no_720p and budget_left() > 300:
         p720 = {}
         try:
-            W7, H7, S7, F7 = 1280, 720, 64, 8
+            # 16 frames so the K=8 megastep window has a full usable
+            # window after the 2 seed frames (measure_e2e trims to a
+            # multiple of K).
+            W7, H7, S7, F7 = 1280, 720, 64, 16
             t0 = time.perf_counter()
             corp7 = [build_corpus(W7, H7, F7, seed=70 + c) for c in range(4)]
             lists7 = [[corp7[s % 4][t] for s in range(S7)] for t in range(F7)]
@@ -1384,8 +1503,11 @@ def main():
                 paths.pop("devfe_serve", None)
                 refresh_headline()
         bad_m = cert.get("bad_lane_frames_megastep")
-        if cert.get("megastep_match") == "FAILED" or (
-                isinstance(bad_m, int) and bad_m):
+        fb = cert.get("megastep_fallback") or {}
+        if (cert.get("megastep_match") == "FAILED"
+                or (isinstance(bad_m, int) and bad_m)
+                or fb.get("match") == "FAILED"
+                or fb.get("bad_lane_frames")):
             if "devfe_megastep" in paths:
                 log("serve cert: megastep mismatch/errors -> demoting "
                     "megastep")
@@ -1400,6 +1522,27 @@ def main():
                 (st7 == 0).sum())
         else:
             detail["p720"]["devfe"]["status_ok_streams"] = f"unread: {err7}"
+
+    # The parent's serving-shape device work is DONE — drop the two big
+    # decoders so their HBM (reference planes + the reuse gate's staged
+    # step outputs; the K=8 serve megastep holds ~2.5 GB per ping-pong
+    # slot, the 720p decoders several GB more) frees before the gate
+    # child's serve certification runs its own S=serve_streams decoders
+    # on the SAME chip.  The r5 rehearsal-3 child died to a TPU worker
+    # crash at exactly that combined-footprint peak.  The tiny [S]
+    # status arrays stay, and `dec` (CIF S=256, ~0.1 GB) stays alive for
+    # the in-process strict-gate fallback below.
+    import gc
+
+    dfe_serve = dfe7 = None  # noqa: F841 (free HBM for the cert child)
+    gc.collect()
+    try:
+        # Signal the cert child that the chip is now mostly free — it
+        # holds its megastep cert (the big T-frame program) for this.
+        with open(gates_path + ".parent_done", "w"):
+            pass
+    except OSError:
+        pass
 
     # Wait for the gate child's final verdict, bounded by the exit
     # deadline (file polls only — the child measured 1604 s wall when
@@ -1418,10 +1561,18 @@ def main():
         # exit deadline allows and the child is still alive.
         def cert_pending():
             cert = (detail.get("gates") or {}).get("serve_cert")
-            return (args.serve_streams > 0 and (
-                cert is None or cert.get("status_ok_streams") == "pending"
-                or (args.megastep > 0
-                    and cert.get("megastep_match") == "pending")))
+            if args.serve_streams <= 0:
+                return False
+            if cert is None or cert.get("status_ok_streams") == "pending":
+                return True
+            if args.megastep <= 0:
+                return False
+            m = str(cert.get("megastep_match"))
+            # After a full-shape environment error the child runs a
+            # smaller-batch fallback cert — keep waiting for its outcome.
+            return (m == "pending"
+                    or (m.startswith("error")
+                        and "megastep_fallback" not in cert))
 
         cert_deadline = time.perf_counter() + max(0.0, min(
             600.0,
@@ -1483,7 +1634,8 @@ def main():
     # them through late, re-emit an upgraded final; if not, "unread"
     # stands.  (Rehearsal #2: the FIRST readback wedged >120 s even on a
     # healthy window — the axon trap conversion, not the window.)
-    if (dfe_serve is not None and serve_status is not None
+    if (serve_status is not None
+            and isinstance(detail.get("devfe_serve"), dict)
             and not isinstance(
                 detail["devfe_serve"].get("status_ok_streams"), int)):
         # Deliberate second attempt: the trap conversion measured ~212 s
